@@ -1,0 +1,115 @@
+"""Entity linking: alias dictionary build + broadcast mention resolution.
+
+Reference semantics (SURVEY.md §2.3):
+
+* J1 — Index build (src/vault/vault_petgraph/index.rs:11-15,
+  graph_builder.rs:88-114): two maps, ``full`` (vault-relative path, unique)
+  and ``short`` (file stem, FIRST-SEEN wins on duplicates).  The reference's
+  "first seen" is walkdir order — platform-dependent — so we fix the
+  deterministic rule *fewest path segments, then lexicographic doc_id*
+  (SURVEY.md §2.6.10; the reference's own tests only assert counts here).
+* J2 — Resolution (index.rs:21-27): a target containing '/' consults ONLY
+  the full map, anything else ONLY the short map; misses are silently
+  dropped (graph_builder.rs:160-165) — we keep them in a ``dangling`` frame
+  for metrics instead of discarding.
+* J5 — Frontmatter-alias fallback (north_star extension; the reference
+  extracts aliases but never consults them): targets failing J2 are retried
+  against ``kind='alias'`` entries.  Disable with ``use_aliases=False`` for
+  strict reference parity.
+
+Scale shape: the dictionary is ~3 small rows per note (id, stem, aliases) —
+broadcast it; the mentions side never shuffles.  Dictionary dedup is one
+shuffle on (alias, kind), partial-aggregated map-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+KIND_FULL = "full"
+KIND_SHORT = "short"
+KIND_ALIAS = "alias"
+
+
+def build_alias_dict(notes: DataFrame, use_aliases: bool = True) -> DataFrame:
+    """notes → (alias, kind, canonical) with deterministic first-wins dedup."""
+    full = notes.select(
+        F.col("doc_id").alias("alias"),
+        F.lit(KIND_FULL).alias("kind"),
+        F.col("doc_id").alias("canonical"),
+        F.col("n_segments"),
+    )
+    short = notes.select(
+        F.col("note_name").alias("alias"),
+        F.lit(KIND_SHORT).alias("kind"),
+        F.col("doc_id").alias("canonical"),
+        F.col("n_segments"),
+    )
+    parts = [full, short]
+    if use_aliases:
+        parts.append(
+            notes.select(
+                F.explode("aliases").alias("alias"),
+                F.lit(KIND_ALIAS).alias("kind"),
+                F.col("doc_id").alias("canonical"),
+                F.col("n_segments"),
+            )
+        )
+    cand = parts[0]
+    for p in parts[1:]:
+        cand = cand.unionByName(p)
+    # first-wins: fewest path segments, then lexicographic doc_id
+    w = Window.partitionBy("alias", "kind").orderBy(
+        F.col("n_segments").asc(), F.col("canonical").asc()
+    )
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("alias", "kind", "canonical")
+    )
+
+
+def resolve_mentions(
+    mentions: DataFrame, alias_dict: DataFrame, use_aliases: bool = True
+) -> tuple[DataFrame, DataFrame]:
+    """(subj, mention_ord, pred, raw_target) × dict → (edges, dangling).
+
+    edges:    (subj, mention_ord, pred, obj)   — one row per occurrence
+    dangling: unresolved mentions (reference drops these silently,
+              graph_builder.rs:160-161; we count them)
+    """
+    routed = mentions.withColumn(
+        "route",
+        F.when(F.col("raw_target").contains("/"), F.lit(KIND_FULL)).otherwise(
+            F.lit(KIND_SHORT)
+        ),
+    )
+    d = F.broadcast(alias_dict)
+    joined = routed.join(
+        d,
+        (routed["raw_target"] == d["alias"]) & (routed["route"] == d["kind"]),
+        "left",
+    )
+    resolved = joined.filter(F.col("canonical").isNotNull()).select(
+        "subj", "mention_ord", "pred", F.col("canonical").alias("obj")
+    )
+    missed = joined.filter(F.col("canonical").isNull()).select(
+        "subj", "mention_ord", "pred", "raw_target"
+    )
+
+    if use_aliases:
+        ad = F.broadcast(alias_dict.filter(F.col("kind") == KIND_ALIAS))
+        j2 = missed.join(ad, missed["raw_target"] == ad["alias"], "left")
+        resolved = resolved.unionByName(
+            j2.filter(F.col("canonical").isNotNull()).select(
+                "subj", "mention_ord", "pred", F.col("canonical").alias("obj")
+            )
+        )
+        dangling = j2.filter(F.col("canonical").isNull()).select(
+            "subj", "mention_ord", "pred", "raw_target"
+        )
+    else:
+        dangling = missed
+
+    return resolved, dangling

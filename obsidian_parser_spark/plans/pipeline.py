@@ -1,0 +1,93 @@
+"""End-to-end graph construction plan: documents → nodes + edges (+ metrics).
+
+This is the engine's equivalent of the reference's
+``VaultBuilder → get_digraph`` lifecycle (SURVEY.md §3 E2/E3), expressed as
+one declarative DataFrame plan:
+
+  documents ─ tokenize (1 Arrow stage) ─┬─ nodes
+                                        ├─ alias dict ─ broadcast ─┐
+                                        └─ mentions ───────────────┴─ edges
+                                                                     dangling
+
+Analyzer-style pre-filters (reference examples/analyzer.rs:38-49: drop
+parse errors / empty notes / todo notes before graph build) are options.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..operators.linking import build_alias_dict, resolve_mentions
+from ..operators.tokenize import (
+    mentions_from_notes,
+    tag_triples,
+    tokenize_documents,
+    tokenize_raw_text,
+)
+
+
+@dataclass
+class GraphBuildOptions:
+    include_mdlinks: bool = True  # markdown-link extraction (extension)
+    use_aliases: bool = True  # J5 frontmatter-alias fallback (extension)
+    include_tag_triples: bool = True  # (subj, tagged, tag) rows in edges
+    drop_parse_errors: bool = False  # analyzer.rs:38-44
+    drop_empty: bool = False  # analyzer.rs:45
+    drop_todo: bool = False  # analyzer.rs:46-49
+
+
+@dataclass
+class GraphBuild:
+    nodes: DataFrame  # one row per note
+    edges: DataFrame  # (subj, pred, obj, mention_ord), per occurrence
+    dangling: DataFrame  # unresolved mentions
+    alias_dict: DataFrame
+
+
+def reference_parity_options() -> GraphBuildOptions:
+    """Options under which emitted (subj, pred∈{links_to,embeds}, obj)
+    triples equal the reference's link multiset exactly (SURVEY §2.2 P4)."""
+    return GraphBuildOptions(
+        include_mdlinks=False, use_aliases=False, include_tag_triples=False
+    )
+
+
+def build_graph(
+    documents: DataFrame,
+    opts: GraphBuildOptions | None = None,
+    raw_text: bool = False,
+) -> GraphBuild:
+    """documents(doc_id, spans) — or (doc_id, raw_text) with raw_text=True —
+    → GraphBuild.  Lazy: nothing executes until an action on the outputs."""
+    opts = opts or GraphBuildOptions()
+    notes = (
+        tokenize_raw_text(documents, include_mdlinks=opts.include_mdlinks)
+        if raw_text
+        else tokenize_documents(documents, include_mdlinks=opts.include_mdlinks)
+    )
+
+    if opts.drop_parse_errors:
+        notes = notes.filter(F.col("parse_error").isNull())
+    if opts.drop_empty:
+        notes = notes.filter(~F.col("is_empty"))
+    if opts.drop_todo:
+        notes = notes.filter(~F.col("is_todo"))
+
+    # The tokenize stage feeds three consumers (nodes, dict, mentions) —
+    # persist it so the Python stage runs once, mirroring the reference's
+    # OnceCell memoization (src/note/note_once_cell.rs).
+    notes = notes.persist()
+
+    alias_dict = build_alias_dict(notes, use_aliases=opts.use_aliases)
+    mentions = mentions_from_notes(notes)
+    edges, dangling = resolve_mentions(
+        mentions, alias_dict, use_aliases=opts.use_aliases
+    )
+    if opts.include_tag_triples:
+        edges = edges.unionByName(tag_triples(notes))
+
+    nodes = notes.drop("mentions")
+    return GraphBuild(nodes=nodes, edges=edges, dangling=dangling, alias_dict=alias_dict)

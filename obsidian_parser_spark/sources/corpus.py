@@ -1,0 +1,291 @@
+"""Deterministic interleaved-span vault corpus (the engine's primary input).
+
+Schema = BASELINE.json ``input_hint``:
+
+    documents(doc_id: string,
+              spans: array<struct<kind: string, text: string,
+                                  media_ref: string, offset: int>>)
+
+* ``kind`` ∈ {frontmatter, text, wikilink, embed, mdlink, media};
+* at most one frontmatter span, at offset 0, raw YAML without fences;
+* concatenating non-frontmatter ``text`` in offset order reconstructs the
+  note content (media spans carry ``text=''`` + an opaque ``media_ref``).
+
+The generated shape mirrors the reference Criterion bench corpus
+(/root/reference/benches/benchmarks.rs:15-70: N files × `links_per_file`
+blocks × filler lines of "TEST DATA", uniform link targets), extended
+deterministically with the features the engine must exercise: nested dirs +
+full-path links, duplicate short names, frontmatter tags/aliases (canonical
+flow style so a DuckDB oracle can re-parse them with regex), inline tags,
+embeds with media refs, markdown links, dangling targets, alias-only
+targets, hub-skewed (Zipf-ish) backlink targets, exact-duplicate contents.
+
+Everything is seeded numpy — same (sf, seed) ⇒ byte-identical parquet.
+No external data.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+DEFAULT_SEED = 42
+DEFAULT_BASE = os.path.join(os.path.dirname(__file__), "..", "..", "data", "vault")
+
+SPAN_TYPE = pa.list_(
+    pa.struct(
+        [
+            pa.field("kind", pa.string()),
+            pa.field("text", pa.string()),
+            pa.field("media_ref", pa.string()),
+            pa.field("offset", pa.int32()),
+        ]
+    )
+)
+DOCUMENTS_SCHEMA = pa.schema(
+    [pa.field("doc_id", pa.string()), pa.field("spans", SPAN_TYPE)]
+)
+
+
+def num_files_for_sf(sf_name: str) -> int:
+    """sf0.001 → 1000 notes (the reference bench's corpus size), linear in sf."""
+    m = re.fullmatch(r"sf([0-9.]+)", sf_name)
+    if not m:
+        raise ValueError(f"bad sf name: {sf_name}")
+    return max(10, int(round(float(m.group(1)) * 1_000_000)))
+
+
+def vault_corpus_dir(sf_name: str, base: str | None = None) -> str:
+    return os.path.abspath(os.path.join(base or DEFAULT_BASE, sf_name))
+
+
+def documents_parquet_path(sf_name: str, base: str | None = None) -> str:
+    return os.path.join(vault_corpus_dir(sf_name, base), "documents.parquet")
+
+
+def ensure_vault_corpus(
+    sf_name: str,
+    base: str | None = None,
+    seed: int = DEFAULT_SEED,
+    links_per_file: int = 10,
+) -> str:
+    """Generate the corpus for ``sf_name`` if absent; return the parquet path.
+
+    A marker file records the generation parameters; a parameter change
+    forces regeneration (idempotent otherwise).
+    """
+    out_dir = vault_corpus_dir(sf_name, base)
+    pq_path = documents_parquet_path(sf_name, base)
+    marker = os.path.join(out_dir, "_GENERATED.json")
+    params = {
+        "version": 3,
+        "seed": seed,
+        "num_files": num_files_for_sf(sf_name),
+        "links_per_file": links_per_file,
+    }
+    if os.path.exists(marker) and os.path.exists(pq_path):
+        with open(marker) as f:
+            if json.load(f) == params:
+                return pq_path
+    os.makedirs(out_dir, exist_ok=True)
+    generate_vault_corpus(
+        pq_path, params["num_files"], links_per_file=links_per_file, seed=seed
+    )
+    with open(marker, "w") as f:
+        json.dump(params, f)
+    return pq_path
+
+
+# --------------------------------------------------------------------------
+# generation
+# --------------------------------------------------------------------------
+
+
+def _doc_id(i: int) -> str:
+    return f"dir_{i % 7}/note_{i}" if i % 5 == 0 else f"note_{i}"
+
+
+def generate_vault_corpus(
+    out_path: str,
+    num_files: int,
+    links_per_file: int = 10,
+    seed: int = DEFAULT_SEED,
+    filler_lines: tuple[int, int] = (30, 60),
+    row_group_docs: int = 8192,
+) -> None:
+    rng = np.random.default_rng(seed)
+    n, k = num_files, links_per_file
+
+    # all randomness drawn up-front, vectorized
+    uniform_targets = rng.integers(0, n, size=(n, k))
+    hub_mask = rng.random(size=(n, k)) < 0.20  # 20% of links hit 5 hub notes
+    hub_targets = rng.integers(0, min(5, n), size=(n, k))
+    targets = np.where(hub_mask, hub_targets, uniform_targets)
+    fills = rng.integers(filler_lines[0], filler_lines[1] + 1, size=(n, k))
+    deco = rng.integers(0, 10, size=(n, k))  # wikilink suffix decoration style
+    n_tags = rng.integers(0, 4, size=n)
+
+    writer = pq.ParquetWriter(out_path, DOCUMENTS_SCHEMA, compression="zstd")
+    buf_ids: list[str] = []
+    buf_spans: list[list[dict]] = []
+
+    def flush() -> None:
+        nonlocal buf_ids, buf_spans
+        if buf_ids:
+            writer.write_table(
+                pa.Table.from_pydict(
+                    {"doc_id": buf_ids, "spans": buf_spans}, schema=DOCUMENTS_SCHEMA
+                )
+            )
+            buf_ids, buf_spans = [], []
+
+    def emit(doc_id: str, spans: list[dict]) -> None:
+        buf_ids.append(doc_id)
+        buf_spans.append(spans)
+        if len(buf_ids) >= row_group_docs:
+            flush()
+
+    dup_content_docs: list[tuple[str, list[dict]]] = []
+
+    for i in range(n):
+        spans: list[dict] = []
+        off = 0
+
+        def add(kind: str, text: str, media_ref: str | None = None) -> None:
+            nonlocal off
+            spans.append(
+                {"kind": kind, "text": text, "media_ref": media_ref, "offset": off}
+            )
+            off += 1
+
+        # frontmatter (canonical flow style; every doc except i%13==0)
+        if i % 13 != 0:
+            tags = [f"tag_{(i + t) % 20}" for t in range(int(n_tags[i]))]
+            if i % 31 == 0:
+                tags.append("todo")
+            aliases = [f"alias_{i}"] if i % 11 == 0 else []
+            fm = (
+                f"id: {i}\n"
+                f"tags: [{', '.join(tags)}]\n"
+                f"aliases: [{', '.join(aliases)}]"
+            )
+            add("frontmatter", fm, None)
+
+        for j in range(k):
+            filler = "TEST DATA\n" * int(fills[i, j])
+            if j == 0 and i % 7 == 0:
+                filler += f"#inline_{i % 20} "
+            add("text", filler)
+
+            t = int(targets[i, j])
+            d = int(deco[i, j])
+            if d == 7:  # embed with media ref
+                add("embed", f"![[img_{t}.png]]", f"img_{t}.png")
+            elif d == 8:  # markdown link (plain or full-path .md)
+                if t % 5 == 0:
+                    add("mdlink", f"[see](dir_{t % 7}/note_{t}.md)")
+                else:
+                    add("mdlink", f"[see](note_{t})")
+            elif d == 9 and t % 29 == 0:  # dangling target (silently dropped)
+                add("wikilink", f"[[missing_{t}]]")
+            elif d == 6 and t % 11 == 0:  # resolvable only via frontmatter alias
+                add("wikilink", f"[[alias_{t}]]")
+            elif d == 5 and t % 5 == 0:  # explicit full-path link
+                add("wikilink", f"[[dir_{t % 7}/note_{t}|full]]")
+            elif d == 4:
+                add("wikilink", f"[[note_{t}|shown text]]")
+            elif d == 3:
+                add("wikilink", f"[[note_{t}#section {t % 3}]]")
+            elif d == 2:
+                add("wikilink", f"[[note_{t}^blk{t % 7}]]")
+            else:
+                add("wikilink", f"[[note_{t}]]")
+            add("text", "\n")
+
+        if i % 17 == 0:  # opaque media span: empty text, ref only
+            add("media", "", f"vid_{i}.mp4")
+
+        emit(_doc_id(i), spans)
+
+        # duplicate-stem + duplicate-content companions
+        if i % 97 == 0:
+            dup_content_docs.append((f"dup/note_{i}", [dict(s) for s in spans]))
+
+    for doc_id, spans in dup_content_docs:
+        emit(doc_id, spans)
+    flush()
+    writer.close()
+
+
+# --------------------------------------------------------------------------
+# fixtures: raw note text -> span rows (for golden/parity tests)
+# --------------------------------------------------------------------------
+
+_SEG_RE = re.compile(
+    r"(?s)(!?\[\[.*?\]\])"  # wikilink / embed (non-overlapping segmentation)
+    r"|(\[[^\]\[]*\]\([^()\s]+\))"  # markdown link
+)
+
+
+def spans_from_raw(doc_id: str, raw_text: str) -> dict:
+    """Build a span row from raw note text (frontmatter fences included).
+
+    Used for test fixtures only — segmentation uses non-overlapping matches,
+    so pathological overlap cases stay in the pure-text parity tests.
+    """
+    from ..functions.textops import split_frontmatter
+
+    props, content, err = split_frontmatter(raw_text)
+    spans: list[dict] = []
+    off = 0
+    if props is not None:
+        spans.append(
+            {"kind": "frontmatter", "text": props, "media_ref": None, "offset": off}
+        )
+        off += 1
+    pos = 0
+    for m in _SEG_RE.finditer(content):
+        if m.start() > pos:
+            spans.append(
+                {
+                    "kind": "text",
+                    "text": content[pos : m.start()],
+                    "media_ref": None,
+                    "offset": off,
+                }
+            )
+            off += 1
+        token = m.group(0)
+        kind = (
+            "embed"
+            if token.startswith("!")
+            else ("mdlink" if m.group(2) else "wikilink")
+        )
+        spans.append({"kind": kind, "text": token, "media_ref": None, "offset": off})
+        off += 1
+        pos = m.end()
+    if pos < len(content) or not spans:
+        spans.append(
+            {"kind": "text", "text": content[pos:], "media_ref": None, "offset": off}
+        )
+    return {"doc_id": doc_id, "spans": spans}
+
+
+def micro_vault_rows() -> list[dict]:
+    """The reference's canonical 3-note fixture (src/vault/vault_test.rs:13-36)
+    as span rows.  Golden: 3 nodes, 3 edges (vault_petgraph/mod.rs:155-161)."""
+    return [
+        spans_from_raw(
+            "main",
+            "---\ntopic: work\ncreated: 15-04-2006\n---\nMain data. Other [[data/main|main]]",
+        ),
+        spans_from_raw(
+            "link", "---\ntopic: kinl\ncreated: 15-04-2006\n---\n[[main]]"
+        ),
+        spans_from_raw("data/main", "New main. [[link]]"),
+    ]

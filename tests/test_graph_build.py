@@ -1,0 +1,152 @@
+"""Micro-vault golden test + linking semantics (SURVEY.md §2.3, FIXTURES.md §2)."""
+
+import pytest
+
+from obsidian_parser_spark.plans.pipeline import (
+    GraphBuildOptions,
+    build_graph,
+    reference_parity_options,
+)
+from obsidian_parser_spark.sources.corpus import spans_from_raw
+from tests.util import spans_df
+
+
+def test_micro_vault_golden(spark, micro_vault):
+    """src/vault/vault_test.rs:13-36 ⇒ 3 nodes / 3 edges
+    (src/vault/vault_petgraph/mod.rs:155-161)."""
+    g = build_graph(micro_vault, reference_parity_options())
+    triples = sorted(
+        (r.subj, r.pred, r.obj) for r in g.edges.collect()
+    )
+    assert triples == [
+        ("data/main", "links_to", "link"),
+        ("link", "links_to", "main"),
+        ("main", "links_to", "data/main"),
+    ]
+    assert g.nodes.count() == 3
+    assert g.dangling.count() == 0
+
+
+def test_full_path_never_falls_back_to_short(spark):
+    """index.rs:21-27: '/'-containing targets consult only the full map."""
+    rows = [
+        spans_from_raw("a", "[[x/b]] [[b]]"),
+        spans_from_raw("b", "hello"),
+    ]
+    g = build_graph(spans_df(spark, rows), reference_parity_options())
+    triples = [(r.subj, r.obj) for r in g.edges.collect()]
+    assert triples == [("a", "b")]  # [[x/b]] dangles even though stem 'b' exists
+    assert [r.raw_target for r in g.dangling.collect()] == ["x/b"]
+
+
+def test_duplicate_short_name_first_wins(spark):
+    """Deterministic first-wins: fewest path segments, then lexicographic
+    doc_id (SURVEY §2.6.10)."""
+    rows = [
+        spans_from_raw("z", "[[dup]]"),
+        spans_from_raw("a/dup", "one"),
+        spans_from_raw("dup", "two"),
+        spans_from_raw("b/dup", "three"),
+    ]
+    g = build_graph(spans_df(spark, rows), reference_parity_options())
+    assert [(r.subj, r.obj) for r in g.edges.collect()] == [("z", "dup")]
+
+    rows2 = [
+        spans_from_raw("z", "[[dup]]"),
+        spans_from_raw("a/dup", "one"),
+        spans_from_raw("b/dup", "three"),
+    ]
+    g2 = build_graph(spans_df(spark, rows2), reference_parity_options())
+    assert [(r.subj, r.obj) for r in g2.edges.collect()] == [("z", "a/dup")]
+
+
+def test_multigraph_self_loops_and_occurrences(spark):
+    """graph_builder.rs:213-218: one edge per occurrence, self-loops kept."""
+    rows = [spans_from_raw("a", "[[a]] [[b]] [[b]]"), spans_from_raw("b", "x")]
+    g = build_graph(spans_df(spark, rows), reference_parity_options())
+    triples = sorted((r.subj, r.obj, r.mention_ord) for r in g.edges.collect())
+    assert triples == [("a", "a", 0), ("a", "b", 1), ("a", "b", 2)]
+
+
+def test_unresolved_dropped_no_dangling_nodes(spark):
+    """graph_builder.rs:160-161,214: misses silently dropped from the graph."""
+    rows = [spans_from_raw("a", "[[ghost]] [[b]]"), spans_from_raw("b", "x")]
+    g = build_graph(spans_df(spark, rows), reference_parity_options())
+    assert [(r.subj, r.obj) for r in g.edges.collect()] == [("a", "b")]
+    assert g.nodes.count() == 2  # no node materialized for 'ghost'
+    assert [r.raw_target for r in g.dangling.collect()] == ["ghost"]
+
+
+def test_alias_fallback_extension(spark):
+    """J5: frontmatter aliases consulted only for J2 misses, and only when
+    enabled."""
+    rows = [
+        spans_from_raw("a", "[[MyAlias]] [[b]]"),
+        spans_from_raw("b", "---\naliases:\n- MyAlias\n---\nx"),
+    ]
+    df = spans_df(spark, rows)
+    g_on = build_graph(df, GraphBuildOptions(include_tag_triples=False))
+    assert sorted((r.subj, r.obj) for r in g_on.edges.collect()) == [
+        ("a", "b"),
+        ("a", "b"),
+    ]
+    g_off = build_graph(df, reference_parity_options())
+    assert sorted((r.subj, r.obj) for r in g_off.edges.collect()) == [("a", "b")]
+    assert g_off.dangling.count() == 1
+
+
+def test_embeds_and_mdlinks_preds(spark):
+    rows = [
+        spans_from_raw("a", "![[b]] [[b]] [cap](b) [cap](c/d.md)"),
+        spans_from_raw("b", "x"),
+        spans_from_raw("c/d", "y"),
+    ]
+    g = build_graph(
+        spans_df(spark, rows), GraphBuildOptions(include_tag_triples=False)
+    )
+    triples = sorted((r.pred, r.obj) for r in g.edges.collect())
+    assert triples == [
+        ("embeds", "b"),
+        ("links_to", "b"),
+        ("links_to", "b"),
+        ("links_to", "c/d"),
+    ]
+
+
+def test_tag_triples_and_node_columns(spark):
+    rows = [
+        spans_from_raw(
+            "n", "---\ntags: [alpha, todo]\naliases: [nick]\n---\nBody #beta word"
+        )
+    ]
+    g = build_graph(spans_df(spark, rows), GraphBuildOptions())
+    tags = sorted(
+        (r.obj, r.mention_ord)
+        for r in g.edges.filter("pred = 'tagged'").collect()
+    )
+    assert tags == [("alpha", 0), ("beta", 2), ("todo", 1)]
+    node = g.nodes.collect()[0]
+    assert node.is_todo and node.aliases == ["nick"]
+    assert node.word_count == 3  # "Body #beta word"
+    assert node.note_name == "n"
+
+
+def test_analyzer_prefilters(spark):
+    rows = [
+        spans_from_raw("keep", "[[gone]] [[todo_note]] [[empty]]"),
+        spans_from_raw("todo_note", "---\ntags: [todo]\n---\nx [[keep]]"),
+        spans_from_raw("empty", ""),
+        spans_from_raw("gone", "ok"),
+    ]
+    opts = GraphBuildOptions(
+        include_mdlinks=False,
+        use_aliases=False,
+        include_tag_triples=False,
+        drop_empty=True,
+        drop_todo=True,
+    )
+    g = build_graph(spans_df(spark, rows), opts)
+    # analyzer.rs:45-49: todo + empty notes removed BEFORE graph build ⇒
+    # their nodes vanish and links to them dangle.
+    assert sorted(r.doc_id for r in g.nodes.collect()) == ["gone", "keep"]
+    assert [(r.subj, r.obj) for r in g.edges.collect()] == [("keep", "gone")]
