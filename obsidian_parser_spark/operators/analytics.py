@@ -1,0 +1,135 @@
+"""Graph analytics over nodes/edges (SURVEY.md §2.4 A1-A11).
+
+All plain DataFrame aggregations; the link graph is the edge rows with
+``pred != 'tagged'``.  Direction: subj → obj means "subj links to obj"
+(reference doc: src/vault/vault_petgraph/mod.rs:73-75).
+
+Skew note (north_rule): backlink counts over hub notes are a skewed
+``groupBy(obj)``.  Spark's hash aggregate already does map-side partial
+aggregation, which flattens pure-agg skew; ``salted_count`` below is the
+explicit two-phase variant used by the scale pipeline so a single reducer
+never sees a hub's full row set even with partial-agg disabled operators
+(e.g. collect_list extensions).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+LINK_PREDS = ("links_to", "embeds")
+
+
+def link_edges(edges: DataFrame) -> DataFrame:
+    return edges.filter(F.col("pred").isin(*LINK_PREDS))
+
+
+def count_notes(nodes: DataFrame) -> DataFrame:
+    """A1 (src/vault/mod.rs:71-76)."""
+    return nodes.agg(F.count("*").alias("n_notes"))
+
+
+def backlink_counts(edges: DataFrame) -> DataFrame:
+    """A9: in-degree per note (backlinks)."""
+    return (
+        link_edges(edges)
+        .groupBy(F.col("obj").alias("id"))
+        .agg(F.count("*").alias("backlinks"))
+    )
+
+
+def salted_count(df: DataFrame, key: str, out: str, buckets: int = 32) -> DataFrame:
+    """Explicit two-phase (salted) count-by-key for heavy-hitter keys:
+    groupBy(key, salt) → partial counts → groupBy(key) → sum."""
+    salted = df.withColumn("_salt", F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(buckets)))
+    partial = salted.groupBy(key, "_salt").agg(F.count("*").alias("_c"))
+    return partial.groupBy(key).agg(F.sum("_c").alias(out))
+
+
+def out_degree(edges: DataFrame) -> DataFrame:
+    return (
+        link_edges(edges)
+        .groupBy(F.col("subj").alias("id"))
+        .agg(F.count("*").alias("out_degree"))
+    )
+
+
+def undirected_degree(edges: DataFrame) -> DataFrame:
+    """Degree counting both endpoints, parallel edges and self-loops counted
+    per occurrence — matches petgraph ``ungraph.edges(n).count()`` used by
+    the hub query (examples/analyzer.rs:90-95)."""
+    le = link_edges(edges)
+    both = le.select(F.col("subj").alias("id")).unionAll(
+        le.select(F.col("obj").alias("id"))
+    )
+    return both.groupBy("id").agg(F.count("*").alias("degree"))
+
+
+def knowledge_hub(edges: DataFrame) -> DataFrame:
+    """A8: max-undirected-degree note; deterministic tie-break by id."""
+    return undirected_degree(edges).orderBy(F.desc("degree"), F.asc("id")).limit(1)
+
+
+def orphans(nodes: DataFrame, edges: DataFrame) -> DataFrame:
+    """A10: notes with no link edges at all (degree 0)."""
+    le = link_edges(edges)
+    endpoints = le.select(F.col("subj").alias("id")).unionAll(
+        le.select(F.col("obj").alias("id"))
+    ).distinct()
+    return nodes.join(endpoints, nodes["doc_id"] == endpoints["id"], "left_anti").select(
+        "doc_id", "note_name"
+    )
+
+
+def duplicates_by_name(nodes: DataFrame) -> DataFrame:
+    """A2 (src/vault/vault_duplicates.rs:21-41): every occurrence AFTER the
+    first (first kept).  Reference order is walkdir order; our deterministic
+    order is (n_segments, doc_id) — same rule as the linking index."""
+    w = Window.partitionBy("note_name").orderBy(
+        F.col("n_segments").asc(), F.col("doc_id").asc()
+    )
+    return (
+        nodes.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") > 1)
+        .select("doc_id", "note_name")
+    )
+
+
+def duplicates_by_content(nodes: DataFrame) -> DataFrame:
+    """A4 (vault_duplicates.rs:62-95): duplicate SHA-256 of content bytes."""
+    w = Window.partitionBy("content_sha").orderBy(
+        F.col("n_segments").asc(), F.col("doc_id").asc()
+    )
+    return (
+        nodes.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") > 1)
+        .select("doc_id", "note_name", "content_sha")
+    )
+
+
+def total_word_count(nodes: DataFrame) -> DataFrame:
+    """A5 (examples/analyzer.rs:65-75)."""
+    return nodes.agg(F.sum("word_count").alias("total_words"))
+
+
+def degree_distribution(edges: DataFrame) -> DataFrame:
+    return (
+        undirected_degree(edges)
+        .groupBy("degree")
+        .agg(F.count("*").alias("n_notes"))
+    )
+
+
+def graph_summary(nodes: DataFrame, edges: DataFrame, dangling: DataFrame) -> DataFrame:
+    """A1/A3/A6 one-row run summary (analyzer-style)."""
+    le = link_edges(edges)
+    n = nodes.agg(
+        F.count("*").alias("n_notes"),
+        F.sum("word_count").alias("total_words"),
+        F.sum(F.col("parse_error").isNotNull().cast("long")).alias("n_parse_errors"),
+        F.sum(F.col("is_todo").cast("long")).alias("n_todo"),
+    )
+    e = le.agg(F.count("*").alias("n_link_edges"))
+    t = edges.filter(F.col("pred") == "tagged").agg(F.count("*").alias("n_tag_triples"))
+    d = dangling.agg(F.count("*").alias("n_dangling"))
+    return n.crossJoin(e).crossJoin(t).crossJoin(d)

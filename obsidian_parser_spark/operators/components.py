@@ -1,0 +1,107 @@
+"""Connected components: distributed large-star / small-star union-find.
+
+The reference delegates CC to ``petgraph::algo::connected_components`` on an
+in-memory graph (examples/analyzer.rs:85-88).  At 10^12 documents that is a
+distributed fixpoint; we implement the alternating large-star/small-star
+contraction (Kiveris et al., "Connected Components in MapReduce and Beyond",
+SoCC'14 — public algorithm), which converges in O(log²) rounds and keeps
+every step a pure (groupBy + broadcast-free join) DataFrame plan:
+
+  large-star: each node attaches its LARGER neighbors to its minimum
+              neighbor (or itself);
+  small-star: each node attaches its smaller-or-equal neighbors to the
+              minimum.
+
+Hub skew: both steps are ``groupBy(u).agg(min(v))`` + a re-join of the
+grouped min onto the symmetric edge list.  The aggregation is partial
+(map-side combined), so a 10^7-degree hub never concentrates on one reducer;
+the re-join is skew-split by AQE (spark.sql.adaptive.skewJoin).  Each round
+is ``localCheckpoint``-ed to cut lineage (on a cluster: ``checkpoint`` to a
+reliable store) — this is also the resume point for the north_rule's
+checkpointed-lineage requirement.
+
+Node ids are strings; ordering is lexicographic (any total order works).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _dedup(e: DataFrame) -> DataFrame:
+    return e.select(
+        F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
+    ).filter(F.col("u") != F.col("v")).distinct()
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    sym = e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    mins = sym.groupBy("u").agg(F.min("v").alias("mn"))
+    mins = mins.select("u", F.least("u", "mn").alias("m"))
+    return (
+        sym.join(mins, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    d = e.select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+    mins = d.groupBy("u").agg(F.min("v").alias("m"))
+    pairs = d.join(mins, "u").select(F.col("v").alias("u"), F.col("m").alias("v"))
+    self_pairs = mins.select(F.col("u"), F.col("m").alias("v"))
+    return pairs.unionAll(self_pairs)
+
+
+def _checksum(e: DataFrame) -> tuple[int, int]:
+    # decimal(38,0) accumulator: a sum of 64-bit hashes overflows ANSI bigint
+    row = e.agg(
+        F.count("*").alias("n"),
+        F.coalesce(
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")), F.lit(0)
+        ).alias("h"),
+    ).collect()[0]
+    return int(row["n"]), int(row["h"])
+
+
+def connected_components(
+    nodes: DataFrame,
+    edges: DataFrame,
+    max_iter: int = 50,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """→ (id, component) for EVERY node (isolated nodes = their own
+    singleton component, matching petgraph's count over all graph nodes).
+
+    ``edges`` needs columns (subj, obj); direction is ignored (the reference
+    analyzer builds an UNdirected graph for CC, examples/analyzer.rs:85-88).
+    """
+    e = _dedup(
+        edges.select(F.col("subj").alias("u"), F.col("obj").alias("v"))
+    ).localCheckpoint()
+    prev = _checksum(e)
+    for _ in range(max_iter):
+        e = _dedup(_small_star(_large_star(e))).localCheckpoint()
+        cur = _checksum(e)
+        if cur == prev:
+            break
+        prev = cur
+    # fixpoint: e is a star forest. _dedup keeps (least, greatest) = (root,
+    # child) orientation, since star roots are component minima.
+    child_root = e.select(
+        F.col("v").alias("id"), F.col("u").alias("component")
+    )
+    roots = e.select(F.col("u").alias("id"), F.col("u").alias("component")).distinct()
+    stars = child_root.unionAll(roots).groupBy("id").agg(
+        F.min("component").alias("component")
+    )
+    all_nodes = nodes.select(F.col(id_col).alias("id")).distinct()
+    return all_nodes.join(stars, "id", "left").select(
+        "id", F.coalesce("component", "id").alias("component")
+    )
+
+
+def component_count(cc: DataFrame) -> DataFrame:
+    """A7: number of connected components (examples/analyzer.rs:85-88)."""
+    return cc.agg(F.countDistinct("component").alias("n_components"))

@@ -1,0 +1,74 @@
+"""Connected components vs a brute-force Python union-find oracle."""
+
+import numpy as np
+import pytest
+
+from obsidian_parser_spark.operators.components import (
+    component_count,
+    connected_components,
+)
+
+
+def _brute_cc(node_ids, pairs):
+    parent = {n: n for n in node_ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in pairs:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+    return {n: find(n) for n in node_ids}
+
+
+def _run(spark, node_ids, pairs):
+    nodes = spark.createDataFrame([(n,) for n in node_ids], "doc_id string")
+    edges = spark.createDataFrame(
+        [(u, "links_to", v) for u, v in pairs] or [("x", "links_to", "x")],
+        "subj string, pred string, obj string",
+    )
+    if not pairs:
+        edges = edges.filter("subj != subj")
+    cc = connected_components(nodes, edges)
+    got = {r.id: r.component for r in cc.collect()}
+    want = _brute_cc(node_ids, pairs)
+    assert got == want
+    assert component_count(cc).collect()[0].n_components == len(set(want.values()))
+
+
+def test_two_components_and_singleton(spark):
+    _run(
+        spark,
+        ["a", "b", "c", "d", "e", "lone"],
+        [("a", "b"), ("b", "c"), ("d", "e")],
+    )
+
+
+def test_self_loops_and_multi_edges(spark):
+    _run(spark, ["a", "b"], [("a", "a"), ("a", "b"), ("b", "a")])
+
+
+def test_no_edges_all_singletons(spark):
+    _run(spark, ["a", "b", "c"], [])
+
+
+def test_long_chain(spark):
+    ids = [f"n{i:03d}" for i in range(40)]
+    _run(spark, ids, list(zip(ids, ids[1:])))
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_random_graphs(spark, seed):
+    rng = np.random.default_rng(seed)
+    n = 60
+    ids = [f"v{i:02d}" for i in range(n)]
+    m = rng.integers(20, 80)
+    pairs = [
+        (ids[int(a)], ids[int(b)])
+        for a, b in rng.integers(0, n, size=(int(m), 2))
+    ]
+    _run(spark, ids, pairs)
