@@ -1,38 +1,593 @@
-"""Driver contract for the spark-graft builder (PySpark target).
+"""Driver contract: entry / queries / oracle_sql.
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Two input families:
+
+* KG-construction queries (``kg_*``) run on the engine's own deterministic
+  interleaved-span vault corpus (BASELINE.json input_hint schema), generated
+  on demand under ``data/vault/<sf>/documents.parquet`` — seeded, no
+  external data.  Their oracles are DuckDB SQL over the SAME parquet file,
+  re-deriving triples independently (from span kinds + regex) of the
+  engine's content-scan implementation.
+* Training-data pipeline queries (``dd_*``, ``ann_*``, ``ts_*``) run on the
+  driver-provided ``documents`` / ``embeddings`` parquet tables; oracles use
+  the pre-registered DuckDB views.
+
+Column names/types are aligned on both sides (BIGINT ints, DOUBLE floats).
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from obsidian_parser_spark.operators import analytics as A
+from obsidian_parser_spark.operators import dedup as DD
+from obsidian_parser_spark.operators import similarity as SIM
+from obsidian_parser_spark.operators import textstats as TS
+from obsidian_parser_spark.operators.components import (
+    component_count,
+    connected_components,
+)
+from obsidian_parser_spark.operators.tokenize import media_refs
+from obsidian_parser_spark.plans.pipeline import GraphBuildOptions, build_graph
+from obsidian_parser_spark.sources.corpus import ensure_vault_corpus
+
+ORACLE_SF = "sf0.01"  # the driver's correctness scale
+
+# ---------------------------------------------------------------------------
+# engine-side helpers
+# ---------------------------------------------------------------------------
+
+_GRAPH_CACHE: dict[str, object] = {}
+
+
+def _sf_name(sf_dir: str) -> str:
+    return os.path.basename(os.path.normpath(sf_dir))
+
+
+def _vault_path(sf_dir: str) -> str:
+    return ensure_vault_corpus(_sf_name(sf_dir))
+
+
+def _graph(spark: SparkSession, sf_dir: str):
+    path = _vault_path(sf_dir)
+    g = _GRAPH_CACHE.get(path)
+    if g is None:
+        docs = spark.read.parquet(path)
+        g = build_graph(docs, GraphBuildOptions())
+        _GRAPH_CACHE[path] = g
+    return g
+
+
+def _documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+
+def _dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ exact copies (re-keyed) ∪ near copies — a deterministic
+    derived corpus so the dedup detectors have guaranteed positives."""
+    base = _documents(spark, sf_dir).select("doc_id", "text")
+    copies = base.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    near = base.filter(F.col("doc_id") % 17 == 0).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zz extra token")).alias("text"),
+    )
+    return base.unionAll(copies).unionAll(near)
+
+
+_DD_SQL = """
+dd AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+  UNION ALL
+  SELECT doc_id + 2000000 AS doc_id, text || ' zz extra token' AS text
+  FROM documents WHERE doc_id % 17 = 0
+)
+"""
+
+# ---------------------------------------------------------------------------
+# KG queries (engine)
+# ---------------------------------------------------------------------------
+
+
+def _q_kg_edges(spark, sf_dir):
+    g = _graph(spark, sf_dir)
+    return g.edges.select("subj", "pred", "obj")
+
+
+def _q_kg_backlinks(spark, sf_dir):
+    return A.backlink_counts(_graph(spark, sf_dir).edges)
+
+
+def _q_kg_out_degree(spark, sf_dir):
+    return A.out_degree(_graph(spark, sf_dir).edges)
+
+
+def _q_kg_hub(spark, sf_dir):
+    return A.knowledge_hub(_graph(spark, sf_dir).edges)
+
+
+def _q_kg_orphans(spark, sf_dir):
+    g = _graph(spark, sf_dir)
+    return A.orphans(g.nodes, g.edges)
+
+
+def _q_kg_dup_names(spark, sf_dir):
+    return A.duplicates_by_name(_graph(spark, sf_dir).nodes)
+
+
+def _q_kg_dup_content(spark, sf_dir):
+    return A.duplicates_by_content(_graph(spark, sf_dir).nodes).select("doc_id")
+
+
+def _q_kg_nodes(spark, sf_dir):
+    n = _graph(spark, sf_dir).nodes
+    return n.select(
+        "doc_id",
+        "note_name",
+        "is_todo",
+        "word_count",
+        "byte_count",
+        F.size("tags").cast("long").alias("n_tags"),
+        F.size("aliases").cast("long").alias("n_aliases"),
+    )
+
+
+def _q_kg_tags(spark, sf_dir):
+    e = _graph(spark, sf_dir).edges
+    return e.filter(F.col("pred") == "tagged").select("subj", "obj")
+
+
+def _q_kg_aliases(spark, sf_dir):
+    n = _graph(spark, sf_dir).nodes
+    return n.select("doc_id", F.explode("aliases").alias("alias"))
+
+
+def _q_kg_dangling(spark, sf_dir):
+    return _graph(spark, sf_dir).dangling.select("subj", "raw_target")
+
+
+def _q_kg_degree_dist(spark, sf_dir):
+    return A.degree_distribution(_graph(spark, sf_dir).edges)
+
+
+def _q_kg_word_total(spark, sf_dir):
+    return A.total_word_count(_graph(spark, sf_dir).nodes)
+
+
+def _q_kg_summary(spark, sf_dir):
+    g = _graph(spark, sf_dir)
+    return A.graph_summary(g.nodes, g.edges, g.dangling)
+
+
+def _q_kg_media_refs(spark, sf_dir):
+    docs = spark.read.parquet(_vault_path(sf_dir))
+    return media_refs(docs).select("doc_id", "media_ref", "kind")
+
+
+def _q_kg_components(spark, sf_dir):
+    g = _graph(spark, sf_dir)
+    return connected_components(g.nodes, A.link_edges(g.edges))
+
+
+def _q_kg_component_count(spark, sf_dir):
+    return component_count(_q_kg_components(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# training-data pipeline queries (engine)
+# ---------------------------------------------------------------------------
+
+
+def _q_dd_exact(spark, sf_dir):
+    return DD.exact_duplicates(_dedup_corpus(spark, sf_dir))
+
+
+def _q_dd_ngram_jaccard(spark, sf_dir):
+    return DD.ngram_jaccard_pairs(_dedup_corpus(spark, sf_dir), threshold=0.8)
+
+
+def _q_dd_minhash_lsh(spark, sf_dir):
+    return DD.minhash_lsh_pairs(_dedup_corpus(spark, sf_dir), k=12, bands=4)
+
+
+def _q_dd_simhash(spark, sf_dir):
+    return DD.simhash_near_dups(_dedup_corpus(spark, sf_dir), max_hamming=3)
+
+
+def _q_ann_topk(spark, sf_dir):
+    r = SIM.brute_force_topk(_embeddings(spark, sf_dir), k=10, n_queries=10)
+    return r.withColumn("rank", F.col("rank").cast("long"))
+
+
+def _q_ann_lsh(spark, sf_dir):
+    r = SIM.lsh_topk(_embeddings(spark, sf_dir), k=10, n_queries=10, n_planes=6)
+    return r.withColumn("rank", F.col("rank").cast("long"))
+
+
+def _q_ts_langid(spark, sf_dir):
+    return TS.lang_id(_documents(spark, sf_dir))
+
+
+def _q_ts_quality(spark, sf_dir):
+    return TS.quality_scores(_documents(spark, sf_dir))
+
+
+def _q_ts_tokens(spark, sf_dir):
+    return TS.token_counts(_documents(spark, sf_dir))
+
+
+def _q_ts_fingerprint(spark, sf_dir):
+    return TS.fingerprints(_documents(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# driver contract
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: backlink counts over the sf0.001 vault corpus."""
+    sf_dir = "/root/testdata/sf0.001"
+    return _q_kg_backlinks(spark, sf_dir).orderBy(
+        F.desc("backlinks"), F.asc("id")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "kg_edges": _q_kg_edges,
+        "kg_backlinks": _q_kg_backlinks,
+        "kg_out_degree": _q_kg_out_degree,
+        "kg_hub": _q_kg_hub,
+        "kg_orphans": _q_kg_orphans,
+        "kg_dup_names": _q_kg_dup_names,
+        "kg_dup_content": _q_kg_dup_content,
+        "kg_nodes": _q_kg_nodes,
+        "kg_tags": _q_kg_tags,
+        "kg_aliases": _q_kg_aliases,
+        "kg_dangling": _q_kg_dangling,
+        "kg_degree_dist": _q_kg_degree_dist,
+        "kg_word_total": _q_kg_word_total,
+        "kg_summary": _q_kg_summary,
+        "kg_media_refs": _q_kg_media_refs,
+        "kg_components": _q_kg_components,
+        "kg_component_count": _q_kg_component_count,
+        "dd_exact": _q_dd_exact,
+        "dd_ngram_jaccard": _q_dd_ngram_jaccard,
+        "dd_minhash_lsh": _q_dd_minhash_lsh,
+        "dd_simhash": _q_dd_simhash,
+        "ann_topk": _q_ann_topk,
+        "ann_lsh": _q_ann_lsh,
+        "ts_langid": _q_ts_langid,
+        "ts_quality": _q_ts_quality,
+        "ts_tokens": _q_ts_tokens,
+        "ts_fingerprint": _q_ts_fingerprint,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# oracles (DuckDB SQL)
+# ---------------------------------------------------------------------------
+
+
+def _kg_cte(path: str) -> str:
+    """Shared WITH-clause re-deriving the KG from the span parquet,
+    independently of the engine (span kinds + RE2 regex instead of the
+    engine's content-scan)."""
+    return rf"""
+WITH flat AS (
+  SELECT doc_id, s.kind AS kind, s.text AS text, s.media_ref AS media_ref,
+         s."offset" AS off
+  FROM (SELECT doc_id, unnest(spans) AS s FROM read_parquet('{path}'))
+),
+notes AS (
+  SELECT doc_id,
+         max(CASE WHEN kind = 'frontmatter' THEN text END) AS fm,
+         string_agg(CASE WHEN kind <> 'frontmatter' THEN coalesce(text, '')
+                         ELSE '' END, '' ORDER BY off) AS content,
+         str_split(doc_id, '/')[-1] AS note_name,
+         len(str_split(doc_id, '/')) AS n_segments
+  FROM flat GROUP BY doc_id
+),
+fmlists AS (
+  SELECT doc_id,
+    CASE WHEN coalesce(regexp_extract(coalesce(fm, ''), 'tags: \[([^\]]*)\]', 1), '') = ''
+         THEN []::VARCHAR[]
+         ELSE str_split(regexp_extract(fm, 'tags: \[([^\]]*)\]', 1), ', ') END AS fm_tags,
+    CASE WHEN coalesce(regexp_extract(coalesce(fm, ''), 'aliases: \[([^\]]*)\]', 1), '') = ''
+         THEN []::VARCHAR[]
+         ELSE str_split(regexp_extract(fm, 'aliases: \[([^\]]*)\]', 1), ', ') END AS fm_aliases
+  FROM notes
+),
+taglists AS (
+  SELECT n.doc_id,
+         list_concat(f.fm_tags,
+                     regexp_extract_all(n.content, '(^|\s)#([A-Za-z0-9_-]+)', 2)) AS tags
+  FROM notes n JOIN fmlists f USING (doc_id)
+),
+raw_mentions AS (
+  SELECT doc_id AS subj,
+    CASE WHEN kind = 'embed' THEN 'embeds' ELSE 'links_to' END AS pred,
+    CASE WHEN kind IN ('wikilink', 'embed')
+      THEN trim(split_part(split_part(split_part(
+             regexp_extract(text, '\[\[(.*)\]\]', 1), '#', 1), '^', 1), '|', 1))
+      ELSE regexp_replace(regexp_extract(text, '\]\(([^)]*)\)', 1), '\.md$', '', 'i')
+    END AS raw_target
+  FROM flat WHERE kind IN ('wikilink', 'embed', 'mdlink')
+),
+dict AS (
+  SELECT alias, kind, canonical FROM (
+    SELECT alias, kind, canonical,
+           row_number() OVER (PARTITION BY alias, kind
+                              ORDER BY n_segments, canonical) AS rn
+    FROM (
+      SELECT doc_id AS alias, 'full' AS kind, doc_id AS canonical, n_segments FROM notes
+      UNION ALL
+      SELECT note_name, 'short', doc_id, n_segments FROM notes
+      UNION ALL
+      SELECT unnest(f.fm_aliases), 'alias', f.doc_id, n.n_segments
+      FROM fmlists f JOIN notes n USING (doc_id)
+    )
+  ) WHERE rn = 1
+),
+resolved AS (
+  SELECT m.subj, m.pred, coalesce(d1.canonical, d2.canonical) AS obj, m.raw_target
+  FROM raw_mentions m
+  LEFT JOIN dict d1 ON d1.alias = m.raw_target
+    AND d1.kind = CASE WHEN contains(m.raw_target, '/') THEN 'full' ELSE 'short' END
+  LEFT JOIN dict d2 ON d2.kind = 'alias' AND d2.alias = m.raw_target
+    AND d1.canonical IS NULL
+),
+link_edges AS (SELECT subj, pred, obj FROM resolved WHERE obj IS NOT NULL),
+tag_edges AS (
+  SELECT doc_id AS subj, 'tagged' AS pred, unnest(tags) AS obj FROM taglists
+),
+edges AS (SELECT * FROM link_edges UNION ALL SELECT * FROM tag_edges),
+dangling AS (SELECT subj, raw_target FROM resolved WHERE obj IS NULL),
+stats AS (
+  SELECT n.doc_id, n.note_name, n.n_segments, n.content,
+         len(list_filter(string_split_regex(n.content, '\s+'), x -> x <> ''))::BIGINT AS word_count,
+         strlen(n.content)::BIGINT AS byte_count,
+         list_contains(t.tags, 'todo') AS is_todo,
+         len(t.tags)::BIGINT AS n_tags,
+         len(f.fm_aliases)::BIGINT AS n_aliases
+  FROM notes n JOIN taglists t USING (doc_id) JOIN fmlists f USING (doc_id)
+),
+endpoints AS (
+  SELECT unnest(CASE WHEN subj = obj THEN [subj] ELSE [subj, obj] END) AS id
+  FROM link_edges
+),
+degrees AS (SELECT id, count(*)::BIGINT AS degree FROM endpoints GROUP BY id)
+"""
+
+
+def _kg_oracles(path: str) -> dict[str, str]:
+    c = _kg_cte(path)
+    return {
+        "kg_edges": c + "SELECT subj, pred, obj FROM edges",
+        "kg_backlinks": c
+        + """SELECT obj AS id, count(*)::BIGINT AS backlinks
+             FROM link_edges GROUP BY obj""",
+        "kg_out_degree": c
+        + """SELECT subj AS id, count(*)::BIGINT AS out_degree
+             FROM link_edges GROUP BY subj""",
+        "kg_hub": c + "SELECT id, degree FROM degrees ORDER BY degree DESC, id LIMIT 1",
+        "kg_orphans": c
+        + """SELECT s.doc_id, s.note_name FROM stats s
+             WHERE NOT EXISTS (SELECT 1 FROM link_edges e
+                               WHERE e.subj = s.doc_id OR e.obj = s.doc_id)""",
+        "kg_dup_names": c
+        + """SELECT doc_id, note_name FROM (
+               SELECT doc_id, note_name,
+                      row_number() OVER (PARTITION BY note_name
+                                         ORDER BY n_segments, doc_id) AS rn
+               FROM stats) WHERE rn > 1""",
+        "kg_dup_content": c
+        + """SELECT doc_id FROM (
+               SELECT doc_id,
+                      row_number() OVER (PARTITION BY sha256(content)
+                                         ORDER BY n_segments, doc_id) AS rn
+               FROM stats) WHERE rn > 1""",
+        "kg_nodes": c
+        + """SELECT doc_id, note_name, is_todo, word_count, byte_count,
+                    n_tags, n_aliases FROM stats""",
+        "kg_tags": c + "SELECT subj, obj FROM tag_edges",
+        "kg_aliases": c
+        + "SELECT doc_id, unnest(fm_aliases) AS alias FROM fmlists",
+        "kg_dangling": c + "SELECT subj, raw_target FROM dangling",
+        "kg_degree_dist": c
+        + """SELECT degree, count(*)::BIGINT AS n_notes
+             FROM degrees GROUP BY degree""",
+        "kg_word_total": c
+        + "SELECT sum(word_count)::BIGINT AS total_words FROM stats",
+        "kg_summary": c
+        + """SELECT (SELECT count(*) FROM notes)::BIGINT AS n_notes,
+                    (SELECT sum(word_count) FROM stats)::BIGINT AS total_words,
+                    0::BIGINT AS n_parse_errors,
+                    (SELECT count(*) FROM stats WHERE is_todo)::BIGINT AS n_todo,
+                    (SELECT count(*) FROM link_edges)::BIGINT AS n_link_edges,
+                    (SELECT count(*) FROM tag_edges)::BIGINT AS n_tag_triples,
+                    (SELECT count(*) FROM dangling)::BIGINT AS n_dangling""",
+        "kg_media_refs": c
+        + """SELECT doc_id, media_ref, kind FROM flat
+             WHERE media_ref IS NOT NULL""",
+    }
+
+
+def _minhash_sql_parts(k: int = 12, bands: int = 4) -> tuple[str, str]:
+    """Unrolled DuckDB expressions for the minhash signature + band keys
+    (the Spark side uses nested transform lambdas; same md5 formula)."""
+    r = k // bands
+    sig = ", ".join(
+        f"list_aggregate(list_transform(sh, s -> md5('{i}:' || s)), 'min')"
+        for i in range(k)
+    )
+    band_keys = ", ".join(
+        "md5(" + " || '|' || ".join(f"sig[{b * r + j + 1}]" for j in range(r)) + ")"
+        for b in range(bands)
+    )
+    return f"[{sig}]", f"[{band_keys}]"
+
+
+def _datapipe_oracles() -> dict[str, str]:
+    tok = r"list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')"
+    shingles = (
+        f"CASE WHEN len({tok}) >= 3 "
+        f"THEN [array_to_string({tok}[i:i+2], ' ') for i in range(1, len({tok}) - 1)] "
+        f"ELSE [array_to_string({tok}, ' ')] END"
+    )
+    sig_expr, band_expr = _minhash_sql_parts(12, 4)
+    qv = "[CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT) for x in embedding]"
+    dot = "CAST(list_sum([qv[i] * nv[i] for i in range(1, len(qv) + 1)]) AS BIGINT)"
+
+    langs = sorted(TS.LANG_MARKERS)
+    hits_cols = ", ".join(
+        "len(list_filter(t, x -> list_contains(["
+        + ", ".join(f"'{w}'" for w in TS.LANG_MARKERS[lang])
+        + f"], x)))::BIGINT AS h_{lang}"
+        for lang in langs
+    )
+    # argmax with first-language tie-break (matches the engine's strict-> fold)
+    pred_lang = (
+        "CASE WHEN greatest(h_de, h_en, h_es, h_fr) <= 0 THEN 'und' "
+        "WHEN h_de >= h_en AND h_de >= h_es AND h_de >= h_fr THEN 'de' "
+        "WHEN h_en >= h_es AND h_en >= h_fr THEN 'en' "
+        "WHEN h_es >= h_fr THEN 'es' ELSE 'fr' END"
+    )
+    en_list = ", ".join(f"'{w}'" for w in TS.LANG_MARKERS["en"])
+
+    planes = SIM.hyperplanes(6, 128)
+    plane_bits = " + ".join(
+        f"(CASE WHEN list_sum([qv[i] * ([{', '.join(str(v) for v in row)}])[i] "
+        f"for i in range(1, 129)]) >= 0 THEN {1 << j} ELSE 0 END)"
+        for j, row in enumerate(planes)
+    )
+
+    bpe = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+    return {
+        "dd_exact": f"""
+WITH {_DD_SQL.strip()}
+SELECT doc_id, keeper FROM (
+  SELECT doc_id,
+         first_value(doc_id) OVER w AS keeper,
+         row_number() OVER w AS rn
+  FROM dd
+  WINDOW w AS (PARTITION BY md5(text) ORDER BY doc_id)
+) WHERE rn > 1""",
+        "dd_ngram_jaccard": f"""
+WITH {_DD_SQL.strip()},
+sh AS (SELECT DISTINCT doc_id, unnest({shingles}) AS shingle FROM dd),
+df AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 1000),
+shc AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN df USING (shingle)),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS inter
+  FROM shc a JOIN shc b USING (shingle) WHERE a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT i.a, i.b,
+       round(i.inter / (sa.sz + sb.sz - i.inter), 6) AS jaccard
+FROM inter i JOIN sizes sa ON sa.doc_id = i.a JOIN sizes sb ON sb.doc_id = i.b
+WHERE i.inter / (sa.sz + sb.sz - i.inter) >= 0.8""",
+        "dd_minhash_lsh": f"""
+WITH {_DD_SQL.strip()},
+sg AS (SELECT doc_id, {shingles} AS sh FROM dd),
+sigs AS (SELECT doc_id, {sig_expr} AS sig FROM sg),
+banded AS (
+  SELECT doc_id, unnest({band_expr}) AS key,
+         generate_subscripts({band_expr}, 1) AS band
+  FROM (SELECT doc_id, sig FROM sigs)
+)
+SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+FROM banded a JOIN banded b ON a.band = b.band AND a.key = b.key
+WHERE a.doc_id < b.doc_id""",
+        "ann_topk": f"""
+WITH q AS (SELECT vec_id, {qv} AS qv FROM embeddings),
+scored AS (
+  SELECT qq.vec_id AS query_id, nn.vec_id AS neighbor_id,
+         CAST(list_sum([qq.qv[i] * nn.qv[i] for i in range(1, len(qq.qv) + 1)]) AS BIGINT) AS score
+  FROM q qq, q nn
+  WHERE qq.vec_id < 10 AND nn.vec_id <> qq.vec_id
+)
+SELECT query_id, neighbor_id, rank, score FROM (
+  SELECT query_id, neighbor_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, neighbor_id) AS rank
+  FROM scored) WHERE rank <= 10""",
+        "ann_lsh": f"""
+WITH q AS (
+  SELECT vec_id, qv, {plane_bits} AS bucket
+  FROM (SELECT vec_id, {qv} AS qv FROM embeddings)
+),
+scored AS (
+  SELECT qq.vec_id AS query_id, nn.vec_id AS neighbor_id,
+         CAST(list_sum([qq.qv[i] * nn.qv[i] for i in range(1, len(qq.qv) + 1)]) AS BIGINT) AS score
+  FROM q qq JOIN q nn ON qq.bucket = nn.bucket
+  WHERE qq.vec_id < 10 AND nn.vec_id <> qq.vec_id
+)
+SELECT query_id, neighbor_id, rank, score FROM (
+  SELECT query_id, neighbor_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, neighbor_id) AS rank
+  FROM scored) WHERE rank <= 10""",
+        "ts_langid": f"""
+WITH tok AS (SELECT doc_id, {tok} AS t FROM documents),
+h AS (SELECT doc_id, {hits_cols} FROM tok)
+SELECT doc_id, {pred_lang} AS pred_lang,
+       greatest(h_de, h_en, h_es, h_fr)::BIGINT AS marker_hits
+FROM h""",
+        "ts_quality": f"""
+WITH d AS (
+  SELECT doc_id,
+         len({tok})::BIGINT AS n_words,
+         strlen(text)::BIGINT AS n_bytes,
+         len(regexp_extract_all(text, '[.,;:!?]', 0))::BIGINT AS n_punct,
+         len(list_filter({tok}, x -> list_contains([{en_list}], x)))::BIGINT AS n_stopwords,
+         len(list_distinct({tok}))::BIGINT AS n_distinct_words
+  FROM documents
+),
+e AS (
+  SELECT *,
+    round(CASE WHEN n_words > 0 THEN n_bytes / n_words ELSE 0.0 END, 4) AS avg_word_len,
+    round(CASE WHEN n_words > 0 THEN n_distinct_words / n_words ELSE 0.0 END, 4) AS distinct_ratio
+  FROM d
+)
+SELECT doc_id, n_words, n_bytes, n_punct, n_stopwords, n_distinct_words,
+       avg_word_len, distinct_ratio,
+       round(least(n_words / 100.0, 1.0) * 0.4
+             + least(n_punct / 5.0, 1.0) * 0.2
+             + distinct_ratio * 0.4, 4) AS quality
+FROM e""",
+        "ts_tokens": f"""
+SELECT doc_id, len({tok})::BIGINT AS ws_tokens,
+       len(regexp_extract_all(text, '{bpe}', 0))::BIGINT AS bpe_tokens
+FROM documents""",
+        "ts_fingerprint": f"""
+SELECT doc_id,
+       list_reduce(
+         list_prepend(0::BIGINT,
+                      list_transform({tok}, x -> (len(x) * 7 + ascii(x))::BIGINT)),
+         (acc, v) -> (acc * 31 + v) % 1000000007) AS fingerprint
+FROM documents""",
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    path = ensure_vault_corpus(ORACLE_SF)
+    out = _kg_oracles(path)
+    out.update(_datapipe_oracles())
+    # kg_components / kg_component_count / dd_simhash: iterative or
+    # engine-hash-specific — no SQL oracle (driver records rows-only checks;
+    # pytest covers them against Python oracles).
+    return out

@@ -55,14 +55,19 @@ def out_degree(edges: DataFrame) -> DataFrame:
 
 
 def undirected_degree(edges: DataFrame) -> DataFrame:
-    """Degree counting both endpoints, parallel edges and self-loops counted
-    per occurrence — matches petgraph ``ungraph.edges(n).count()`` used by
-    the hub query (examples/analyzer.rs:90-95)."""
+    """Degree over both endpoints, parallel edges counted per occurrence,
+    self-loops counted ONCE — matches petgraph ``ungraph.edges(n).count()``
+    used by the hub query (examples/analyzer.rs:90-95): an undirected edge
+    iterator yields a self-loop a single time."""
     le = link_edges(edges)
-    both = le.select(F.col("subj").alias("id")).unionAll(
-        le.select(F.col("obj").alias("id"))
+    endpoints = le.select(
+        F.explode(
+            F.when(
+                F.col("subj") == F.col("obj"), F.array(F.col("subj"))
+            ).otherwise(F.array(F.col("subj"), F.col("obj")))
+        ).alias("id")
     )
-    return both.groupBy("id").agg(F.count("*").alias("degree"))
+    return endpoints.groupBy("id").agg(F.count("*").alias("degree"))
 
 
 def knowledge_hub(edges: DataFrame) -> DataFrame:

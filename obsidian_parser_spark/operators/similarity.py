@@ -1,0 +1,126 @@
+"""Approximate-nearest-neighbor search over an embedding column.
+
+Two paths over ``embeddings(vec_id, embedding: array<float>, label)``:
+
+* ``brute_force_topk``  — exact top-k by inner product, the correctness
+  baseline.  Embeddings are quantized to integers (round(x·10⁴)) so the
+  score is an exact 64-bit integer — bit-identical across engines (the
+  DuckDB oracle recomputes it) and immune to float summation-order drift.
+  Plan shape: broadcast the (small) query set, JVM-side zip_with/aggregate
+  dot product, per-query top-k via window — no Python, no shuffle of the
+  big side.
+* ``lsh_topk``          — the scale path: random-hyperplane LSH.  h
+  deterministic ±1 hyperplanes (md5-parity-derived in the driver, inlined
+  as literals) bucket vectors by sign pattern; candidates = same bucket;
+  exact integer re-rank inside buckets.  At 10^12 rows the bucket join
+  replaces the full cross product; recall is measured against the brute
+  baseline in tests.
+
+For cosine rather than MIPS semantics, L2-normalize upstream.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_QUANT = "transform({col}, x -> cast(round(cast(x AS double) * 10000) AS bigint))"
+_DOT = "aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0L, (acc, v) -> acc + v)"
+
+
+def quantize(embeddings: DataFrame, col: str = "embedding") -> DataFrame:
+    return embeddings.withColumn("q", F.expr(_QUANT.format(col=col)))
+
+
+def brute_force_topk(
+    embeddings: DataFrame,
+    k: int = 10,
+    n_queries: int = 10,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact top-k neighbors by quantized inner product for the first
+    ``n_queries`` vec_ids: (query_id, neighbor_id, rank, score)."""
+    q = quantize(embeddings, "embedding").select(F.col(id_col).alias("qid"), F.col("q").alias("qv"))
+    queries = q.filter(F.col("qid") < n_queries)
+    base = quantize(embeddings, "embedding").select(
+        F.col(id_col).alias("neighbor_id"), F.col("q").alias("nv")
+    )
+    scored = (
+        base.crossJoin(F.broadcast(queries))
+        .filter(F.col("neighbor_id") != F.col("qid"))
+        .select(
+            F.col("qid").alias("query_id"),
+            "neighbor_id",
+            F.expr(_DOT.format(a="qv", b="nv")).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "score")
+    )
+
+
+def hyperplanes(n_planes: int, dim: int) -> list[list[int]]:
+    """Deterministic ±1 hyperplanes from md5 parity — no RNG, reproducible
+    by any engine/driver."""
+    planes = []
+    for j in range(n_planes):
+        row = []
+        for d in range(dim):
+            h = hashlib.md5(f"plane:{j}:{d}".encode()).digest()[0]
+            row.append(1 if h % 2 == 0 else -1)
+        planes.append(row)
+    return planes
+
+
+def bucket_expr(n_planes: int, dim: int, vec: str = "q") -> str:
+    """SQL: LSH sign-pattern bucket id (0..2^n_planes-1) of quantized vector
+    ``vec`` — integer arithmetic only."""
+    planes = hyperplanes(n_planes, dim)
+    bits = []
+    for j, row in enumerate(planes):
+        arr = f"array({', '.join(str(v) + 'L' for v in row)})"
+        dot = _DOT.format(a=vec, b=arr)
+        bits.append(f"(CASE WHEN {dot} >= 0 THEN {1 << j} ELSE 0 END)")
+    return " + ".join(bits)
+
+
+def lsh_topk(
+    embeddings: DataFrame,
+    k: int = 10,
+    n_queries: int = 10,
+    n_planes: int = 6,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """LSH-bucketed top-k: same output schema as brute_force_topk, but only
+    same-bucket candidates are scored (approximate — measure recall)."""
+    dim = len(embeddings.select("embedding").first()[0])
+    be = bucket_expr(n_planes, dim, "q")
+    qz = quantize(embeddings, "embedding").withColumn("bucket", F.expr(be))
+    queries = qz.filter(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("query_id"), F.col("q").alias("qv"), "bucket"
+    )
+    base = qz.select(
+        F.col(id_col).alias("neighbor_id"), F.col("q").alias("nv"), "bucket"
+    )
+    scored = (
+        base.join(F.broadcast(queries), "bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.expr(_DOT.format(a="qv", b="nv")).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "score")
+    )

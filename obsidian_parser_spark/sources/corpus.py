@@ -83,7 +83,7 @@ def ensure_vault_corpus(
     pq_path = documents_parquet_path(sf_name, base)
     marker = os.path.join(out_dir, "_GENERATED.json")
     params = {
-        "version": 3,
+        "version": 4,
         "seed": seed,
         "num_files": num_files_for_sf(sf_name),
         "links_per_file": links_per_file,
@@ -184,8 +184,11 @@ def generate_vault_corpus(
 
             t = int(targets[i, j])
             d = int(deco[i, j])
-            if d == 7:  # embed with media ref
-                add("embed", f"![[img_{t}.png]]", f"img_{t}.png")
+            if d == 7:  # embed: note transclusion (resolves) or media (dangles)
+                if t % 2 == 0:
+                    add("embed", f"![[note_{t}]]")
+                else:
+                    add("embed", f"![[img_{t}.png]]", f"img_{t}.png")
             elif d == 8:  # markdown link (plain or full-path .md)
                 if t % 5 == 0:
                     add("mdlink", f"[see](dir_{t % 7}/note_{t}.md)")
@@ -218,6 +221,19 @@ def generate_vault_corpus(
 
     for doc_id, spans in dup_content_docs:
         emit(doc_id, spans)
+
+    # isolated notes: no outgoing links, stems never targeted ⇒ guaranteed
+    # orphans (degree 0) so the orphan-detection query has positives
+    for i in range(0, n, 199):
+        emit(
+            f"isolated/iso_{i}",
+            [
+                {"kind": "frontmatter", "text": f"id: iso{i}\ntags: [tag_iso]\naliases: []",
+                 "media_ref": None, "offset": 0},
+                {"kind": "text", "text": f"isolated note {i}\n", "media_ref": None,
+                 "offset": 1},
+            ],
+        )
     flush()
     writer.close()
 

@@ -57,7 +57,9 @@ def test_generation_deterministic_and_invariants(tmp_path):
 
     con = duckdb.connect()
     df = con.sql(f"select * from read_parquet('{p1}')").df()
-    assert len(df) == 300 + len([i for i in range(300) if i % 97 == 0])
+    n_dups = len([i for i in range(300) if i % 97 == 0])
+    n_iso = len(range(0, 300, 199))
+    assert len(df) == 300 + n_dups + n_iso
 
     for _, row in df.iterrows():
         spans = row["spans"]
@@ -68,10 +70,8 @@ def test_generation_deterministic_and_invariants(tmp_path):
         if fm:
             assert fm[0]["offset"] == 0
         for s in spans:
-            if s["kind"] in ("embed", "media"):
-                assert s["media_ref"] is not None
             if s["kind"] == "media":
-                assert s["text"] == ""
+                assert s["media_ref"] is not None and s["text"] == ""
 
     # doc_ids unique
     assert df["doc_id"].is_unique
