@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 
 from obsidian_parser_spark.operators import analytics as A
 from obsidian_parser_spark.operators import dedup as DD
+from obsidian_parser_spark.operators import events as EV
 from obsidian_parser_spark.operators import similarity as SIM
 from obsidian_parser_spark.operators import textstats as TS
 from obsidian_parser_spark.operators.components import (
@@ -231,6 +232,22 @@ def _q_ts_fingerprint(spark, sf_dir):
     return TS.fingerprints(_documents(spark, sf_dir))
 
 
+def _events(spark, sf_dir):
+    return spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+
+
+def _q_ev_sessionize(spark, sf_dir):
+    return EV.sessionize(_events(spark, sf_dir))
+
+
+def _q_ev_windowed(spark, sf_dir):
+    return EV.windowed_counts(_events(spark, sf_dir))
+
+
+def _q_ev_top_users(spark, sf_dir):
+    return EV.top_users_by_value(_events(spark, sf_dir), k=10)
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -273,6 +290,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_quality": _q_ts_quality,
         "ts_tokens": _q_ts_tokens,
         "ts_fingerprint": _q_ts_fingerprint,
+        "ev_sessionize": _q_ev_sessionize,
+        "ev_windowed": _q_ev_windowed,
+        "ev_top_users": _q_ev_top_users,
     }
 
 
@@ -426,18 +446,20 @@ def _kg_oracles(path: str) -> dict[str, str]:
 
 
 def _minhash_sql_parts(k: int = 12, bands: int = 4) -> tuple[str, str]:
-    """Unrolled DuckDB expressions for the minhash signature + band keys
-    (the Spark side uses nested transform lambdas; same md5 formula)."""
+    """Unrolled DuckDB expressions mirroring minhash_signatures /
+    minhash_lsh_pairs: k min-aggregates over distinct shingles, band keys
+    from '|'-joined signature columns."""
     r = k // bands
-    sig = ", ".join(
-        f"list_aggregate(list_transform(sh, s -> md5('{i}:' || s)), 'min')"
-        for i in range(k)
+    sig_cols = ", ".join(
+        f"min(md5('{i}:' || shingle)) AS h{i}" for i in range(k)
     )
-    band_keys = ", ".join(
-        "md5(" + " || '|' || ".join(f"sig[{b * r + j + 1}]" for j in range(r)) + ")"
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, md5("
+        + " || '|' || ".join(f"h{b * r + j}" for j in range(r))
+        + ") AS key FROM sigs"
         for b in range(bands)
     )
-    return f"[{sig}]", f"[{band_keys}]"
+    return sig_cols, band_rows
 
 
 def _datapipe_oracles() -> dict[str, str]:
@@ -502,15 +524,15 @@ FROM inter i JOIN sizes sa ON sa.doc_id = i.a JOIN sizes sb ON sb.doc_id = i.b
 WHERE i.inter / (sa.sz + sb.sz - i.inter) >= 0.8""",
         "dd_minhash_lsh": f"""
 WITH {_DD_SQL.strip()},
-sg AS (SELECT doc_id, {shingles} AS sh FROM dd),
-sigs AS (SELECT doc_id, {sig_expr} AS sig FROM sg),
-banded AS (
-  SELECT doc_id, unnest({band_expr}) AS key,
-         generate_subscripts({band_expr}, 1) AS band
-  FROM (SELECT doc_id, sig FROM sigs)
-)
+sh AS (SELECT DISTINCT doc_id, unnest({shingles}) AS shingle FROM dd),
+sigs AS (SELECT doc_id, {sig_expr} FROM sh GROUP BY doc_id),
+banded AS ({band_expr}),
+small AS (
+  SELECT band, key FROM banded GROUP BY band, key HAVING count(*) <= 200
+),
+kept AS (SELECT banded.* FROM banded JOIN small USING (band, key))
 SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
-FROM banded a JOIN banded b ON a.band = b.band AND a.key = b.key
+FROM kept a JOIN kept b ON a.band = b.band AND a.key = b.key
 WHERE a.doc_id < b.doc_id""",
         "ann_topk": f"""
 WITH q AS (SELECT vec_id, {qv} AS qv FROM embeddings),
@@ -580,6 +602,39 @@ SELECT doc_id,
                       list_transform({tok}, x -> (len(x) * 7 + ascii(x))::BIGINT)),
          (acc, v) -> (acc * 31 + v) % 1000000007) AS fingerprint
 FROM documents""",
+        "ev_sessionize": f"""
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+m AS (
+  SELECT *, lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev_us
+  FROM e
+),
+s AS (
+  SELECT *, sum(CASE WHEN prev_us IS NULL
+                      OR ts_us - prev_us > {EV.SESSION_GAP_US} THEN 1 ELSE 0 END)
+            OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                  ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM m
+)
+SELECT user_id, session_idx::BIGINT AS session_idx,
+       min(ts_us)::BIGINT AS session_start_us,
+       count(*)::BIGINT AS n_events, sum(cents)::BIGINT AS value_cents
+FROM s GROUP BY user_id, session_idx""",
+        "ev_windowed": f"""
+SELECT (epoch_us(ts) // {EV.WINDOW_US}) * {EV.WINDOW_US} AS window_start_us,
+       event_type,
+       count(*)::BIGINT AS n_events,
+       sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS value_cents
+FROM events GROUP BY 1, 2""",
+        "ev_top_users": """
+SELECT user_id,
+       sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS value_cents,
+       count(*)::BIGINT AS n_events
+FROM events GROUP BY user_id
+ORDER BY value_cents DESC, user_id LIMIT 10""",
     }
 
 

@@ -1,0 +1,213 @@
+"""Benchmark harness — prints ONE JSON line.
+
+Headline: the full KG-construction pipeline (span documents → tokenize →
+entity-link → edge triples) on the generated vault corpus at the target sf,
+plus the heavy auxiliary operators (analytics, CC, minhash dedup, text
+quality) and the light driver-table queries.
+
+Env:
+  SPARK_GRAFT_SF_DIR  (default /root/testdata/sf0.1) — sf taken from basename
+  SPARK_GRAFT_CPUS    (default 32)                   — local[N]
+  BENCH_QUERIES       (optional comma list)          — subset to run
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from pyspark.sql import functions as F
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    only = set(
+        q for q in os.environ.get("BENCH_QUERIES", "").split(",") if q
+    )
+    sf_name = os.path.basename(os.path.normpath(sf_dir))
+    sf = float(sf_name.removeprefix("sf"))
+
+    from obsidian_parser_spark.operators import analytics as A
+    from obsidian_parser_spark.operators import dedup as DD
+    from obsidian_parser_spark.operators import events as EV
+    from obsidian_parser_spark.operators import similarity as SIM
+    from obsidian_parser_spark.operators import textstats as TS
+    from obsidian_parser_spark.operators.components import (
+        component_count,
+        connected_components,
+    )
+    from obsidian_parser_spark.operators.tokenize import reconstruct_text
+    from obsidian_parser_spark.plans.pipeline import GraphBuildOptions, build_graph
+    from obsidian_parser_spark.session import get_spark
+    from obsidian_parser_spark.sources.corpus import ensure_vault_corpus
+
+    corpus_path = ensure_vault_corpus(sf_name)  # cached; excluded from timings
+
+    spark = get_spark(
+        master=f"local[{cpus}]",
+        app_name=f"bench-{sf_name}",
+        shuffle_partitions=cpus * 2,
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+    extras: dict[str, float] = {}
+
+    def timed(name: str, fn):
+        if only and name not in only:
+            return None
+        t0 = time.perf_counter()
+        out = fn()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        return out
+
+    # balanced input partitions: the zstd span parquet is tiny on disk, so
+    # file-split sizing would under-parallelize; one explicit repartition
+    # feeds every core (on a cluster: bucketed table layout instead)
+    docs = spark.read.parquet(corpus_path).repartition(cpus * 3).persist()
+    n_docs = docs.count()
+
+    # warm the Python workers once (interpreter spawn + pandas/yaml imports
+    # cost ~2s × worker — a long-lived cluster amortizes this; we measure
+    # steady-state throughput and report the warmup separately)
+    def _warm():
+        import pandas as pd
+
+        def noop(it):
+            from obsidian_parser_spark.functions import textops  # noqa: F401
+
+            for pdf in it:
+                yield pd.DataFrame({"doc_id": pdf["doc_id"]})
+
+        docs.select("doc_id").mapInPandas(noop, "doc_id string").count()
+
+    timed("py_worker_warmup", _warm)
+
+    # scale mode (bench_scaling.py): the identical end-to-end pipeline
+    # (tokenize → persist → link → edge count, exactly what
+    # materialize_graph runs) twice from cold caches, min taken — a
+    # steady-state strong-scaling measurement
+    if os.environ.get("BENCH_SCALE_MODE"):
+        # the at-scale configuration: no driver-side broadcast (the alias
+        # dict of a 10^12-doc vault cannot broadcast), no notes cache (one
+        # streaming pass) — every stage fully parallel.  Two runs, min =
+        # steady state (run 1 pays JIT + allocator growth).
+        runs = []
+        triples = 0
+        opts = GraphBuildOptions(persist_notes=False, broadcast_dict=False)
+        for _ in range(2):
+            gg = build_graph(docs, opts)
+            t0 = time.perf_counter()
+            triples = gg.edges.count()
+            runs.append(time.perf_counter() - t0)
+        best = round(min(runs), 3)
+        print(
+            json.dumps(
+                {
+                    "metric": "kg_pipeline_run",
+                    "value": best,
+                    "unit": "sec",
+                    "queries": {"kg_pipeline_run": best, "runs": [round(r, 3) for r in runs]},
+                    "sf": sf,
+                    "n_docs": n_docs,
+                    "triples": triples,
+                    "triples_per_sec": round(triples / best, 1),
+                    "cpus": cpus,
+                }
+            )
+        )
+        spark.stop()
+        return
+
+    g = build_graph(docs, GraphBuildOptions())
+    edges = g.edges.persist()  # the materialized edge table analytics query
+    g = type(g)(nodes=g.nodes, edges=edges, dangling=g.dangling, alias_dict=g.alias_dict)
+
+    # tokenize first (materializes the persisted notes exactly once), then
+    # linking — mirrors materialize_graph's stage order
+    timed("kg_tokenize", lambda: g.nodes.count())
+
+    def kg_build():
+        n = edges.count()
+        extras["triples"] = n
+        return n
+
+    timed("kg_build_edges", kg_build)
+    timed("kg_backlinks", lambda: A.backlink_counts(g.edges).count())
+    timed(
+        "kg_analytics",
+        lambda: (
+            A.knowledge_hub(g.edges).collect(),
+            A.duplicates_by_content(g.nodes).count(),
+            A.orphans(g.nodes, g.edges).count(),
+        ),
+    )
+    timed(
+        "kg_components",
+        lambda: component_count(
+            connected_components(g.nodes, A.link_edges(g.edges))
+        ).collect(),
+    )
+
+    vault_text = reconstruct_text(docs).select(
+        F.col("doc_id").alias("doc_id"), F.col("content").alias("text")
+    )
+    # aggregates over the computed columns — a bare count() would let
+    # Catalyst prune the actual work
+    timed(
+        "dd_minhash_vault",
+        lambda: DD.minhash_lsh_pairs(
+            vault_text, k=8, bands=4, id_col="doc_id", hash_fn="xxh"
+        ).count(),
+    )
+    timed(
+        "ts_quality_vault",
+        lambda: TS.quality_scores(vault_text).agg(F.sum("quality")).collect(),
+    )
+    timed(
+        "ts_fingerprint_vault",
+        lambda: TS.fingerprints(vault_text).agg(F.sum("fingerprint")).collect(),
+    )
+
+    # driver-table queries (small, fixed size — latency floor); only when
+    # the sf_dir actually carries the driver tables (vault-only sfs don't)
+    if os.path.exists(os.path.join(sf_dir, "embeddings.parquet")):
+        emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+        timed(
+            "ann_topk",
+            lambda: SIM.brute_force_topk(emb, k=10, n_queries=10)
+            .agg(F.sum("score"))
+            .collect(),
+        )
+        ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        timed(
+            "ev_sessionize",
+            lambda: EV.sessionize(ev).agg(F.sum("value_cents")).collect(),
+        )
+
+    total = round(
+        sum(v for k, v in timings.items() if k != "py_worker_warmup"), 3
+    )
+    build_t = timings.get("kg_tokenize", 0.0) + timings.get("kg_build_edges", 0.0)
+    result = {
+        "metric": "kg_pipeline_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "n_docs": n_docs,
+        "triples": int(extras.get("triples", 0)),
+        "triples_per_sec": round(extras.get("triples", 0) / build_t, 1)
+        if build_t
+        else None,
+        "cpus": cpus,
+    }
+    print(json.dumps(result))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

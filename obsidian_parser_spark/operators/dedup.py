@@ -52,7 +52,12 @@ _TOKENS = "filter(split(lower({text}), '\\\\s+'), t -> t != '')"
 
 def shingle_expr(text: str = "text", n: int = 3) -> str:
     """Word n-gram shingles as a SQL expression (array<string>); whole text
-    as a single shingle when shorter than n tokens."""
+    as a single shingle when shorter than n tokens.
+
+    NOTE for large texts: inline use re-evaluates the tokenizer inside the
+    per-shingle lambda (no CSE across lambda boundaries ⇒ O(tokens²) per
+    doc).  ``distinct_shingles`` below materializes the token array first —
+    use that for anything bigger than oracle-scale inputs."""
     t = _TOKENS.format(text=text)
     return f"""
     CASE WHEN size({t}) >= {n}
@@ -61,6 +66,30 @@ def shingle_expr(text: str = "text", n: int = 3) -> str:
          ELSE array(array_join({t}, ' '))
     END
     """
+
+
+def _shingles_from_tokens(tokens_col: str, n: int) -> str:
+    return f"""
+    CASE WHEN size({tokens_col}) >= {n}
+         THEN transform(sequence(1, size({tokens_col}) - {n - 1}),
+                        i -> array_join(slice({tokens_col}, i, {n}), ' '))
+         ELSE array(array_join({tokens_col}, ' '))
+    END
+    """
+
+
+def distinct_shingles(
+    documents: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, shingle) distinct pairs — tokens materialized ONCE as a
+    column so shingle construction is linear in tokens."""
+    toks = documents.select(
+        F.col(id_col).alias("doc_id"),
+        F.expr(_TOKENS.format(text=text_col)).alias("_t"),
+    )
+    return toks.select(
+        "doc_id", F.explode(F.expr(_shingles_from_tokens("_t", n))).alias("shingle")
+    ).distinct()
 
 
 def ngram_jaccard_pairs(
@@ -72,13 +101,7 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
 ) -> DataFrame:
     """(a, b, jaccard) for distinct-shingle Jaccard ≥ threshold, a < b."""
-    sh = (
-        documents.select(
-            F.col(id_col).alias("doc_id"),
-            F.explode(F.expr(shingle_expr(text_col, n))).alias("shingle"),
-        )
-        .distinct()
-    )
+    sh = distinct_shingles(documents, n=n, id_col=id_col, text_col=text_col)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     # stop-shingle cap: bound the per-shingle fanout (skew guard)
     df_cap = sh.groupBy("shingle").agg(F.count("*").alias("df")).filter(
@@ -110,17 +133,47 @@ def ngram_jaccard_pairs(
 # ---------------------------------------------------------------- minhash-lsh
 
 
-def minhash_signature_expr(
-    shingles_col: str = "shingles", k: int = 12
-) -> str:
-    """k MinHash values as array<string>: h_i = min over shingles of
-    md5(i || ':' || shingle).  Lexicographic min over fixed-width hex is a
-    valid uniform min-hash and is reproducible in any engine with md5."""
-    return f"""
-    transform(sequence(0, {k - 1}),
-              i -> array_min(transform({shingles_col},
-                                       s -> md5(concat(cast(i AS string), ':', s)))))
-    """
+def minhash_signatures(
+    documents: DataFrame,
+    k: int = 12,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """(doc_id, h0..h{k-1}): h_i = min over shingles of hash(i ':' shingle).
+
+    hash_fn='md5'  — hex-string min; reproducible in any engine with md5
+                     (the DuckDB oracle recomputes it bit-for-bit).
+    hash_fn='xxh'  — Spark-native xxhash64 (no per-call allocation, ~5×
+                     faster); same algorithm, engine-local hash family —
+                     the scale default when no cross-engine oracle needed.
+
+    Plan shape (the 100 TB one): explode → k min aggregations in ONE
+    groupBy.  NO distinct and NO shingle shuffle: min() is insensitive to
+    duplicate shingles, and map-side partial aggregation reduces each input
+    partition to (docs × k) rows before the (tiny) exchange — a boilerplate
+    shingle shared by millions of docs never concentrates anywhere."""
+    toks = documents.select(
+        F.col(id_col).alias("doc_id"),
+        F.expr(_TOKENS.format(text=text_col)).alias("_t"),
+    )
+    sh = toks.select(
+        "doc_id", F.explode(F.expr(_shingles_from_tokens("_t", n))).alias("shingle")
+    )
+    if hash_fn == "md5":
+        aggs = [
+            F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"h{i}")
+            for i in range(k)
+        ]
+    elif hash_fn == "xxh":
+        aggs = [
+            F.min(F.xxhash64(F.lit(i), F.col("shingle"))).cast("string").alias(f"h{i}")
+            for i in range(k)
+        ]
+    else:
+        raise ValueError(f"unknown hash_fn: {hash_fn}")
+    return sh.groupBy("doc_id").agg(*aggs)
 
 
 def minhash_lsh_pairs(
@@ -130,35 +183,53 @@ def minhash_lsh_pairs(
     n: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_bucket_size: int = 200,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """Candidate near-duplicate pairs (a, b) sharing ≥ 1 LSH band.
 
-    rows-per-band r = k/bands; band key = md5 of the concatenated minhashes.
-    Downstream pipelines verify candidates with ``ngram_jaccard_pairs`` on
-    the candidate subset (cheap: |candidates| ≪ |docs|²).
+    rows-per-band r = k/bands; band key = md5 of '|'-joined minhashes.
+    Buckets larger than ``max_bucket_size`` are skipped — a bucket holding
+    thousands of docs is non-discriminative boilerplate and would make the
+    self-join quadratic (the 100 TB kill switch); real pipelines route such
+    buckets to exact-hash grouping instead.  Downstream pipelines verify
+    candidates with ``ngram_jaccard_pairs`` on the candidate subset.
     """
     assert k % bands == 0
     r = k // bands
-    sig = documents.select(
-        F.col(id_col).alias("doc_id"),
-        F.expr(shingle_expr(text_col, n)).alias("shingles"),
-    ).select(
-        "doc_id", F.expr(minhash_signature_expr("shingles", k)).alias("sig")
+    sig = minhash_signatures(
+        documents, k=k, n=n, id_col=id_col, text_col=text_col, hash_fn=hash_fn
     )
-    banded = sig.select(
+    band_cols = [
+        F.md5(F.concat_ws("|", *[F.col(f"h{b * r + j}") for j in range(r)])).alias(
+            f"b{b}"
+        )
+        for b in range(bands)
+    ]
+    banded = sig.select("doc_id", *band_cols).select(
         "doc_id",
         F.explode(
-            F.expr(
-                f"""
-        transform(sequence(0, {bands - 1}),
-                  b -> struct(b AS band,
-                              md5(array_join(slice(sig, b * {r} + 1, {r}), '|')) AS key))
-        """
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band"), F.col(f"b{b}").alias("key"))
+                    for b in range(bands)
+                ]
             )
         ).alias("bk"),
     ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
-    a = banded.select(F.col("doc_id").alias("a"), "band", "key")
-    b = banded.select(F.col("doc_id").alias("b"), "band", "key")
+    # banded is tiny (bands rows/doc) but expensive to derive — persist AND
+    # eagerly materialize it: a self-join on a lazily-cached frame computes
+    # the upstream pipeline once per side (the cache populates too late).
+    # Bucket-size cap via window count: one shuffle on (band, key) — the
+    # same partitioning the join needs — and no bucket-list broadcast
+    # (which would not fit the driver at 10^12 docs).
+    banded = banded.persist()
+    banded.count()
+    banded_kept = banded.withColumn(
+        "_n", F.count("*").over(Window.partitionBy("band", "key"))
+    ).filter(F.col("_n") <= max_bucket_size)
+    a = banded_kept.select(F.col("doc_id").alias("a"), "band", "key")
+    b = banded_kept.select(F.col("doc_id").alias("b"), "band", "key")
     return (
         a.join(b, ["band", "key"])
         .filter(F.col("a") < F.col("b"))

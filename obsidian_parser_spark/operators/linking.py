@@ -71,13 +71,22 @@ def build_alias_dict(notes: DataFrame, use_aliases: bool = True) -> DataFrame:
 
 
 def resolve_mentions(
-    mentions: DataFrame, alias_dict: DataFrame, use_aliases: bool = True
+    mentions: DataFrame,
+    alias_dict: DataFrame,
+    use_aliases: bool = True,
+    broadcast: bool = True,
 ) -> tuple[DataFrame, DataFrame]:
     """(subj, mention_ord, pred, raw_target) × dict → (edges, dangling).
 
     edges:    (subj, mention_ord, pred, obj)   — one row per occurrence
     dangling: unresolved mentions (reference drops these silently,
               graph_builder.rs:160-161; we count them)
+
+    ``broadcast``: hash-map probe semantics of the reference Index — right
+    for small/medium dictionaries.  For vault-scale dictionaries (10^9+
+    aliases) the broadcast build serializes on the driver and can't fit —
+    pass False for a shuffled hash join (AQE picks the physical strategy;
+    skew-split handles hot aliases).  ``build_graph`` auto-selects.
     """
     routed = mentions.withColumn(
         "route",
@@ -85,7 +94,7 @@ def resolve_mentions(
             F.lit(KIND_SHORT)
         ),
     )
-    d = F.broadcast(alias_dict)
+    d = F.broadcast(alias_dict) if broadcast else alias_dict
     joined = routed.join(
         d,
         (routed["raw_target"] == d["alias"]) & (routed["route"] == d["kind"]),
@@ -99,7 +108,9 @@ def resolve_mentions(
     )
 
     if use_aliases:
-        ad = F.broadcast(alias_dict.filter(F.col("kind") == KIND_ALIAS))
+        ad = alias_dict.filter(F.col("kind") == KIND_ALIAS)
+        if broadcast:
+            ad = F.broadcast(ad)
         j2 = missed.join(ad, missed["raw_target"] == ad["alias"], "left")
         resolved = resolved.unionByName(
             j2.filter(F.col("canonical").isNotNull()).select(

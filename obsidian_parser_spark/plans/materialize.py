@@ -1,0 +1,221 @@
+"""Graph materialization: bucketed nodes/edges tables + resumable lineage.
+
+North-rule requirements implemented here:
+
+* **doc_id-bucketed partitioning** — nodes and edges are written
+  partitioned by ``bucket = pmod(xxhash64(doc_id), n_buckets)`` (edges by
+  subj).  On Iceberg this is the ``bucket(N, doc_id)`` partition transform;
+  without Iceberg jars in this image we write directory-partitioned parquet
+  with the same layout (the DDL is in ``iceberg_ddl()`` below).  Readers
+  that filter on bucket get partition pruning; co-bucketed joins between
+  nodes and edges avoid a shuffle of the big side.
+* **per-partition checkpointed lineage** — every run appends one manifest
+  row per bucket: (run_id, bucket, n_docs, n_edges, n_dangling, checksum,
+  status, finished_at_step).  A re-run with the same run_id reads the
+  manifest first and processes ONLY buckets without a ``done`` row —
+  tokenization (the expensive stage) is never repeated for completed
+  buckets.  The alias dictionary is global, so it is built once per run
+  and persisted alongside (a resume reuses it instead of rescanning).
+* **hub-skew salting** — the backlink metric inside the manifest uses the
+  explicit two-phase salted aggregation; large joins run under AQE skew
+  handling (session defaults).
+
+The reference has no equivalent (single-process, in-memory petgraph);
+this is the 100 TB replacement for its "collect Vec<Note> then build"
+lifecycle (src/vault/vault_open/mod.rs:190-221).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.linking import build_alias_dict, resolve_mentions
+from ..operators.tokenize import mentions_from_notes, tag_triples, tokenize_documents
+from .pipeline import GraphBuildOptions
+
+MANIFEST_SCHEMA = (
+    "run_id string, bucket int, n_docs long, n_edges long, n_dangling long, "
+    "edges_checksum decimal(38,0), status string, finished_at double"
+)
+
+
+def iceberg_ddl(n_buckets: int = 64) -> dict[str, str]:
+    """The table DDL this layout corresponds to on a real cluster."""
+    return {
+        "nodes": (
+            "CREATE TABLE kg.nodes (doc_id string, note_name string, ...) "
+            f"USING iceberg PARTITIONED BY (bucket({n_buckets}, doc_id))"
+        ),
+        "edges": (
+            "CREATE TABLE kg.edges (subj string, pred string, obj string, "
+            "mention_ord int) USING iceberg "
+            f"PARTITIONED BY (bucket({n_buckets}, subj))"
+        ),
+    }
+
+
+@dataclass
+class MaterializeResult:
+    nodes_path: str
+    edges_path: str
+    manifest_path: str
+    buckets_processed: list[int]
+    buckets_skipped: list[int]
+
+
+def _bucket(col: str, n: int):
+    return F.pmod(F.xxhash64(F.col(col)), F.lit(n)).cast("int")
+
+
+def _read_manifest(spark: SparkSession, path: str) -> DataFrame | None:
+    try:
+        return spark.read.parquet(path)
+    except Exception:
+        return None
+
+
+def materialize_graph(
+    spark: SparkSession,
+    documents: DataFrame,
+    out_dir: str,
+    run_id: str,
+    n_buckets: int = 16,
+    opts: GraphBuildOptions | None = None,
+    resume: bool = True,
+) -> MaterializeResult:
+    """Tokenize → link → write bucketed nodes/edges with a lineage manifest.
+
+    Resumable: a second call with the same (out_dir, run_id) skips buckets
+    whose manifest row is ``done`` — kill the job mid-run and re-submit.
+    """
+    opts = opts or GraphBuildOptions()
+    nodes_path = os.path.join(out_dir, "nodes")
+    edges_path = os.path.join(out_dir, "edges")
+    dict_path = os.path.join(out_dir, f"alias_dict_{run_id}")
+    manifest_path = os.path.join(out_dir, "manifest")
+
+    all_buckets = list(range(n_buckets))
+    done: set[int] = set()
+    if resume:
+        m = _read_manifest(spark, manifest_path)
+        if m is not None:
+            done = {
+                r.bucket
+                for r in m.filter(
+                    (F.col("run_id") == run_id) & (F.col("status") == "done")
+                )
+                .select("bucket")
+                .distinct()
+                .collect()
+            }
+    pending = [b for b in all_buckets if b not in done]
+    if not pending:
+        return MaterializeResult(nodes_path, edges_path, manifest_path, [], sorted(done))
+
+    docs = documents.withColumn("bucket", _bucket("doc_id", n_buckets))
+
+    # --- phase 2 input: pending buckets only (filter pushes to the scan)
+    sub = docs.filter(F.col("bucket").isin(pending))
+    notes = tokenize_documents(sub, include_mdlinks=opts.include_mdlinks).persist()
+
+    # --- phase 1: global alias dictionary — built ONCE per run and
+    # persisted; a resume reloads it instead of re-tokenizing the corpus.
+    # On a fresh run (all buckets pending) the pending notes ARE the corpus,
+    # so the tokenize stage runs exactly once.
+    try:
+        alias_dict = spark.read.parquet(dict_path)
+    except Exception:
+        dict_src = (
+            notes
+            if len(pending) == n_buckets
+            else tokenize_documents(docs, include_mdlinks=opts.include_mdlinks)
+        )
+        build_alias_dict(dict_src, use_aliases=opts.use_aliases).write.mode(
+            "overwrite"
+        ).parquet(dict_path)
+        alias_dict = spark.read.parquet(dict_path)
+
+    notes_b = notes.withColumn("bucket", _bucket("doc_id", n_buckets))
+
+    mentions = mentions_from_notes(notes)
+    edges, dangling = resolve_mentions(mentions, alias_dict, use_aliases=opts.use_aliases)
+    if opts.include_tag_triples:
+        edges = edges.unionByName(tag_triples(notes))
+    edges_b = edges.withColumn("bucket", _bucket("subj", n_buckets)).persist()
+
+    # dynamic partition overwrite = Iceberg overwritePartitions semantics:
+    # a retried bucket REPLACES its own partition, so a bucket that was
+    # half-written when the job died is rewritten exactly once on resume.
+    (
+        notes_b.drop("mentions")
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("bucket")
+        .parquet(nodes_path)
+    )
+    (
+        edges_b.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("bucket")
+        .parquet(edges_path)
+    )
+
+    # --- phase 3: lineage manifest (per-bucket metrics + checksum)
+    dang_b = dangling.withColumn("bucket", _bucket("subj", n_buckets))
+    m_docs = notes_b.groupBy("bucket").agg(F.count("*").alias("n_docs"))
+    # two-phase salted aggregation (hub-skew-proof metric path)
+    m_edges = (
+        edges_b.groupBy("bucket", F.pmod(F.xxhash64("obj"), F.lit(32)).alias("_s"))
+        .agg(
+            F.count("*").alias("_c"),
+            F.sum(F.xxhash64("subj", "pred", "obj").cast("decimal(38,0)")).alias("_h"),
+        )
+        .groupBy("bucket")
+        .agg(F.sum("_c").alias("n_edges"), F.sum("_h").alias("edges_checksum"))
+    )
+    m_dang = dang_b.groupBy("bucket").agg(F.count("*").alias("n_dangling"))
+    manifest = (
+        m_docs.join(m_edges, "bucket", "left")
+        .join(m_dang, "bucket", "left")
+        .select(
+            F.lit(run_id).alias("run_id"),
+            F.col("bucket").cast("int"),
+            F.col("n_docs").cast("long"),
+            F.coalesce("n_edges", F.lit(0)).cast("long").alias("n_edges"),
+            F.coalesce("n_dangling", F.lit(0)).cast("long").alias("n_dangling"),
+            F.coalesce("edges_checksum", F.lit(0))
+            .cast("decimal(38,0)")
+            .alias("edges_checksum"),
+            F.lit("done").alias("status"),
+            F.lit(time.time()).alias("finished_at"),
+        )
+    )
+    # buckets with zero docs still need a done row
+    present = {r.bucket for r in manifest.select("bucket").collect()}
+    missing = [b for b in pending if b not in present]
+    if missing:
+        from decimal import Decimal
+
+        empty = spark.createDataFrame(
+            [(run_id, b, 0, 0, 0, Decimal(0), "done", time.time()) for b in missing],
+            MANIFEST_SCHEMA,
+        )
+        manifest = manifest.unionByName(empty)
+    manifest.write.mode("append").parquet(manifest_path)
+
+    notes.unpersist()
+    edges_b.unpersist()
+    return MaterializeResult(
+        nodes_path, edges_path, manifest_path, pending, sorted(done)
+    )
+
+
+def read_graph(spark: SparkSession, out_dir: str) -> tuple[DataFrame, DataFrame]:
+    nodes = spark.read.parquet(os.path.join(out_dir, "nodes"))
+    edges = spark.read.parquet(os.path.join(out_dir, "edges"))
+    return nodes, edges

@@ -37,6 +37,12 @@ class GraphBuildOptions:
     drop_parse_errors: bool = False  # analyzer.rs:38-44
     drop_empty: bool = False  # analyzer.rs:45
     drop_todo: bool = False  # analyzer.rs:46-49
+    persist_notes: bool = True  # cache the tokenize stage (3 consumers)
+    # None = auto: broadcast the alias dict when small (hash-map probe,
+    # reference Index semantics), shuffle join when it would bottleneck the
+    # driver.  True/False forces.
+    broadcast_dict: bool | None = None
+    broadcast_dict_max_rows: int = 1_000_000
 
 
 @dataclass
@@ -79,12 +85,18 @@ def build_graph(
     # The tokenize stage feeds three consumers (nodes, dict, mentions) —
     # persist it so the Python stage runs once, mirroring the reference's
     # OnceCell memoization (src/note/note_once_cell.rs).
-    notes = notes.persist()
+    if opts.persist_notes:
+        notes = notes.persist()
 
     alias_dict = build_alias_dict(notes, use_aliases=opts.use_aliases)
+    bc = opts.broadcast_dict
+    if bc is None:
+        # auto: one count on the (persisted) dict decides the join strategy
+        alias_dict = alias_dict.persist()
+        bc = alias_dict.count() <= opts.broadcast_dict_max_rows
     mentions = mentions_from_notes(notes)
     edges, dangling = resolve_mentions(
-        mentions, alias_dict, use_aliases=opts.use_aliases
+        mentions, alias_dict, use_aliases=opts.use_aliases, broadcast=bc
     )
     if opts.include_tag_triples:
         edges = edges.unionByName(tag_triples(notes))

@@ -1,0 +1,89 @@
+"""Structured-Streaming forms of the engine's pipelines.
+
+The reference is batch-only (SURVEY.md §2.5: streaming absent); these are
+engine extensions for continuously-arriving vaults/events:
+
+* ``incremental_graph`` — new span-document files appear in a directory;
+  each micro-batch is tokenized + resolved against a (periodically rebuilt)
+  alias dictionary and APPENDED to the edges table via ``foreachBatch``
+  (exactly-once per batch via the streaming checkpoint).  This mirrors the
+  lineage-manifest resume story at the micro-batch granularity: the
+  checkpoint directory is the lineage.
+* ``windowed_event_counts`` — watermarked tumbling-window aggregation over
+  an event stream (late data dropped past the watermark).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.linking import resolve_mentions
+from ..operators.tokenize import mentions_from_notes, tokenize_documents
+from ..sources.schema import DOCUMENTS_SCHEMA, EVENTS_SCHEMA
+
+
+def incremental_graph(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    alias_dict: DataFrame,
+    include_mdlinks: bool = True,
+    use_aliases: bool = True,
+):
+    """Start an availableNow stream: span-document parquet files in
+    ``input_dir`` → edges appended under ``out_dir/edges``.
+
+    Returns the StreamingQuery (caller awaits termination).  The alias
+    dictionary is a static broadcast side — for a continuously growing
+    vault, rebuild it on a cadence and restart the query (dictionary
+    changes don't invalidate already-emitted edges)."""
+    edges_path = os.path.join(out_dir, "edges")
+    checkpoint = os.path.join(out_dir, "_checkpoint")
+
+    stream = (
+        spark.readStream.schema(DOCUMENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 8)
+        .parquet(input_dir)
+    )
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        notes = tokenize_documents(batch_df, include_mdlinks=include_mdlinks)
+        mentions = mentions_from_notes(notes)
+        edges, _ = resolve_mentions(mentions, alias_dict, use_aliases=use_aliases)
+        edges.withColumn("epoch", F.lit(epoch_id)).write.mode("append").parquet(
+            edges_path
+        )
+
+    return (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def windowed_event_counts(
+    spark: SparkSession,
+    input_dir: str,
+    query_name: str = "ev_counts",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+):
+    """Watermarked tumbling-window counts per event type, memory sink
+    (smoke/demo; swap the sink for kafka/parquet in production)."""
+    stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(input_dir)
+    agg = (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window), "event_type")
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("total_value"))
+    )
+    return (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
