@@ -176,6 +176,13 @@ def _q_kg_media_refs(spark, sf_dir):
     return media_refs(docs).select("doc_id", "media_ref", "kind")
 
 
+def _q_kg_render(spark, sf_dir):
+    from obsidian_parser_spark.operators.render import render_raw
+
+    docs = spark.read.parquet(_vault_path(sf_dir))
+    return render_raw(docs)
+
+
 def _q_kg_components(spark, sf_dir):
     g = _graph(spark, sf_dir)
     return connected_components(g.nodes, A.link_edges(g.edges))
@@ -278,6 +285,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_word_total": _q_kg_word_total,
         "kg_summary": _q_kg_summary,
         "kg_media_refs": _q_kg_media_refs,
+        "kg_render": _q_kg_render,
         "kg_components": _q_kg_components,
         "kg_component_count": _q_kg_component_count,
         "dd_exact": _q_dd_exact,
@@ -442,6 +450,12 @@ def _kg_oracles(path: str) -> dict[str, str]:
         "kg_media_refs": c
         + """SELECT doc_id, media_ref, kind FROM flat
              WHERE media_ref IS NOT NULL""",
+        "kg_render": c
+        + """SELECT doc_id,
+                    CASE WHEN fm IS NULL THEN content
+                         ELSE '---' || chr(10) || fm || chr(10) || '---' || chr(10) || content
+                    END AS raw_text
+             FROM notes""",
     }
 
 

@@ -100,6 +100,13 @@ def duplicates_by_name(nodes: DataFrame) -> DataFrame:
     )
 
 
+def have_duplicates_by_name(nodes: DataFrame) -> bool:
+    """A3 (vault_duplicates.rs:54-56): true iff any duplicate short name
+    exists.  (The reference README's usage comment inverts this — the CODE
+    returns true on duplicates; we follow the code, SURVEY §2.4 A3.)"""
+    return duplicates_by_name(nodes).limit(1).count() > 0
+
+
 def duplicates_by_content(nodes: DataFrame) -> DataFrame:
     """A4 (vault_duplicates.rs:62-95): duplicate SHA-256 of content bytes."""
     w = Window.partitionBy("content_sha").orderBy(

@@ -15,6 +15,28 @@ from pyspark.sql import functions as F
 from ..operators.tokenize import reconstruct_text
 
 
+def edges_to_dot(edges: DataFrame, digraph: bool = True, max_edges: int = 100_000) -> str:
+    """Graphviz DOT export (S7; the reference README shows petgraph::dot::Dot,
+    README.md:78-80).  Driver-side collect — for small/filtered graphs or
+    per-component exports; guard against accidentally collecting a 10^12-edge
+    table."""
+    rows = (
+        edges.filter("pred != 'tagged'")
+        .select("subj", "obj")
+        .limit(max_edges + 1)
+        .collect()
+    )
+    if len(rows) > max_edges:
+        raise ValueError(
+            f"edge list exceeds max_edges={max_edges}; filter first "
+            "(e.g. one component) — DOT is not a distributed sink"
+        )
+    arrow = "->" if digraph else "--"
+    kind = "digraph" if digraph else "graph"
+    body = "\n".join(f'    "{r.subj}" {arrow} "{r.obj}";' for r in rows)
+    return f"{kind} vault {{\n{body}\n}}\n"
+
+
 def render_raw(documents: DataFrame) -> DataFrame:
     """documents(doc_id, spans) → (doc_id, raw_text) with frontmatter fences
     restored (note_write.rs:56-62 layout)."""

@@ -1,0 +1,76 @@
+"""File-mode vault scan (S1 semantics) + DOT export (S7) + A3 boolean."""
+
+import os
+
+import pytest
+
+from obsidian_parser_spark.operators.analytics import have_duplicates_by_name
+from obsidian_parser_spark.operators.render import edges_to_dot
+from obsidian_parser_spark.plans.pipeline import build_graph, reference_parity_options
+from obsidian_parser_spark.sources.corpus import spans_from_raw
+from obsidian_parser_spark.sources.files import read_vault_files
+from tests.util import spans_df
+
+
+@pytest.fixture()
+def vault_dir(tmp_path):
+    """The reference micro-vault as real files (src/vault/vault_test.rs:13-36)
+    plus scan-behavior cases (vault_open/mod.rs:265-537)."""
+    (tmp_path / "data").mkdir()
+    (tmp_path / ".hidden").mkdir()
+    (tmp_path / "main.md").write_text(
+        "---\ntopic: work\ncreated: 15-04-2006\n---\nMain data. Other [[data/main|main]]"
+    )
+    (tmp_path / "link.md").write_text("---\ntopic: kinl\ncreated: 15-04-2006\n---\n[[main]]")
+    (tmp_path / "data" / "main.md").write_text("New main. [[link]]")
+    (tmp_path / "notmd.txt").write_text("ignored")
+    (tmp_path / "upper.MD").write_text("case insensitive [[main]]")
+    (tmp_path / "archive.tar.md").write_text("double ext")
+    (tmp_path / ".hidden" / "h.md").write_text("[[main]]")
+    return str(tmp_path)
+
+
+def test_file_scan_semantics(spark, vault_dir):
+    df = read_vault_files(spark, vault_dir)
+    ids = sorted(r.doc_id for r in df.select("doc_id").collect())
+    # .md case-insensitive kept; .txt ignored; hidden dir skipped;
+    # only LAST extension dropped (a.tar.md -> a.tar)
+    assert ids == ["archive.tar", "data/main", "link", "main", "upper"]
+
+    g = build_graph(df, reference_parity_options(), raw_text=True)
+    triples = sorted((r.subj, r.obj) for r in g.edges.collect())
+    assert ("main", "data/main") in triples and ("link", "main") in triples
+    assert ("upper", "main") in triples
+
+
+def test_file_scan_depth_and_hidden(spark, vault_dir):
+    shallow = read_vault_files(spark, vault_dir, max_depth=1)
+    ids = {r.doc_id for r in shallow.collect()}
+    assert "data/main" not in ids and "main" in ids
+
+
+def test_dot_export(spark, micro_vault):
+    g = build_graph(micro_vault, reference_parity_options())
+    dot = edges_to_dot(g.edges)
+    assert dot.startswith("digraph")
+    assert '"main" -> "data/main";' in dot
+    assert dot.count("->") == 3
+    undirected = edges_to_dot(g.edges, digraph=False)
+    assert undirected.startswith("graph") and "--" in undirected
+
+
+def test_dot_export_guard(spark, micro_vault):
+    g = build_graph(micro_vault, reference_parity_options())
+    with pytest.raises(ValueError, match="max_edges"):
+        edges_to_dot(g.edges, max_edges=1)
+
+
+def test_have_duplicates_by_name(spark):
+    dup = spans_df(
+        spark, [spans_from_raw("file", "x"), spans_from_raw("folder/file", "y")]
+    )
+    nodup = spans_df(spark, [spans_from_raw("a", "x"), spans_from_raw("b", "y")])
+    g1 = build_graph(dup, reference_parity_options())
+    g2 = build_graph(nodup, reference_parity_options())
+    assert have_duplicates_by_name(g1.nodes) is True
+    assert have_duplicates_by_name(g2.nodes) is False
