@@ -176,6 +176,25 @@ def _q_kg_media_refs(spark, sf_dir):
     return media_refs(docs).select("doc_id", "media_ref", "kind")
 
 
+def _q_kg_edge_stats(spark, sf_dir):
+    """Grouping-sets coverage: per-pred + grand-total edge stats (ROLLUP)."""
+    e = _graph(spark, sf_dir).edges
+    return (
+        e.rollup("pred")
+        .agg(
+            F.count("*").alias("n_edges"),
+            F.countDistinct("subj").alias("n_subjects"),
+            F.countDistinct("obj").alias("n_objects"),
+        )
+        .select(
+            F.coalesce("pred", F.lit("ALL")).alias("pred"),
+            "n_edges",
+            "n_subjects",
+            "n_objects",
+        )
+    )
+
+
 def _q_kg_render(spark, sf_dir):
     from obsidian_parser_spark.operators.render import render_raw
 
@@ -285,6 +304,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_word_total": _q_kg_word_total,
         "kg_summary": _q_kg_summary,
         "kg_media_refs": _q_kg_media_refs,
+        "kg_edge_stats": _q_kg_edge_stats,
         "kg_render": _q_kg_render,
         "kg_components": _q_kg_components,
         "kg_component_count": _q_kg_component_count,
@@ -450,6 +470,12 @@ def _kg_oracles(path: str) -> dict[str, str]:
         "kg_media_refs": c
         + """SELECT doc_id, media_ref, kind FROM flat
              WHERE media_ref IS NOT NULL""",
+        "kg_edge_stats": c
+        + """SELECT coalesce(pred, 'ALL') AS pred,
+                    count(*)::BIGINT AS n_edges,
+                    count(DISTINCT subj)::BIGINT AS n_subjects,
+                    count(DISTINCT obj)::BIGINT AS n_objects
+             FROM edges GROUP BY ROLLUP(pred)""",
         "kg_render": c
         + """SELECT doc_id,
                     CASE WHEN fm IS NULL THEN content

@@ -66,23 +66,23 @@ def brute_force_topk(
     )
 
 
-def hyperplanes(n_planes: int, dim: int) -> list[list[int]]:
+def hyperplanes(n_planes: int, dim: int, table: int = 0) -> list[list[int]]:
     """Deterministic ±1 hyperplanes from md5 parity — no RNG, reproducible
-    by any engine/driver."""
+    by any engine/driver.  ``table`` seeds independent hash tables."""
     planes = []
     for j in range(n_planes):
         row = []
         for d in range(dim):
-            h = hashlib.md5(f"plane:{j}:{d}".encode()).digest()[0]
+            h = hashlib.md5(f"plane:{table}:{j}:{d}".encode()).digest()[0]
             row.append(1 if h % 2 == 0 else -1)
         planes.append(row)
     return planes
 
 
-def bucket_expr(n_planes: int, dim: int, vec: str = "q") -> str:
+def bucket_expr(n_planes: int, dim: int, vec: str = "q", table: int = 0) -> str:
     """SQL: LSH sign-pattern bucket id (0..2^n_planes-1) of quantized vector
     ``vec`` — integer arithmetic only."""
-    planes = hyperplanes(n_planes, dim)
+    planes = hyperplanes(n_planes, dim, table=table)
     bits = []
     for j, row in enumerate(planes):
         arr = f"array({', '.join(str(v) + 'L' for v in row)})"
@@ -96,27 +96,47 @@ def lsh_topk(
     k: int = 10,
     n_queries: int = 10,
     n_planes: int = 6,
+    n_tables: int = 1,
     id_col: str = "vec_id",
 ) -> DataFrame:
     """LSH-bucketed top-k: same output schema as brute_force_topk, but only
-    same-bucket candidates are scored (approximate — measure recall)."""
+    same-bucket candidates are scored (approximate — measure recall against
+    ``brute_force_topk``).  ``n_tables`` independent hash tables union their
+    candidate sets — the standard recall lever (recall grows ~1-(1-p)^L)."""
     dim = len(embeddings.select("embedding").first()[0])
-    be = bucket_expr(n_planes, dim, "q")
-    qz = quantize(embeddings, "embedding").withColumn("bucket", F.expr(be))
-    queries = qz.filter(F.col(id_col) < n_queries).select(
-        F.col(id_col).alias("query_id"), F.col("q").alias("qv"), "bucket"
+    qz = quantize(embeddings, "embedding")
+    bucket_cols = [
+        F.expr(bucket_expr(n_planes, dim, "q", table=t)).alias(f"bkt{t}")
+        for t in range(n_tables)
+    ]
+    qz = qz.select(F.col(id_col), F.col("q"), *bucket_cols)
+    tabled = qz.select(
+        id_col,
+        "q",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(t).alias("tbl"), F.col(f"bkt{t}").alias("bucket"))
+                    for t in range(n_tables)
+                ]
+            )
+        ).alias("tb"),
+    ).select(id_col, "q", F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"))
+    queries = tabled.filter(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("query_id"), F.col("q").alias("qv"), "tbl", "bucket"
     )
-    base = qz.select(
-        F.col(id_col).alias("neighbor_id"), F.col("q").alias("nv"), "bucket"
+    base = tabled.select(
+        F.col(id_col).alias("neighbor_id"), F.col("q").alias("nv"), "tbl", "bucket"
     )
     scored = (
-        base.join(F.broadcast(queries), "bucket")
+        base.join(F.broadcast(queries), ["tbl", "bucket"])
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",
             "neighbor_id",
             F.expr(_DOT.format(a="qv", b="nv")).alias("score"),
         )
+        .distinct()  # candidate may collide in several tables
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
     return (
