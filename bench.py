@@ -122,13 +122,19 @@ def main() -> None:
         spark.stop()
         return
 
-    g = build_graph(docs, GraphBuildOptions())
+    # build_graph's auto broadcast decision counts the alias dict, which
+    # materializes the tokenize stage — so the BUILD CALL is the tokenize+
+    # dict timing, and the edge count is the link timing
+    built = {}
+
+    def kg_tokenize():
+        built["g"] = build_graph(docs, GraphBuildOptions())
+        built["g"].nodes.count()
+
+    timed("kg_tokenize", kg_tokenize)
+    g = built["g"]
     edges = g.edges.persist()  # the materialized edge table analytics query
     g = type(g)(nodes=g.nodes, edges=edges, dangling=g.dangling, alias_dict=g.alias_dict)
-
-    # tokenize first (materializes the persisted notes exactly once), then
-    # linking — mirrors materialize_graph's stage order
-    timed("kg_tokenize", lambda: g.nodes.count())
 
     def kg_build():
         n = edges.count()

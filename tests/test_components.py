@@ -72,3 +72,20 @@ def test_random_graphs(spark, seed):
         for a, b in rng.integers(0, n, size=(int(m), 2))
     ]
     _run(spark, ids, pairs)
+
+
+def test_cc_on_real_corpus_vs_union_find(spark):
+    """CC over the sf0.001 vault graph (≈1k nodes) vs the Python oracle."""
+    from obsidian_parser_spark.operators.analytics import link_edges
+    from obsidian_parser_spark.plans.pipeline import GraphBuildOptions, build_graph
+    from obsidian_parser_spark.sources.corpus import ensure_vault_corpus
+
+    docs = spark.read.parquet(ensure_vault_corpus("sf0.001"))
+    g = build_graph(docs, GraphBuildOptions())
+    le = link_edges(g.edges)
+    pairs = [(r.subj, r.obj) for r in le.collect()]
+    node_ids = [r.doc_id for r in g.nodes.collect()]
+    cc = connected_components(g.nodes, le)
+    got = {r.id: r.component for r in cc.collect()}
+    want = _brute_cc(node_ids, pairs)
+    assert got == want
