@@ -18,7 +18,11 @@ Column names/types are aligned on both sides (BIGINT ints, DOUBLE floats).
 from __future__ import annotations
 
 import os
+import sys
 from collections.abc import Callable
+
+# the driver may load this file by path; make the package importable
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
