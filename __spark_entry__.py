@@ -278,6 +278,20 @@ def _q_ev_top_users(spark, sf_dir):
     return EV.top_users_by_value(_events(spark, sf_dir), k=10)
 
 
+def _q_ts_percentiles(spark, sf_dir):
+    """Exact continuous percentiles of doc length per language — sort/
+    quantile coverage (Spark `percentile` == DuckDB `quantile_cont`)."""
+    d = _documents(spark, sf_dir)
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.expr("round(percentile(n_chars, 0.5), 4)").alias("p50"),
+            F.expr("round(percentile(n_chars, 0.9), 4)").alias("p90"),
+            F.count("*").alias("n_docs"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -325,6 +339,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_sessionize": _q_ev_sessionize,
         "ev_windowed": _q_ev_windowed,
         "ev_top_users": _q_ev_top_users,
+        "ts_percentiles": _q_ts_percentiles,
     }
 
 
@@ -679,6 +694,12 @@ SELECT user_id,
        count(*)::BIGINT AS n_events
 FROM events GROUP BY user_id
 ORDER BY value_cents DESC, user_id LIMIT 10""",
+        "ts_percentiles": """
+SELECT lang,
+       round(quantile_cont(n_chars, 0.5), 4) AS p50,
+       round(quantile_cont(n_chars, 0.9), 4) AS p90,
+       count(*)::BIGINT AS n_docs
+FROM documents GROUP BY lang""",
     }
 
 
