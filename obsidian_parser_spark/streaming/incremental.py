@@ -5,8 +5,11 @@ engine extensions for continuously-arriving vaults/events:
 
 * ``incremental_graph`` — new span-document files appear in a directory;
   each micro-batch is tokenized + resolved against a (periodically rebuilt)
-  alias dictionary and APPENDED to the edges table via ``foreachBatch``
-  (exactly-once per batch via the streaming checkpoint).  This mirrors the
+  alias dictionary and written to the edges table via ``foreachBatch``,
+  partitioned by epoch with dynamic partition overwrite: a crash between
+  the write and the checkpoint commit replays the epoch, and the replay
+  REPLACES its own partition instead of appending a duplicate — idempotent
+  per epoch, hence exactly-once end-to-end.  This mirrors the
   lineage-manifest resume story at the micro-batch granularity: the
   checkpoint directory is the lineage.
 * ``windowed_event_counts`` — watermarked tumbling-window aggregation over
@@ -53,8 +56,14 @@ def incremental_graph(
         notes = tokenize_documents(batch_df, include_mdlinks=include_mdlinks)
         mentions = mentions_from_notes(notes)
         edges, _ = resolve_mentions(mentions, alias_dict, use_aliases=use_aliases)
-        edges.withColumn("epoch", F.lit(epoch_id)).write.mode("append").parquet(
-            edges_path
+        # idempotent per-epoch replace (Iceberg overwritePartitions
+        # semantics): a replayed epoch rewrites its own partition
+        (
+            edges.withColumn("epoch", F.lit(epoch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("epoch")
+            .parquet(edges_path)
         )
 
     return (

@@ -49,6 +49,53 @@ def test_file_scan_depth_and_hidden(spark, vault_dir):
     assert "data/main" not in ids and "main" in ids
 
 
+def test_include_hidden_resurfaces_dotfiles(spark, vault_dir):
+    """vault_open/mod.rs:86-96: include_hidden=true must expose dot-files —
+    requires the walk listing (Spark's index hides them unconditionally)."""
+    df = read_vault_files(spark, vault_dir, include_hidden=True)
+    ids = {r.doc_id for r in df.collect()}
+    assert ".hidden/h" in ids and "main" in ids
+    with pytest.raises(ValueError, match="resurface"):
+        read_vault_files(spark, vault_dir, include_hidden=True, listing="spark")
+
+
+def test_underscore_files_not_hidden(spark, tmp_path):
+    """The reference hides only '.'-prefixed entries; Spark's file index also
+    hides '_' — the walk listing restores parity (vault_open/mod.rs:126-151)."""
+    (tmp_path / "_draft.md").write_text("underscore note")
+    (tmp_path / "plain.md").write_text("plain")
+    ids = {
+        r.doc_id for r in read_vault_files(spark, str(tmp_path)).collect()
+    }
+    assert ids == {"_draft", "plain"}
+    spark_ids = {
+        r.doc_id
+        for r in read_vault_files(spark, str(tmp_path), listing="spark").collect()
+    }
+    assert spark_ids == {"plain"}  # documented Spark-index divergence
+
+
+def test_path_filter_predicate(spark, vault_dir):
+    """filter_entry equivalent (vault_open/mod.rs:97-124): user predicate
+    over the vault-relative path."""
+    df = read_vault_files(spark, vault_dir, path_filter="rel NOT LIKE 'data/%'")
+    ids = {r.doc_id for r in df.collect()}
+    assert "data/main" not in ids and "main" in ids
+
+
+def test_doc_id_derivation_hostile_paths(spark, tmp_path):
+    """ADVICE r1: regex metacharacters in the root, a repeated root-name
+    segment deeper in the tree, spaces and '+' in file names — none may
+    corrupt doc_ids."""
+    root = tmp_path / "v+a(ul)t [1]"
+    (root / "sub" / root.name).mkdir(parents=True)
+    (root / "a b.md").write_text("space name")
+    (root / "c+d.md").write_text("plus name")
+    (root / "sub" / root.name / "x.md").write_text("repeated root segment")
+    ids = sorted(r.doc_id for r in read_vault_files(spark, str(root)).collect())
+    assert ids == ["a b", "c+d", f"sub/{root.name}/x"]
+
+
 def test_dot_export(spark, micro_vault):
     g = build_graph(micro_vault, reference_parity_options())
     dot = edges_to_dot(g.edges)
