@@ -41,6 +41,12 @@ from obsidian_parser_spark.plans.pipeline import GraphBuildOptions, build_graph
 from obsidian_parser_spark.sources.corpus import ensure_vault_corpus
 
 ORACLE_SF = "sf0.01"  # the driver's correctness scale
+# Driver-testdata embedding width (engine-side plane literals only; the
+# DuckDB oracles derive dim from the data itself, and lsh_topk raises on a
+# row whose width differs — a wrong constant fails loudly, never silently;
+# the round-1 128 hardcode only "matched" because DuckDB list indexing
+# returns NULL past the end and list_sum skips NULLs).
+EMB_DIM = 64
 
 # ---------------------------------------------------------------------------
 # engine-side helpers
@@ -206,6 +212,22 @@ def _q_kg_render(spark, sf_dir):
     return render_raw(docs)
 
 
+def _q_kg_props_typed(spark, sf_dir):
+    """Typed properties projection (reference src/lib.rs:41-48): 'id' as
+    bigint — integer in generated frontmatter, a non-numeric string on
+    isolated notes (guaranteed CastError positives), absent where the doc
+    has no frontmatter."""
+    from obsidian_parser_spark.operators.properties import project_properties
+
+    g = _graph(spark, sf_dir)
+    p = project_properties(g.nodes, "id bigint")
+    return p.select(
+        "doc_id",
+        F.col("id").alias("prop_id"),
+        F.array_join("prop_errors", ";").alias("errors"),
+    )
+
+
 def _q_kg_components(spark, sf_dir):
     g = _graph(spark, sf_dir)
     return connected_components(g.nodes, A.link_edges(g.edges))
@@ -236,13 +258,59 @@ def _q_dd_simhash(spark, sf_dir):
     return DD.simhash_near_dups(_dedup_corpus(spark, sf_dir), max_hamming=3)
 
 
+def _q_dd_lsh_verified(spark, sf_dir):
+    return DD.lsh_verified_pairs(_dedup_corpus(spark, sf_dir), threshold=0.8)
+
+
+def _emb_corpus(spark, sf_dir):
+    """embeddings ∪ exact copies ∪ first-coordinate-shifted near copies —
+    deterministic positives for the embedding-cosine detector.  Everything
+    is widened to double BEFORE quantization so both engines see identical
+    IEEE values (float→double widening is exact)."""
+    base = _embeddings(spark, sf_dir).select(
+        "vec_id",
+        F.expr("transform(embedding, x -> cast(x AS double))").alias("embedding"),
+    )
+    copies = base.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    near = base.filter(F.col("vec_id") % 7 == 0).select(
+        (F.col("vec_id") + 200000).alias("vec_id"),
+        F.expr(
+            "transform(embedding, (x, i) -> CASE WHEN i = 0 THEN x + 3.0 ELSE x END)"
+        ).alias("embedding"),
+    )
+    return base.unionAll(copies).unionAll(near)
+
+
+def _q_dd_embed_cosine(spark, sf_dir):
+    return DD.embedding_cosine_pairs(
+        _emb_corpus(spark, sf_dir), dim=EMB_DIM, threshold_pct=90, n_tables=2
+    )
+
+
 def _q_ann_topk(spark, sf_dir):
     r = SIM.brute_force_topk(_embeddings(spark, sf_dir), k=10, n_queries=10)
     return r.withColumn("rank", F.col("rank").cast("long"))
 
 
 def _q_ann_lsh(spark, sf_dir):
-    r = SIM.lsh_topk(_embeddings(spark, sf_dir), k=10, n_queries=10, n_planes=6)
+    r = SIM.lsh_topk(
+        _embeddings(spark, sf_dir), dim=EMB_DIM, k=10, n_queries=10, n_planes=6
+    )
+    return r.withColumn("rank", F.col("rank").cast("long"))
+
+
+def _q_ann_lsh_mt(spark, sf_dir):
+    """Multi-table LSH (the recall lever): 2 independent hash tables."""
+    r = SIM.lsh_topk(
+        _embeddings(spark, sf_dir),
+        dim=EMB_DIM,
+        k=10,
+        n_queries=10,
+        n_planes=6,
+        n_tables=2,
+    )
     return r.withColumn("rank", F.col("rank").cast("long"))
 
 
@@ -324,14 +392,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_media_refs": _q_kg_media_refs,
         "kg_edge_stats": _q_kg_edge_stats,
         "kg_render": _q_kg_render,
+        "kg_props_typed": _q_kg_props_typed,
         "kg_components": _q_kg_components,
         "kg_component_count": _q_kg_component_count,
         "dd_exact": _q_dd_exact,
         "dd_ngram_jaccard": _q_dd_ngram_jaccard,
         "dd_minhash_lsh": _q_dd_minhash_lsh,
         "dd_simhash": _q_dd_simhash,
+        "dd_lsh_verified": _q_dd_lsh_verified,
+        "dd_embed_cosine": _q_dd_embed_cosine,
         "ann_topk": _q_ann_topk,
         "ann_lsh": _q_ann_lsh,
+        "ann_lsh_mt": _q_ann_lsh_mt,
         "ts_langid": _q_ts_langid,
         "ts_quality": _q_ts_quality,
         "ts_tokens": _q_ts_tokens,
@@ -439,6 +511,37 @@ degrees AS (SELECT id, count(*)::BIGINT AS degree FROM endpoints GROUP BY id)
 """
 
 
+def _cc_ctes(n_rounds: int = 16) -> str:
+    """Connected components as UNROLLED chained CTEs (DuckDB has no
+    self-referencing recursion with aggregates): per round,
+    l_{t+1}(x) = min(l_t(x), min over neighbors y of l_t(y), l_t(l_t(x))).
+    The pointer-jump term l_t(l_t(x)) doubles label reach each round, so
+    convergence is ~log2(diameter)+2 rounds — 16 covers any graph the
+    sf0.01 oracle scale can hold (validated against the engine's
+    large-star/small-star output in tests, incl. a worst-case chain)."""
+    parts = [
+        "sym AS MATERIALIZED (SELECT subj AS u, obj AS v FROM link_edges"
+        " WHERE subj <> obj"
+        " UNION SELECT obj, subj FROM link_edges WHERE subj <> obj)",
+        "l0 AS MATERIALIZED (SELECT doc_id AS id, doc_id AS lbl FROM notes)",
+    ]
+    # AS MATERIALIZED is load-bearing: each round references the previous one
+    # 3×, and CTE inlining would expand 3^n_rounds subtrees (and re-open the
+    # parquet per subtree)
+    for t in range(1, n_rounds + 1):
+        parts.append(
+            f"""l{t} AS MATERIALIZED (
+  SELECT p.id, least(p.lbl, coalesce(nb.m, p.lbl), pj.lbl) AS lbl
+  FROM l{t - 1} p
+  LEFT JOIN (SELECT e.u AS id, min(l.lbl) AS m
+             FROM sym e JOIN l{t - 1} l ON l.id = e.v GROUP BY e.u) nb
+    ON nb.id = p.id
+  JOIN l{t - 1} pj ON pj.id = p.lbl)"""
+        )
+    parts.append(f"cc AS (SELECT id, lbl AS component FROM l{n_rounds})")
+    return ",\n".join(parts)
+
+
 def _kg_oracles(path: str) -> dict[str, str]:
     c = _kg_cte(path)
     return {
@@ -501,6 +604,24 @@ def _kg_oracles(path: str) -> dict[str, str]:
                          ELSE '---' || chr(10) || fm || chr(10) || '---' || chr(10) || content
                     END AS raw_text
              FROM notes""",
+        "kg_props_typed": c
+        + r"""SELECT doc_id,
+                    TRY_CAST(CASE WHEN fm IS NULL THEN NULL
+                                  ELSE regexp_extract(fm, 'id: ([^\n]*)', 1)
+                             END AS BIGINT) AS prop_id,
+                    CASE WHEN fm IS NOT NULL
+                          AND TRY_CAST(regexp_extract(fm, 'id: ([^\n]*)', 1)
+                                       AS BIGINT) IS NULL
+                         THEN 'id:CastError' ELSE '' END AS errors
+             FROM notes""",
+        "kg_components": c
+        + ",\n"
+        + _cc_ctes()
+        + "\nSELECT id, component FROM cc",
+        "kg_component_count": c
+        + ",\n"
+        + _cc_ctes()
+        + "\nSELECT count(DISTINCT component)::BIGINT AS n_components FROM cc",
     }
 
 
@@ -519,6 +640,113 @@ def _minhash_sql_parts(k: int = 12, bands: int = 4) -> tuple[str, str]:
         for b in range(bands)
     )
     return sig_cols, band_rows
+
+
+def _simhash_sql_parts() -> tuple[str, str, str]:
+    """Unrolled DuckDB expressions mirroring ``simhash_signatures`` (md5
+    family): 16 hex-nibble columns, 64 bit-contribution sums, signed
+    bit-packing (bit 0 = sign bit, matching the engine's _BIT_VALS)."""
+    nibs = ", ".join(
+        f"strpos('0123456789abcdef', substr(hx, {i + 1}, 1)) - 1 AS n{i}"
+        for i in range(16)
+    )
+    sums = ", ".join(
+        f"sum(((n{j // 4} >> {3 - j % 4}) & 1) * 2 - 1) AS s{j}"
+        for j in range(64)
+    )
+    packed = " + ".join(
+        f"(CASE WHEN s{j} > 0 THEN "
+        + ("(-9223372036854775807 - 1)" if j == 0 else f"{1 << (63 - j)}")
+        + " ELSE 0 END)"
+        for j in range(64)
+    )
+    return nibs, sums, packed
+
+
+def _lsh_bucket_sql(n_planes: int, table: int) -> str:
+    """Dim-agnostic LSH bucket: the ±1 plane entry is derived IN SQL from
+    md5 parity over the vector's own length — mirrors SIM.hyperplanes
+    exactly (digest()[0] % 2 == parity of the md5 hex string's 2nd nibble)
+    with no hardcoded embedding width."""
+    bits = []
+    for j in range(n_planes):
+        plane_i = (
+            f"(CASE WHEN (strpos('0123456789abcdef', substr(md5("
+            f"'plane:{table}:{j}:' || (i - 1)::VARCHAR), 2, 1)) - 1) % 2 = 0 "
+            f"THEN 1 ELSE -1 END)"
+        )
+        dot = f"list_sum([qv[i] * {plane_i} for i in range(1, len(qv) + 1)])"
+        bits.append(f"(CASE WHEN {dot} >= 0 THEN {1 << j} ELSE 0 END)")
+    return " + ".join(bits)
+
+
+def _dd_embed_cosine_sql(
+    qv: str, threshold_pct: int = 90, n_planes: int = 6, n_tables: int = 2
+) -> str:
+    """DuckDB re-derivation of ``embedding_cosine_pairs`` over the derived
+    embedding corpus: identical buckets (md5-parity planes), identical
+    exact-integer cosine test (HUGEINT here ≡ decimal(38,0) in Spark —
+    both exact)."""
+    qv_shift = (
+        "[CAST(round((CASE WHEN i = 1 THEN CAST(embedding[i] AS DOUBLE) + 3.0 "
+        "ELSE CAST(embedding[i] AS DOUBLE) END) * 10000) AS BIGINT) "
+        "for i in range(1, len(embedding) + 1)]"
+    )
+    buckets = " UNION ALL ".join(
+        f"SELECT vec_id, qv, n2, {t} AS tbl, {_lsh_bucket_sql(n_planes, t)} AS bucket"
+        " FROM n"
+        for t in range(n_tables)
+    )
+    p2 = threshold_pct * threshold_pct
+    return f"""
+WITH base AS (
+  SELECT vec_id, {qv} AS qv FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000 AS vec_id, {qv} AS qv FROM embeddings WHERE vec_id % 10 = 0
+  UNION ALL
+  SELECT vec_id + 200000 AS vec_id, {qv_shift} AS qv
+  FROM embeddings WHERE vec_id % 7 = 0
+),
+n AS MATERIALIZED (
+  SELECT vec_id, qv,
+         CAST(list_sum([qv[i] * qv[i] for i in range(1, len(qv) + 1)]) AS HUGEINT) AS n2
+  FROM base
+),
+b AS MATERIALIZED ({buckets}),
+pairs AS (
+  SELECT DISTINCT qq.vec_id AS a, nn.vec_id AS b,
+         CAST(list_sum([qq.qv[i] * nn.qv[i] for i in range(1, len(qq.qv) + 1)]) AS HUGEINT) AS dot,
+         qq.n2 AS na2, nn.n2 AS nb2
+  FROM b qq JOIN b nn ON qq.tbl = nn.tbl AND qq.bucket = nn.bucket
+  WHERE qq.vec_id < nn.vec_id
+)
+SELECT DISTINCT a, b FROM pairs
+WHERE dot > 0 AND 10000::HUGEINT * dot * dot >= {p2}::HUGEINT * na2 * nb2"""
+
+
+def _dd_simhash_oracle(tok: str) -> str:
+    """DuckDB re-derivation of ``simhash_near_dups`` (md5 family) over the
+    dedup corpus — bit-for-bit: shift semantics (arithmetic), xor, and
+    bit_count agree between the engines (verified in tests)."""
+    nibs, sums, packed = _simhash_sql_parts()
+    return f"""
+WITH {_DD_SQL.strip()},
+tok AS (SELECT doc_id, unnest({tok}) AS token FROM dd),
+hx AS (SELECT doc_id, substr(md5(token), 1, 16) AS hx FROM tok),
+nib AS (SELECT doc_id, {nibs} FROM hx),
+s AS (SELECT doc_id, {sums} FROM nib GROUP BY doc_id),
+sig0 AS (SELECT doc_id, ({packed})::BIGINT AS simhash FROM s),
+sig AS (SELECT dd.doc_id, coalesce(sig0.simhash, 0) AS simhash
+        FROM dd LEFT JOIN sig0 USING (doc_id)),
+bands AS (SELECT doc_id, simhash, band, (simhash >> (band * 16)) & 65535 AS bkey
+          FROM sig CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band)),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS a, b.doc_id AS b,
+         CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+  FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+  WHERE a.doc_id < b.doc_id
+)
+SELECT a, b, hamming FROM pairs WHERE hamming <= 3"""
 
 
 def _datapipe_oracles() -> dict[str, str]:
@@ -548,11 +776,10 @@ def _datapipe_oracles() -> dict[str, str]:
     )
     en_list = ", ".join(f"'{w}'" for w in TS.LANG_MARKERS["en"])
 
-    planes = SIM.hyperplanes(6, 128)
-    plane_bits = " + ".join(
-        f"(CASE WHEN list_sum([qv[i] * ([{', '.join(str(v) for v in row)}])[i] "
-        f"for i in range(1, 129)]) >= 0 THEN {1 << j} ELSE 0 END)"
-        for j, row in enumerate(planes)
+    plane_bits = _lsh_bucket_sql(6, 0)
+    mt_buckets = " UNION ALL ".join(
+        f"SELECT vec_id, qv, {t} AS tbl, {_lsh_bucket_sql(6, t)} AS bucket FROM base"
+        for t in range(2)
     )
 
     bpe = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
@@ -593,6 +820,34 @@ kept AS (SELECT banded.* FROM banded JOIN small USING (band, key))
 SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
 FROM kept a JOIN kept b ON a.band = b.band AND a.key = b.key
 WHERE a.doc_id < b.doc_id""",
+        "dd_lsh_verified": f"""
+WITH {_DD_SQL.strip()},
+sh AS (SELECT DISTINCT doc_id, unnest({shingles}) AS shingle FROM dd),
+sigs AS (SELECT doc_id, {sig_expr} FROM sh GROUP BY doc_id),
+banded AS ({band_expr}),
+small AS (
+  SELECT band, key FROM banded GROUP BY band, key HAVING count(*) <= 200
+),
+kept AS (SELECT banded.* FROM banded JOIN small USING (band, key)),
+cand AS (
+  SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+  FROM kept a JOIN kept b ON a.band = b.band AND a.key = b.key
+  WHERE a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.a, c.b, count(*) AS inter
+  FROM cand c
+  JOIN sh x ON x.doc_id = c.a
+  JOIN sh y ON y.doc_id = c.b AND y.shingle = x.shingle
+  GROUP BY c.a, c.b
+)
+SELECT i.a, i.b,
+       round(i.inter / (sa.sz + sb.sz - i.inter), 6) AS jaccard
+FROM inter i JOIN sizes sa ON sa.doc_id = i.a JOIN sizes sb ON sb.doc_id = i.b
+WHERE i.inter / (sa.sz + sb.sz - i.inter) >= 0.8""",
+        "dd_embed_cosine": _dd_embed_cosine_sql(qv),
+        "dd_simhash": _dd_simhash_oracle(tok),
         "ann_topk": f"""
 WITH q AS (SELECT vec_id, {qv} AS qv FROM embeddings),
 scored AS (
@@ -615,6 +870,20 @@ scored AS (
   SELECT qq.vec_id AS query_id, nn.vec_id AS neighbor_id,
          CAST(list_sum([qq.qv[i] * nn.qv[i] for i in range(1, len(qq.qv) + 1)]) AS BIGINT) AS score
   FROM q qq JOIN q nn ON qq.bucket = nn.bucket
+  WHERE qq.vec_id < 10 AND nn.vec_id <> qq.vec_id
+)
+SELECT query_id, neighbor_id, rank, score FROM (
+  SELECT query_id, neighbor_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, neighbor_id) AS rank
+  FROM scored) WHERE rank <= 10""",
+        "ann_lsh_mt": f"""
+WITH base AS (SELECT vec_id, {qv} AS qv FROM embeddings),
+b AS ({mt_buckets}),
+scored AS (
+  SELECT DISTINCT qq.vec_id AS query_id, nn.vec_id AS neighbor_id,
+         CAST(list_sum([qq.qv[i] * nn.qv[i] for i in range(1, len(qq.qv) + 1)]) AS BIGINT) AS score
+  FROM b qq JOIN b nn ON qq.tbl = nn.tbl AND qq.bucket = nn.bucket
   WHERE qq.vec_id < 10 AND nn.vec_id <> qq.vec_id
 )
 SELECT query_id, neighbor_id, rank, score FROM (
@@ -707,7 +976,4 @@ def oracle_sql() -> dict[str, str]:
     path = ensure_vault_corpus(ORACLE_SF)
     out = _kg_oracles(path)
     out.update(_datapipe_oracles())
-    # kg_components / kg_component_count / dd_simhash: iterative or
-    # engine-hash-specific — no SQL oracle (driver records rows-only checks;
-    # pytest covers them against Python oracles).
     return out

@@ -16,10 +16,12 @@ Four detectors over a ``documents(doc_id, text)`` table, scale-shaped:
                    lexicographic-min over hex strings, so an independent
                    engine (the DuckDB oracle) reproduces them bit-for-bit;
                    no RNG, no engine-specific hash.
-* simhash        — 64-bit SimHash over md5 token bits (Arrow-vectorized
-                   pandas stage), near-dups = hamming distance ≤ r via
-                   4-band blocking (pigeonhole: r ≤ 3 ⇒ one identical
-                   16-bit band).
+* simhash        — 64-bit SimHash over md5 (or xxhash64) token bits,
+                   fully JVM-side: explode → per-token bit contributions →
+                   64 map-side-combined sums per doc; near-dups = hamming
+                   distance ≤ r via 4-band blocking (pigeonhole: r ≤ 3 ⇒
+                   one identical 16-bit band).  The md5 family is
+                   reproduced bit-for-bit by the DuckDB oracle.
 
 All detectors emit deterministic, order-insensitive pair/group frames.
 """
@@ -217,14 +219,16 @@ def minhash_lsh_pairs(
             )
         ).alias("bk"),
     ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
-    # banded is tiny (bands rows/doc) but expensive to derive — persist AND
-    # eagerly materialize it: a self-join on a lazily-cached frame computes
-    # the upstream pipeline once per side (the cache populates too late).
+    # banded is tiny (bands rows/doc) but expensive to derive — localCheckpoint
+    # materializes it eagerly AND cuts lineage, so the self-join reads one
+    # stored table instead of computing the upstream pipeline once per side
+    # (a lazily-cached frame races its own cache population).  On a real
+    # cluster prefer checkpoint() to a reliable store — localCheckpoint
+    # stores on executors and is lost on executor failure.
     # Bucket-size cap via window count: one shuffle on (band, key) — the
     # same partitioning the join needs — and no bucket-list broadcast
     # (which would not fit the driver at 10^12 docs).
-    banded = banded.persist()
-    banded.count()
+    banded = banded.localCheckpoint()
     banded_kept = banded.withColumn(
         "_n", F.count("*").over(Window.partitionBy("band", "key"))
     ).filter(F.col("_n") <= max_bucket_size)
@@ -238,7 +242,214 @@ def minhash_lsh_pairs(
     )
 
 
+def lsh_verified_pairs(
+    documents: DataFrame,
+    threshold: float = 0.8,
+    k: int = 12,
+    bands: int = 4,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_bucket_size: int = 200,
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """The LSH→verify composition: ``minhash_lsh_pairs`` candidates, each
+    verified with the EXACT distinct-shingle Jaccard — (a, b, jaccard) with
+    jaccard ≥ threshold.
+
+    This is the standard two-stage near-dup pipeline at scale: candidate
+    generation is sub-quadratic (banded LSH), and the exact verification
+    only touches candidate pairs (joins candidates back to the shingle
+    table — never an all-pairs pass).  A candidate pair sharing zero
+    shingles simply drops out (its Jaccard is 0 < threshold)."""
+    cand = minhash_lsh_pairs(
+        documents,
+        k=k,
+        bands=bands,
+        n=n,
+        id_col=id_col,
+        text_col=text_col,
+        max_bucket_size=max_bucket_size,
+        hash_fn=hash_fn,
+    )
+    sh = distinct_shingles(documents, n=n, id_col=id_col, text_col=text_col)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    sa = sh.select(F.col("doc_id").alias("a"), "shingle")
+    sb = sh.select(F.col("doc_id").alias("b"), "shingle")
+    inter = (
+        cand.join(sa, "a")
+        .join(sb, ["b", "shingle"])
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("inter"))
+    )
+    za = sizes.select(F.col("doc_id").alias("a"), F.col("sz").alias("sza"))
+    zb = sizes.select(F.col("doc_id").alias("b"), F.col("sz").alias("szb"))
+    return (
+        inter.join(za, "a")
+        .join(zb, "b")
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("sza") + F.col("szb") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+# ---------------------------------------------------------------- embedding cosine
+
+
+def embedding_cosine_pairs(
+    embeddings: DataFrame,
+    dim: int,
+    threshold_pct: int = 90,
+    n_planes: int = 6,
+    n_tables: int = 2,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (a, b), a < b, with
+    cos(a, b) ≥ threshold_pct/100 among sign-LSH candidates.
+
+    Candidates: same bucket in any of ``n_tables`` hyperplane tables (the
+    sub-quadratic path; same bucketing as ``similarity.lsh_topk``).  The
+    cosine test is EXACT integer arithmetic over the 10⁴-quantized vectors:
+    cos ≥ p/100  ⇔  dot > 0  ∧  10000·dot² ≥ p²·|a|²·|b|²  — decimal(38,0)
+    products, no float drift, bit-identical to the DuckDB oracle."""
+    from .similarity import bucket_expr, quantize
+
+    qz = quantize(embeddings, "embedding").select(
+        F.col(id_col).alias("vid"), F.col("q")
+    )
+    norm2 = "aggregate(zip_with(q, q, (x, y) -> x * y), 0L, (acc, v) -> acc + v)"
+    qz = qz.withColumn("n2", F.expr(norm2))
+    tabled = qz.select(
+        "vid",
+        "q",
+        "n2",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("tbl"),
+                        F.expr(bucket_expr(n_planes, dim, "q", table=t)).alias(
+                            "bucket"
+                        ),
+                    )
+                    for t in range(n_tables)
+                ]
+            )
+        ).alias("tb"),
+    ).select(
+        "vid", "q", "n2", F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket")
+    )
+    a = tabled.select(
+        F.col("vid").alias("a"), F.col("q").alias("qa"), F.col("n2").alias("na2"), "tbl", "bucket"
+    )
+    b = tabled.select(
+        F.col("vid").alias("b"), F.col("q").alias("qb"), F.col("n2").alias("nb2"), "tbl", "bucket"
+    )
+    dot = "aggregate(zip_with(qa, qb, (x, y) -> x * y), 0L, (acc, v) -> acc + v)"
+    p2 = threshold_pct * threshold_pct
+    return (
+        a.join(b, ["tbl", "bucket"])
+        .filter(F.col("a") < F.col("b"))
+        .withColumn("dot", F.expr(dot))
+        .filter(
+            (F.col("dot") > 0)
+            & (
+                F.lit(10000).cast("decimal(38,0)")
+                * F.col("dot").cast("decimal(38,0)")
+                * F.col("dot").cast("decimal(38,0)")
+                >= F.lit(p2).cast("decimal(38,0)")
+                * F.col("na2").cast("decimal(38,0)")
+                * F.col("nb2").cast("decimal(38,0)")
+            )
+        )
+        .select("a", "b")
+        .distinct()
+    )
+
+
 # ---------------------------------------------------------------- simhash
+
+# signed value of bit j under the MSB-first convention (bit 0 = sign bit):
+# matches int.from_bytes(packbits(bits), 'big', signed=True)
+_BIT_VALS = [-(1 << 63) if j == 0 else 1 << (63 - j) for j in range(64)]
+
+
+def simhash_signatures(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """(doc_id, simhash bigint): 64-bit SimHash, bit j set iff the
+    token-weighted sum of (±1 per token-hash bit j) is positive.
+
+    Fully JVM-side (no Python in the plan): explode tokens → one hash per
+    token → 64 bit-contribution expressions → ``groupBy(doc_id)`` with 64
+    map-side-combinable sums → pack the sign vector into one bigint.  Each
+    token occurrence weighs 1 (duplicates kept — occurrence weighting, the
+    standard Charikar scheme).
+
+    hash_fn='md5'  — bits from the first 16 hex chars of md5(token);
+                     bit-for-bit reproducible by the DuckDB oracle.
+    hash_fn='xxh'  — bits straight off ``xxhash64(token)`` (no hex decode;
+                     the scale default when no cross-engine oracle needed).
+
+    Docs with zero tokens get simhash 0 (left join back onto the input).
+    """
+    toks = documents.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.expr(_TOKENS.format(text=text_col))).alias("token"),
+    )
+    if hash_fn == "md5":
+        # hex nibble i = chars of md5[0:16]; bit j = bit (3 - j%4) of
+        # nibble j//4 — identical to unpackbits over digest()[:8]
+        hx = toks.select("doc_id", F.substring(F.md5("token"), 1, 16).alias("hx"))
+        nib = hx.select(
+            "doc_id",
+            *[
+                F.conv(F.substring("hx", i + 1, 1), 16, 10)
+                .cast("int")
+                .alias(f"n{i}")
+                for i in range(16)
+            ],
+        )
+        contribs = [
+            (
+                F.shiftright(F.col(f"n{j // 4}"), 3 - j % 4).bitwiseAND(F.lit(1))
+                * 2
+                - 1
+            ).alias(f"c{j}")
+            for j in range(64)
+        ]
+        per_token = nib.select("doc_id", *contribs)
+    elif hash_fn == "xxh":
+        h = toks.select("doc_id", F.xxhash64("token").alias("h"))
+        contribs = [
+            (
+                F.shiftright(F.col("h"), 63 - j).bitwiseAND(F.lit(1)).cast("int")
+                * 2
+                - 1
+            ).alias(f"c{j}")
+            for j in range(64)
+        ]
+        per_token = h.select("doc_id", *contribs)
+    else:
+        raise ValueError(f"unknown hash_fn: {hash_fn}")
+    sums = per_token.groupBy("doc_id").agg(
+        *[F.sum(f"c{j}").alias(f"s{j}") for j in range(64)]
+    )
+    packed = None
+    for j in range(64):
+        term = F.when(F.col(f"s{j}") > 0, F.lit(_BIT_VALS[j])).otherwise(F.lit(0))
+        packed = term if packed is None else packed + term
+    sig = sums.select("doc_id", packed.cast("long").alias("simhash"))
+    ids = documents.select(F.col(id_col).alias("doc_id"))
+    return ids.join(sig, "doc_id", "left").select(
+        "doc_id", F.coalesce("simhash", F.lit(0)).alias("simhash")
+    )
 
 
 def simhash_near_dups(
@@ -246,39 +457,16 @@ def simhash_near_dups(
     max_hamming: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """(a, b, hamming) pairs with SimHash hamming distance ≤ max_hamming.
 
-    SimHash: 64-bit, bit j set iff the token-weighted sum of (±1 per token
-    md5 bit j) is positive.  Computed in one Arrow-vectorized pandas stage
-    (hashlib md5 is C); candidate blocking splits the 64 bits into 4 bands
-    of 16 — pigeonhole guarantees distance ≤ 3 pairs share a full band, so
-    the join only compares same-band candidates (no quadratic pass).
+    Candidate blocking splits the 64 bits into 4 bands of 16 — pigeonhole
+    guarantees distance ≤ 3 pairs share a full band, so the join only
+    compares same-band candidates (no quadratic pass).
     """
-    import hashlib
-    from collections.abc import Iterator
-
-    import numpy as np
-    import pandas as pd
-
-    def sim(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            out_ids, out_sh = [], []
-            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
-                toks = (text or "").lower().split()
-                acc = np.zeros(64, dtype=np.int64)
-                for t in toks:
-                    bits = np.unpackbits(
-                        np.frombuffer(hashlib.md5(t.encode()).digest()[:8], dtype=np.uint8)
-                    )
-                    acc += bits.astype(np.int64) * 2 - 1
-                sh_bytes = np.packbits((acc > 0).astype(np.uint8)).tobytes()
-                out_ids.append(doc_id)
-                out_sh.append(int.from_bytes(sh_bytes, "big", signed=True))
-            yield pd.DataFrame({"doc_id": out_ids, "simhash": out_sh})
-
-    sig = documents.select(id_col, text_col).mapInPandas(
-        sim, schema=f"doc_id {dict(documents.dtypes)[id_col]}, simhash long"
+    sig = simhash_signatures(
+        documents, id_col=id_col, text_col=text_col, hash_fn=hash_fn
     )
     bands = sig.select(
         "doc_id",
@@ -295,7 +483,9 @@ def simhash_near_dups(
     pairs = (
         a.join(b, ["band", "key"])
         .filter(F.col("a") < F.col("b"))
-        .select("a", "b", F.bit_count(F.expr("ha ^ hb")).alias("hamming"))
+        .select(
+            "a", "b", F.bit_count(F.expr("ha ^ hb")).cast("long").alias("hamming")
+        )
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )

@@ -93,6 +93,7 @@ def bucket_expr(n_planes: int, dim: int, vec: str = "q", table: int = 0) -> str:
 
 def lsh_topk(
     embeddings: DataFrame,
+    dim: int,
     k: int = 10,
     n_queries: int = 10,
     n_planes: int = 6,
@@ -102,9 +103,20 @@ def lsh_topk(
     """LSH-bucketed top-k: same output schema as brute_force_topk, but only
     same-bucket candidates are scored (approximate — measure recall against
     ``brute_force_topk``).  ``n_tables`` independent hash tables union their
-    candidate sets — the standard recall lever (recall grows ~1-(1-p)^L)."""
-    dim = len(embeddings.select("embedding").first()[0])
-    qz = quantize(embeddings, "embedding")
+    candidate sets — the standard recall lever (recall grows ~1-(1-p)^L).
+
+    ``dim`` is the embedding width, passed by the caller (the plane
+    literals are generated driver-side; no ``.first()`` probe in the query
+    path).  A row whose vector width differs raises at execution time
+    rather than silently bucketing on a truncated dot product."""
+    qz = quantize(embeddings, "embedding").withColumn(
+        "q",
+        F.expr(
+            f"CASE WHEN size(q) = {dim} THEN q ELSE "
+            f"raise_error(concat('embedding dim mismatch: expected {dim}, got ', "
+            f"size(q))) END"
+        ),
+    )
     bucket_cols = [
         F.expr(bucket_expr(n_planes, dim, "q", table=t)).alias(f"bkt{t}")
         for t in range(n_tables)

@@ -87,6 +87,7 @@ def materialize_graph(
     n_buckets: int = 16,
     opts: GraphBuildOptions | None = None,
     resume: bool = True,
+    rebuild_dict: bool = False,
 ) -> MaterializeResult:
     """Tokenize → link → write bucketed nodes/edges with a lineage manifest.
 
@@ -126,10 +127,20 @@ def materialize_graph(
     # --- phase 1: global alias dictionary — built ONCE per run and
     # persisted; a resume reloads it instead of re-tokenizing the corpus.
     # On a fresh run (all buckets pending) the pending notes ARE the corpus,
-    # so the tokenize stage runs exactly once.
+    # so the tokenize stage runs exactly once.  A PARTIAL resume with the
+    # dict parquet missing fails LOUDLY instead of silently re-tokenizing
+    # the full corpus — the expensive stage the manifest exists to skip;
+    # pass rebuild_dict=True to explicitly pay that cost.
     try:
         alias_dict = spark.read.parquet(dict_path)
     except Exception:
+        if len(pending) != n_buckets and not rebuild_dict:
+            raise RuntimeError(
+                f"partial resume (buckets {sorted(done)} done) but the "
+                f"persisted alias dict is missing at {dict_path}; refusing "
+                "to silently re-tokenize the full corpus — restore the dict "
+                "or pass rebuild_dict=True"
+            ) from None
         dict_src = (
             notes
             if len(pending) == n_buckets

@@ -80,19 +80,32 @@ def windowed_event_counts(
     query_name: str = "ev_counts",
     window: str = "1 hour",
     watermark: str = "2 hours",
+    checkpoint: str | None = None,
+    output_path: str | None = None,
 ):
     """Watermarked tumbling-window counts per event type, memory sink
-    (smoke/demo; swap the sink for kafka/parquet in production)."""
+    (smoke/demo; swap the sink for kafka/parquet in production).
+
+    With ``output_path`` set the sink is a parquet FILE sink (recoverable:
+    the aggregation state AND watermark survive restarts via ``checkpoint``,
+    so a restarted query DROPS events older than the persisted watermark
+    instead of re-aggregating already-emitted windows).  The memory sink
+    (default) is demo-only and cannot recover from a checkpoint."""
     stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(input_dir)
     agg = (
         stream.withWatermark("ts", watermark)
         .groupBy(F.window("ts", window), "event_type")
         .agg(F.count("*").alias("n_events"), F.sum("value").alias("total_value"))
     )
-    return (
-        agg.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(query_name)
-        .trigger(availableNow=True)
-        .start()
-    )
+    writer = agg.writeStream.outputMode("append")
+    if output_path is not None:
+        if checkpoint is None:
+            raise ValueError("a file sink needs an explicit checkpoint dir")
+        writer = writer.format("parquet").option("path", output_path).option(
+            "checkpointLocation", checkpoint
+        )
+    else:
+        writer = writer.format("memory").queryName(query_name)
+        if checkpoint is not None:
+            writer = writer.option("checkpointLocation", checkpoint)
+    return writer.trigger(availableNow=True).start()

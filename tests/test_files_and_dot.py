@@ -112,6 +112,58 @@ def test_dot_export_guard(spark, micro_vault):
         edges_to_dot(g.edges, max_edges=1)
 
 
+def test_dot_includes_isolated_nodes(spark, micro_vault):
+    """petgraph's Dot prints every node (README.md:78-80), so orphans must
+    appear when a nodes frame is passed."""
+    g = build_graph(micro_vault, reference_parity_options())
+    dot = edges_to_dot(g.edges, nodes=g.nodes)
+    for r in g.nodes.select("doc_id").collect():
+        assert f'"{r.doc_id}" [ label = ' in dot
+    assert '"main" -> "data/main";' in dot
+
+
+def test_flush_roundtrip(spark, micro_vault, tmp_path):
+    """S6: flush_vault writes per-note .md files whose re-scan tokenizes to
+    the identical notes frame (note_write.rs:76-95 → vault_open)."""
+    from obsidian_parser_spark.operators.render import flush_vault
+    from obsidian_parser_spark.operators.tokenize import tokenize_documents
+
+    out = tmp_path / "flushed"
+    written = flush_vault(micro_vault, str(out)).collect()
+    assert len(written) == micro_vault.count()
+    rescanned = read_vault_files(spark, str(out))
+    cols = ["doc_id", "word_count", "byte_count", "content_sha", "tags"]
+    orig = sorted(
+        map(tuple, tokenize_documents(micro_vault).select(*cols).collect())
+    )
+    back = sorted(
+        map(
+            tuple,
+            build_graph(rescanned, reference_parity_options(), raw_text=True)
+            .nodes.select(*cols)
+            .collect(),
+        )
+    )
+    assert orig == back
+
+
+def test_flush_content_and_properties_modes(spark, tmp_path):
+    """note_write.rs:17-72: 'content' keeps on-disk properties, 'properties'
+    keeps on-disk content."""
+    from obsidian_parser_spark.operators.render import flush_vault
+
+    out = tmp_path / "vault"
+    out.mkdir()
+    (out / "n.md").write_text("---\nkept: yes\n---\nold body")
+    doc = spans_df(spark, [spans_from_raw("n", "---\nmine: new\n---\nnew body")])
+    flush_vault(doc, str(out), mode="content").collect()
+    assert (out / "n.md").read_text() == "---\nkept: yes\n---\nnew body"
+    flush_vault(doc, str(out), mode="properties").collect()
+    assert (out / "n.md").read_text() == "---\nmine: new\n---\nnew body"
+    flush_vault(doc, str(out), mode="flush").collect()
+    assert (out / "n.md").read_text() == "---\nmine: new\n---\nnew body"
+
+
 def test_have_duplicates_by_name(spark):
     dup = spans_df(
         spark, [spans_from_raw("file", "x"), spans_from_raw("folder/file", "y")]

@@ -67,3 +67,33 @@ def test_partial_resume_completes_missing_buckets(spark, tmp_path):
     assert nodes.groupBy("doc_id").count().filter("count > 1").count() == 0
     # untouched buckets intact
     assert edges.filter(F.col("bucket") < 2).count() == e_before
+
+
+def test_partial_resume_missing_dict_fails_loudly(spark, tmp_path):
+    """ADVICE r1: a partial resume must not silently re-tokenize the full
+    corpus when the persisted alias dict is gone — it must raise (or be
+    explicitly told to rebuild)."""
+    import shutil
+
+    import pytest
+
+    path = ensure_vault_corpus("sf0.0002", base=str(tmp_path / "corpus"))
+    docs = spark.read.parquet(path)
+    out = str(tmp_path / "graph")
+
+    r1 = materialize_graph(spark, docs, out, run_id="rY", n_buckets=4)
+    manifest = spark.read.parquet(r1.manifest_path)
+    kept_rows = manifest.filter(F.col("bucket") < 2).collect()
+    shutil.rmtree(r1.manifest_path)
+    spark.createDataFrame(kept_rows, manifest.schema).write.parquet(r1.manifest_path)
+    shutil.rmtree(f"{out}/alias_dict_rY")
+
+    with pytest.raises(RuntimeError, match="alias dict is missing"):
+        materialize_graph(spark, docs, out, run_id="rY", n_buckets=4)
+    # explicit opt-in rebuild completes the run
+    r2 = materialize_graph(
+        spark, docs, out, run_id="rY", n_buckets=4, rebuild_dict=True
+    )
+    assert sorted(r2.buckets_processed) == [2, 3]
+    nodes, _ = read_graph(spark, out)
+    assert nodes.count() == docs.count()

@@ -68,21 +68,28 @@ def test_query_matches_oracle(spark, con, name):
     assert not mism, f"{name}: first mismatches {mism[:5]}"
 
 
-def test_every_query_has_oracle_or_reason():
+def test_every_query_has_oracle():
     q = set(E.queries())
     o = set(E.oracle_sql())
-    assert o <= q
-    # documented rows-only exceptions
-    assert q - o == {"kg_components", "kg_component_count", "dd_simhash"}
+    assert o == q  # every query is oracle-backed (no rows-only exceptions)
 
 
-def test_queries_nonempty(spark):
-    """rows-only sanity for the non-oracle queries."""
-    for name in ("kg_components", "kg_component_count", "dd_simhash"):
-        df = E.queries()[name](spark, SF_DIR)
-        assert df.count() >= 0  # executes without error; shape checked below
-    cc = E.queries()["kg_components"](spark, SF_DIR)
-    assert cc.columns == ["id", "component"]
+def test_cc_oracle_worst_case_chain():
+    """The unrolled CC oracle must converge on a path graph (worst case for
+    plain min-propagation): 16 rounds with pointer jumping cover a chain far
+    longer than any oracle-scale component."""
+    n = 4000
+    con = duckdb.connect()
+    edges = ",".join(f"('n{i:05d}', 'n{i + 1:05d}')" for i in range(n - 1))
+    sql = (
+        f"WITH link_edges(subj, obj) AS (VALUES {edges}), "
+        f"notes AS (SELECT DISTINCT subj AS doc_id FROM link_edges "
+        f"UNION SELECT obj FROM link_edges),\n"
+        + E._cc_ctes()
+        + "\nSELECT count(DISTINCT component), min(component), count(*) FROM cc"
+    )
+    n_comp, root, n_nodes = con.sql(sql).fetchone()
+    assert (n_comp, root, n_nodes) == (1, "n00000", n)
 
 
 def test_entry_smoke(spark):

@@ -43,7 +43,7 @@ def test_lsh_recall_improves_with_tables(spark, emb):
 
     def recall(n_tables):
         approx = _topk_sets(
-            lsh_topk(emb, k=10, n_queries=10, n_planes=6, n_tables=n_tables)
+            lsh_topk(emb, dim=64, k=10, n_queries=10, n_planes=6, n_tables=n_tables)
         )
         scores = [
             len(brute[q] & approx.get(q, set())) / len(brute[q]) for q in brute
@@ -54,3 +54,12 @@ def test_lsh_recall_improves_with_tables(spark, emb):
     assert r8 >= r1  # more tables ⇒ recall never drops
     assert r8 >= 0.3  # measured 0.4 on this corpus (random embeddings are
     # a worst case for sign-LSH; the lever works: 1→8 tables ≈ 0.08→0.4)
+
+
+def test_lsh_dim_mismatch_raises(spark, emb):
+    """A wrong dim must fail loudly, not bucket on a truncated dot product."""
+    from py4j.protocol import Py4JJavaError
+
+    with pytest.raises(Exception, match="dim mismatch") as ei:
+        lsh_topk(emb, dim=32, k=5, n_queries=3).collect()
+    assert isinstance(ei.value, Py4JJavaError) or "dim mismatch" in str(ei.value)

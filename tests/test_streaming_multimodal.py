@@ -53,6 +53,47 @@ def test_windowed_event_counts(spark, tmp_path):
     assert out.count() > 0
 
 
+def test_windowed_late_data_dropped(spark, tmp_path):
+    """An event arriving past the watermark must be DROPPED: its (already
+    watermark-closed) window never re-emits (incremental.py watermark
+    semantics — VERDICT r1 item 10)."""
+    from datetime import datetime, timezone
+
+    from obsidian_parser_spark.sources.schema import EVENTS_SCHEMA
+
+    def ts(h, m=0):
+        return datetime(2024, 1, 1, h, m, tzinfo=timezone.utc)
+
+    in_dir = str(tmp_path / "ev")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "win")
+    win0 = "window.start = timestamp'2024-01-01 00:00:00+00'"
+    # batch 1: events at 00:30 and 10:00 → watermark advances to 08:00,
+    # closing (and emitting) the 00:00-01:00 window
+    rows1 = [
+        (1, ts(0, 30), 100, "click", 1.0, None),
+        (2, ts(10), 101, "click", 1.0, None),
+    ]
+    spark.createDataFrame(rows1, EVENTS_SCHEMA).write.mode("append").parquet(in_dir)
+    q = windowed_event_counts(spark, in_dir, checkpoint=ckpt, output_path=out)
+    q.awaitTermination(120)
+    first = spark.read.parquet(out).filter(win0).collect()
+    assert [r.n_events for r in first] == [1]
+
+    # restart from the SAME checkpoint: one LATE event back at 00:45 (behind
+    # the persisted 08:00 watermark) and one fresh event; the 00:00 window
+    # must NOT re-emit — the late event is dropped
+    rows2 = [
+        (3, ts(0, 45), 102, "click", 1.0, None),
+        (4, ts(11), 103, "click", 1.0, None),
+    ]
+    spark.createDataFrame(rows2, EVENTS_SCHEMA).write.mode("append").parquet(in_dir)
+    q2 = windowed_event_counts(spark, in_dir, checkpoint=ckpt, output_path=out)
+    q2.awaitTermination(120)
+    after = spark.read.parquet(out).filter(win0).collect()
+    assert [r.n_events for r in after] == [1]  # unchanged: late event dropped
+
+
 def test_multimodal_plumbing(spark, tmp_path):
     path = ensure_vault_corpus("sf0.0002", base=str(tmp_path / "c"))
     media = media_refs(spark.read.parquet(path))
