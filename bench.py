@@ -56,12 +56,20 @@ def main() -> None:
     timings: dict[str, float] = {}
     extras: dict[str, float] = {}
 
-    def timed(name: str, fn):
+    def timed(name: str, fn, repeat: int = 1):
+        """repeat=2 for PURE queries (same work each run; min taken —
+        run-to-run noise on this VM is >5× on identical cached inputs).
+        Cache-populating stages must stay repeat=1: their second run would
+        just read the cache."""
         if only and name not in only:
             return None
-        t0 = time.perf_counter()
-        out = fn()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best, out = None, None
+        for _ in range(repeat):
+            t0 = time.perf_counter()
+            out = fn()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
         return out
 
     # balanced input partitions: the zstd span parquet is tiny on disk, so
@@ -146,7 +154,7 @@ def main() -> None:
         return n
 
     timed("kg_build_edges", kg_build)
-    timed("kg_backlinks", lambda: A.backlink_counts(g.edges).count())
+    timed("kg_backlinks", lambda: A.backlink_counts(g.edges).count(), repeat=2)
     timed(
         "kg_analytics",
         lambda: (
@@ -154,12 +162,14 @@ def main() -> None:
             A.duplicates_by_content(g.nodes).count(),
             A.orphans(g.nodes, g.edges).count(),
         ),
+        repeat=2,
     )
     timed(
         "kg_components",
         lambda: component_count(
             connected_components(g.nodes, A.link_edges(g.edges))
         ).collect(),
+        repeat=2,
     )
 
     vault_text = reconstruct_text(docs).select(
@@ -172,14 +182,17 @@ def main() -> None:
         lambda: DD.minhash_lsh_pairs(
             vault_text, k=8, bands=4, id_col="doc_id", hash_fn="xxh"
         ).count(),
+        repeat=2,
     )
     timed(
         "ts_quality_vault",
         lambda: TS.quality_scores(vault_text).agg(F.sum("quality")).collect(),
+        repeat=2,
     )
     timed(
         "ts_fingerprint_vault",
         lambda: TS.fingerprints(vault_text).agg(F.sum("fingerprint")).collect(),
+        repeat=2,
     )
 
     # driver-table queries (small, fixed size — latency floor); only when
@@ -191,11 +204,13 @@ def main() -> None:
             lambda: SIM.brute_force_topk(emb, k=10, n_queries=10)
             .agg(F.sum("score"))
             .collect(),
+            repeat=2,
         )
         ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
         timed(
             "ev_sessionize",
             lambda: EV.sessionize(ev).agg(F.sum("value_cents")).collect(),
+            repeat=2,
         )
 
     total = round(
