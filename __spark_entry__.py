@@ -314,6 +314,14 @@ def _q_ann_lsh_mt(spark, sf_dir):
     return r.withColumn("rank", F.col("rank").cast("long"))
 
 
+def _q_ann_ivf(spark, sf_dir):
+    """IVF ANN: deterministic coarse quantizer + probe-2 exact re-rank."""
+    r = SIM.ivf_topk(
+        _embeddings(spark, sf_dir), k=10, n_queries=10, n_centroids=8, n_probe=2
+    )
+    return r.withColumn("rank", F.col("rank").cast("long"))
+
+
 def _q_ts_langid(spark, sf_dir):
     return TS.lang_id(_documents(spark, sf_dir))
 
@@ -404,6 +412,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": _q_ann_topk,
         "ann_lsh": _q_ann_lsh,
         "ann_lsh_mt": _q_ann_lsh_mt,
+        "ann_ivf": _q_ann_ivf,
         "ts_langid": _q_ts_langid,
         "ts_quality": _q_ts_quality,
         "ts_tokens": _q_ts_tokens,
@@ -885,6 +894,36 @@ scored AS (
          CAST(list_sum([qq.qv[i] * nn.qv[i] for i in range(1, len(qq.qv) + 1)]) AS BIGINT) AS score
   FROM b qq JOIN b nn ON qq.tbl = nn.tbl AND qq.bucket = nn.bucket
   WHERE qq.vec_id < 10 AND nn.vec_id <> qq.vec_id
+)
+SELECT query_id, neighbor_id, rank, score FROM (
+  SELECT query_id, neighbor_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, neighbor_id) AS rank
+  FROM scored) WHERE rank <= 10""",
+        "ann_ivf": f"""
+WITH q AS (SELECT vec_id, {qv} AS qv FROM embeddings),
+cent AS (SELECT vec_id AS cid, qv AS cq FROM q WHERE vec_id < 8),
+d AS MATERIALIZED (
+  SELECT q.vec_id, q.qv, c.cid,
+         CAST(list_sum([(q.qv[i] - c.cq[i]) * (q.qv[i] - c.cq[i])
+                        for i in range(1, len(q.qv) + 1)]) AS BIGINT) AS d2
+  FROM q, cent c
+),
+cells AS (
+  SELECT vec_id AS neighbor_id, qv AS nv, cid FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+    FROM d) WHERE rn = 1
+),
+qcells AS (
+  SELECT vec_id AS query_id, qv, cid FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+    FROM d WHERE vec_id < 10) WHERE rn <= 2
+),
+scored AS (
+  SELECT qq.query_id, n.neighbor_id,
+         CAST(list_sum([qq.qv[i] * n.nv[i] for i in range(1, len(qq.qv) + 1)]) AS BIGINT) AS score
+  FROM qcells qq JOIN cells n USING (cid)
+  WHERE n.neighbor_id <> qq.query_id
 )
 SELECT query_id, neighbor_id, rank, score FROM (
   SELECT query_id, neighbor_id, score,

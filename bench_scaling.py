@@ -70,6 +70,15 @@ def main() -> None:
     print(json.dumps(result))
 
     os.makedirs("BENCH", exist_ok=True)
+    # preserve any appendix section a previous run (or hand edit) added
+    appendix = ""
+    try:
+        with open("BENCH/BASELINE.md") as f:
+            old = f.read()
+        if "\n## Appendix" in old:
+            appendix = "\n## Appendix" + old.split("\n## Appendix", 1)[1]
+    except FileNotFoundError:
+        pass
     with open("BENCH/BASELINE.md", "w") as f:
         f.write(f"""# BENCH baseline — KG-construction pipeline scaling
 
@@ -94,7 +103,7 @@ plan contains no all-to-all stage that grows super-linearly — the two-point
 curve above is the sandbox stand-in for the N→4N executor gate.
 
 Full per-query timings: see BENCH_r*.json (driver) or run `python bench.py`.
-""")
+{appendix}""")
 
 
 if __name__ == "__main__":

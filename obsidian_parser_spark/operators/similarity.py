@@ -91,6 +91,70 @@ def bucket_expr(n_planes: int, dim: int, vec: str = "q", table: int = 0) -> str:
     return " + ".join(bits)
 
 
+def ivf_topk(
+    embeddings: DataFrame,
+    k: int = 10,
+    n_queries: int = 10,
+    n_centroids: int = 8,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF (inverted-file) ANN — the second scale path besides sign-LSH.
+
+    Coarse quantizer: the first ``n_centroids`` vectors serve as centroids
+    (k-means++-style data-point seeding WITHOUT iterative refinement — no
+    RNG, so any engine reproduces the cells bit-for-bit; swap in a trained
+    codebook for recall in production).  Every vector is assigned to its
+    exact-integer-L2-nearest centroid; a query probes its ``n_probe``
+    nearest cells and exact-reranks the union of those inverted lists.
+
+    Plan shape at 10^12 rows: assignment is a BROADCAST crossJoin with the
+    tiny centroid table followed by a map-side-combinable
+    ``groupBy(id).agg(min(struct(d2, cid)))`` argmin — no window shuffle of
+    the big side; candidate search joins only the probed cells.
+    """
+    d2 = "aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)), 0L, (acc, v) -> acc + v)"
+    qz = quantize(embeddings, "embedding").select(F.col(id_col).alias("vid"), "q")
+    cent = qz.filter(F.col("vid") < n_centroids).select(
+        F.col("vid").alias("cid"), F.col("q").alias("cq")
+    )
+    pairs = qz.crossJoin(F.broadcast(cent)).withColumn(
+        "d2", F.expr(d2.format(a="q", b="cq"))
+    )
+    # base side: exact argmin per vector, map-side combinable (no window)
+    cells = (
+        pairs.groupBy("vid")
+        .agg(
+            F.min(F.struct("d2", "cid")).alias("_m"),
+            F.first("q").alias("q"),
+        )
+        .select(F.col("vid").alias("neighbor_id"), F.col("q").alias("nv"), F.col("_m.cid").alias("cid"))
+    )
+    # query side: top-n_probe cells (tiny frame — window is fine here)
+    wq = Window.partitionBy("vid").orderBy(F.asc("d2"), F.asc("cid"))
+    qcells = (
+        pairs.filter(F.col("vid") < n_queries)
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= n_probe)
+        .select(F.col("vid").alias("query_id"), F.col("q").alias("qv"), "cid")
+    )
+    scored = (
+        cells.join(F.broadcast(qcells), "cid")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.expr(_DOT.format(a="qv", b="nv")).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "score")
+    )
+
+
 def lsh_topk(
     embeddings: DataFrame,
     dim: int,

@@ -56,6 +56,34 @@ def test_lsh_recall_improves_with_tables(spark, emb):
     # a worst case for sign-LSH; the lever works: 1→8 tables ≈ 0.08→0.4)
 
 
+def test_ivf_probe_all_equals_brute_force(spark, emb):
+    """Probing every cell makes IVF an exhaustive exact search — it must
+    reproduce brute_force_topk EXACTLY (same integer scores, same order)."""
+    from obsidian_parser_spark.operators.similarity import ivf_topk
+
+    brute = sorted(map(tuple, brute_force_topk(emb, k=10, n_queries=10).collect()))
+    full = sorted(
+        map(
+            tuple,
+            ivf_topk(emb, k=10, n_queries=10, n_centroids=8, n_probe=8).collect(),
+        )
+    )
+    assert brute == full
+
+
+def test_ivf_partial_probe_recall(spark, emb):
+    from obsidian_parser_spark.operators.similarity import ivf_topk
+
+    brute = _topk_sets(brute_force_topk(emb, k=10, n_queries=10))
+    approx = _topk_sets(
+        ivf_topk(emb, k=10, n_queries=10, n_centroids=8, n_probe=2)
+    )
+    scores = [
+        len(brute[q] & approx.get(q, set())) / len(brute[q]) for q in brute
+    ]
+    assert sum(scores) / len(scores) >= 0.15  # 2-of-8 cells on random data
+
+
 def test_lsh_dim_mismatch_raises(spark, emb):
     """A wrong dim must fail loudly, not bucket on a truncated dot product."""
     from py4j.protocol import Py4JJavaError
