@@ -1,0 +1,107 @@
+"""Physical-plan regression gates: the properties that make the engine
+viable at 100 TB, asserted on the actual executed plans so they can't
+silently regress.
+
+* exactly ONE Arrow/Python stage in the whole KG pipeline (the tokenizer);
+* relational operators stay JVM-side (no BatchEvalPython anywhere);
+* aggregations are map-side partial (two HashAggregate levels);
+* parquet scans prune columns and push filters.
+"""
+
+import pyspark.sql.functions as F
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+PY_MARKERS = ("BatchEvalPython", "ArrowEvalPython", "PythonUDF")
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def graph(spark, micro_vault):
+    from obsidian_parser_spark.plans.pipeline import build_graph
+
+    return build_graph(micro_vault)
+
+
+def test_tokenize_has_exactly_one_python_stage(spark, micro_vault):
+    from obsidian_parser_spark.operators.tokenize import tokenize_documents
+
+    plan = _plan(tokenize_documents(micro_vault))
+    assert plan.count("MapInPandas") == 1  # the tokenizer, nothing else
+    for marker in PY_MARKERS:
+        assert marker not in plan, marker
+
+
+def test_edges_pipeline_reuses_cached_tokenizer_output(graph):
+    """Three consumers (nodes, dict, mentions) must read the tokenizer's
+    CACHED output, not re-run the Python stage (the plan text repeats the
+    cached subtree per reference, so count InMemoryTableScan, not
+    MapInPandas occurrences)."""
+    plan = _plan(graph.edges)
+    assert "InMemoryTableScan" in plan
+    for marker in PY_MARKERS:
+        assert marker not in plan, marker
+
+
+def test_analytics_plans_are_jvm_only(graph):
+    from obsidian_parser_spark.operators import analytics as A
+
+    # downstream of the (cached) notes frame every operator is pure JVM:
+    # run over a re-materialized edges frame so only the query plan shows
+    edges = graph.edges.localCheckpoint()
+    for df in (
+        A.backlink_counts(edges),
+        A.knowledge_hub(edges),
+        A.degree_distribution(edges),
+    ):
+        plan = _plan(df)
+        assert "MapInPandas" not in plan
+        for marker in PY_MARKERS:
+            assert marker not in plan, marker
+
+
+def test_backlinks_aggregate_is_map_side_partial(graph):
+    from obsidian_parser_spark.operators import analytics as A
+
+    plan = _plan(A.backlink_counts(graph.edges.localCheckpoint()))
+    # two HashAggregate levels = partial (map-side) + final — the hub-skew
+    # flattener the north rule requires
+    assert plan.count("HashAggregate") >= 2
+    assert "partial_count" in plan
+
+
+def test_scan_prunes_columns(spark):
+    """ts_tokens touches only (doc_id, text); the parquet scan must not
+    read the other document columns (lang, n_chars, ...)."""
+    from obsidian_parser_spark.operators.textstats import token_counts
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    assert len(docs.columns) > 2  # the table carries more than we use
+    plan = _plan(token_counts(docs))
+    scan_line = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "text" in scan_line and "doc_id" in scan_line
+    assert "lang" not in scan_line and "n_chars" not in scan_line
+
+
+def test_scan_pushes_filters(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _plan(docs.filter(F.col("doc_id") < 100).select("doc_id"))
+    assert "PushedFilters: [" in plan
+    assert "LessThan(doc_id,100)" in plan
+
+
+def test_minhash_plan_is_jvm_only(spark):
+    from obsidian_parser_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i} w{i+1} w{i+2} w{i+3}") for i in range(20)],
+        "doc_id int, text string",
+    )
+    plan = _plan(minhash_lsh_pairs(docs, k=8, bands=4, hash_fn="xxh"))
+    for marker in PY_MARKERS:
+        assert marker not in plan, marker
+    assert "MapInPandas" not in plan
