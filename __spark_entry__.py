@@ -354,6 +354,23 @@ def _q_ev_top_users(spark, sf_dir):
     return EV.top_users_by_value(_events(spark, sf_dir), k=10)
 
 
+def _q_ev_props_json(spark, sf_dir):
+    return EV.props_json_stats(_events(spark, sf_dir))
+
+
+def _q_ts_split(spark, sf_dir):
+    """Deterministic hash-based train/valid/test split (randomSplit is
+    partition-order-dependent; a 10^12-doc split must be a pure function
+    of the id)."""
+    from obsidian_parser_spark.operators.sampling import hash_split
+
+    d = hash_split(_documents(spark, sf_dir))
+    return d.groupBy("split").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )
+
+
 def _q_ts_percentiles(spark, sf_dir):
     """Exact continuous percentiles of doc length per language — sort/
     quantile coverage (Spark `percentile` == DuckDB `quantile_cont`)."""
@@ -420,6 +437,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_sessionize": _q_ev_sessionize,
         "ev_windowed": _q_ev_windowed,
         "ev_top_users": _q_ev_top_users,
+        "ev_props_json": _q_ev_props_json,
+        "ts_split": _q_ts_split,
         "ts_percentiles": _q_ts_percentiles,
     }
 
@@ -1002,6 +1021,17 @@ SELECT user_id,
        count(*)::BIGINT AS n_events
 FROM events GROUP BY user_id
 ORDER BY value_cents DESC, user_id LIMIT 10""",
+        "ts_split": """
+WITH b AS (SELECT n_chars, ((strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 4096 + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 256 + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 16 + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1)) % 100 AS bkt FROM documents)
+SELECT CASE WHEN bkt < 80 THEN 'train'
+            WHEN bkt < 90 THEN 'valid' ELSE 'test' END AS split,
+       count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS total_chars
+FROM b GROUP BY 1""",
+        "ev_props_json": """
+SELECT event_type, count(*)::BIGINT AS n_events,
+       sum(CAST(json_extract_string(props, '$.k') AS BIGINT))::BIGINT AS sum_k,
+       max(CAST(json_extract_string(props, '$.k') AS BIGINT))::BIGINT AS max_k
+FROM events GROUP BY event_type""",
         "ts_percentiles": """
 SELECT lang,
        round(quantile_cont(n_chars, 0.5), 4) AS p50,

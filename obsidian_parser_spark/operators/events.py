@@ -71,3 +71,21 @@ def top_users_by_value(events: DataFrame, k: int = 10) -> DataFrame:
         .orderBy(F.desc("value_cents"), F.asc("user_id"))
         .limit(k)
     )
+
+
+def props_json_stats(events: DataFrame) -> DataFrame:
+    """Semi-structured projection: extract the integer ``k`` field from the
+    JSON ``props`` column and aggregate per event type — the engine's JSON
+    scalar-function surface (Spark ``get_json_object`` / DuckDB
+    ``json_extract``, both JVM/native-side; no UDF).
+    → (event_type, n_events, sum_k, max_k)."""
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        events.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("k").alias("sum_k"),
+            F.max("k").alias("max_k"),
+        )
+    )

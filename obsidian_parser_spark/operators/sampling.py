@@ -1,0 +1,44 @@
+"""Deterministic sampling / dataset splitting for training pipelines.
+
+Hash-based, not RNG-based: a row's split is a pure function of its id, so
+it is stable under re-runs, partitioning changes, and cluster size — the
+property a 10^12-document train/val/test split actually needs (Spark's
+``randomSplit`` is partition-order-dependent).  The hash is md5 (first 4
+hex nibbles → 0..65535 → bucket 0..99), reproducible in any engine, so the
+split itself is DuckDB-oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def hash_bucket(col: str = "doc_id", buckets: int = 100):
+    """0..buckets-1 bucket from the first 16 bits of md5(cast(col AS string));
+    pure JVM expression."""
+    h16 = F.conv(F.substring(F.md5(F.col(col).cast("string")), 1, 4), 16, 10)
+    return F.pmod(h16.cast("long"), F.lit(buckets))
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    train_pct: int = 80,
+    valid_pct: int = 10,
+) -> DataFrame:
+    """Add a ``split`` column ∈ {train, valid, test} by deterministic hash
+    bucket: [0, train_pct) → train, [train_pct, train_pct+valid_pct) →
+    valid, rest → test."""
+    b = hash_bucket(id_col)
+    return df.withColumn(
+        "split",
+        F.when(b < train_pct, F.lit("train"))
+        .when(b < train_pct + valid_pct, F.lit("valid"))
+        .otherwise(F.lit("test")),
+    )
+
+
+def hash_sample(df: DataFrame, pct: int, id_col: str = "doc_id") -> DataFrame:
+    """Keep a deterministic ~pct% sample (same rows every run, any cluster)."""
+    return df.filter(hash_bucket(id_col) < pct)
