@@ -105,7 +105,49 @@ _MENTION_RE = re.compile(
     r"|\[[^\]\[]*\]\(([^()\s]+)\)"  # [caption](target)
 )
 _WIKILINK_ONLY_RE = re.compile(r"(?s)(.)(?=\[\[(.*?)\]\])")
+_MDLINK_BODY_RE = re.compile(r"\[[^\]\[]*\]\(([^()\s]+)\)")
 _MD_STRIP = re.compile(r"\.md$", re.IGNORECASE)
+
+
+def _scan_mentions(s: str, include_mdlinks: bool) -> list[tuple]:
+    """Hand-rolled scanner equivalent to ``_MENTION_RE.findall`` /
+    ``_WIKILINK_ONLY_RE.findall`` (emits the same (prev, inner, md_target)
+    tuples in the same order) but ~10× faster: the regex alternation pays a
+    DOTALL lazy lookahead at EVERY character, this jumps between '['
+    occurrences with C-level ``str.find``.  Semantics replicated exactly
+    (property-tested against the regex in test_properties.py):
+
+    * at position x, the wikilink branch fires iff ``[[`` starts at x+1 and
+      a ``]]`` closes somewhere after — consuming ONE char, so consecutive/
+      overlapping ``[[`` occurrences all emit (parser.rs:22-24 scan);
+    * otherwise the mdlink branch must CONSUME its whole match (nested
+      wikilinks inside a consumed target are not re-scanned);
+    * positions with no '[' at x or x+1 can match neither branch — skipped.
+    """
+    out: list[tuple] = []
+    x, n = 0, len(s)
+    find = s.find
+    md_match = _MDLINK_BODY_RE.match
+    while x < n:
+        p = find("[", x)
+        if p == -1:
+            break
+        if p - 1 > x:
+            x = p - 1  # everything before p-1 can match neither branch
+        if s[x + 1 : x + 3] == "[[":
+            j = find("]]", x + 3)
+            if j != -1:
+                out.append((s[x], s[x + 3 : j], ""))
+                x += 1
+                continue
+        if include_mdlinks and s[x] == "[":
+            m = md_match(s, x)
+            if m:
+                out.append(("", "", m.group(1)))
+                x = m.end()
+                continue
+        x += 1
+    return out
 
 
 def clean_wikilink_target(inner: str) -> str:
@@ -124,17 +166,13 @@ def extract_mentions_series(
     stripped case-insensitively (mirrors the scan's ASCII-case-insensitive
     extension match, src/vault/vault_open/mod.rs:66-70).
     """
-    pat = _MENTION_RE if include_mdlinks else _WIKILINK_ONLY_RE
-    found = ("\n" + content.fillna("")).str.findall(pat)
+    found = content.fillna("").map(
+        lambda t: _scan_mentions("\n" + t, include_mdlinks)
+    )
 
     def to_mentions(matches: list) -> list[dict]:
         out = []
-        for m in matches:
-            if include_mdlinks:
-                prev, inner, md_target = m
-            else:
-                prev, inner = m
-                md_target = ""
+        for prev, inner, md_target in matches:
             if md_target:
                 t = md_target.strip()
                 if "://" in t:
@@ -167,11 +205,35 @@ def extract_mentions_series(
 # 0x23, so a char-level check is equivalent.)
 _TAG_GOOD_CLASS = r"[\w\-" + emoji_regex_class_body(exclude="#") + r"]"
 _INLINE_TAG_RE = re.compile(r"(?:^|(?<=\s))#(" + _TAG_GOOD_CLASS + r"+)", re.UNICODE)
+_TAG_PREFIX_RE = re.compile(_TAG_GOOD_CLASS + r"+")
+
+
+def extract_inline_tags(text: str) -> list[str]:
+    """Inline tags of one document, document order.
+
+    Equivalent to ``_INLINE_TAG_RE.findall`` (property-tested) but ~3×
+    faster: a '#' matches iff it starts a whitespace-delimited word
+    (``(?:^|(?<=\\s))`` ⇔ word start under ``str.split``), so only the
+    good-prefix match on each '#'-word pays the huge emoji character class
+    — not a scan of the full text.  The split is shared with word_count
+    semantics (both are ``split_whitespace``, src/note/note_tags.rs:40-58
+    and mod.rs:100-103)."""
+    return _tags_from_words(text.split())
+
+
+def _tags_from_words(words: list[str]) -> list[str]:
+    tags = []
+    for w in words:
+        if w[0] == "#":
+            m = _TAG_PREFIX_RE.match(w, 1)
+            if m:
+                tags.append(m.group(0))
+    return tags
 
 
 def extract_inline_tags_series(content: pd.Series) -> pd.Series:
     """Series[str] -> Series[list[str]] of inline tags, document order."""
-    return content.fillna("").str.findall(_INLINE_TAG_RE)
+    return content.fillna("").map(extract_inline_tags)
 
 
 # --------------------------------------------------------------------------
@@ -276,10 +338,18 @@ def tokenize_batch(
     aliases = [x[2] for x in fm_parsed]
     fm_err = [x[3] for x in fm_parsed]
 
-    inline = extract_inline_tags_series(content)
+    # one whitespace split serves both inline-tag scan (note_tags.rs:40-58)
+    # and word_count (mod.rs:100-103) — identical split_whitespace
+    # semantics; per-doc transient (holding every split alive at once costs
+    # more in allocator churn than the second split saved)
+    inline, wcounts = [], []
+    for t in content:
+        ws = t.split()
+        inline.append(_tags_from_words(ws))
+        wcounts.append(len(ws))
     # frontmatter tags PREPENDED before inline tags, duplicates kept
     # (note_tags.rs:60: [tags_from_properties, tags_from_content].concat()).
-    tags = [f + list(i) for f, i in zip(tags_fm, inline)]
+    tags = [f + i for f, i in zip(tags_fm, inline)]
     mentions = extract_mentions_series(content, include_mdlinks=include_mdlinks)
 
     prior_err = (
@@ -298,7 +368,7 @@ def tokenize_batch(
             "is_todo": pd.Series(
                 ["todo" in t for t in tags], index=pdf.index, dtype=bool
             ),
-            "word_count": content.map(word_count).astype("int64"),
+            "word_count": pd.Series(wcounts, index=pdf.index, dtype="int64"),
             "byte_count": content.map(byte_count).astype("int64"),
             "content_sha": content.map(sha256_hex),
             "is_empty": (content == "").astype(bool),

@@ -77,6 +77,38 @@ def test_tokenize_batch_total(raw):
     assert isinstance(row["mentions"], list)
 
 
+@given(text | weird)
+@settings(max_examples=400, deadline=None)
+def test_mention_scanner_equals_regex(content):
+    """The hand-rolled _scan_mentions must replicate the reference regex
+    (_MENTION_RE / _WIKILINK_ONLY_RE alternation semantics) EXACTLY —
+    including overlapping [[ positions and mdlink whole-match consumption."""
+    from obsidian_parser_spark.functions.textops import (
+        _MENTION_RE,
+        _WIKILINK_ONLY_RE,
+        _scan_mentions,
+    )
+
+    s = "\n" + content
+    got_md = _scan_mentions(s, True)
+    want_md = [(p, i, m) for p, i, m in _MENTION_RE.findall(s)]
+    assert got_md == want_md
+    got_w = [(p, i) for p, i, _ in _scan_mentions(s, False)]
+    want_w = _WIKILINK_ONLY_RE.findall(s)
+    assert got_w == want_w
+
+
+@given(text | weird)
+@settings(max_examples=400, deadline=None)
+def test_tag_scanner_equals_regex(content):
+    from obsidian_parser_spark.functions.textops import (
+        _INLINE_TAG_RE,
+        extract_inline_tags,
+    )
+
+    assert extract_inline_tags(content) == _INLINE_TAG_RE.findall(content)
+
+
 @given(st.text(max_size=300))
 @settings(max_examples=200, deadline=None)
 def test_spans_roundtrip_reconstruction(raw):
