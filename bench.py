@@ -55,16 +55,22 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     extras: dict[str, float] = {}
+    n_passes = max(1, int(os.environ.get("BENCH_REPEAT", "2")))
 
     def timed(name: str, fn, repeat: int = 1):
-        """repeat=2 for PURE queries (same work each run; min taken —
-        run-to-run noise on this VM is >5× on identical cached inputs).
-        Cache-populating stages must stay repeat=1: their second run would
-        just read the cache."""
+        """Record min time across calls.  Host CPU-steal on this sandbox
+        swings identical runs 3-4× for minutes at a stretch, so noise
+        suppression is layered: ``repeat`` re-runs a PURE query back-to-back
+        (same work each run; cache-populating stages must stay repeat=1 —
+        their second run would just read the cache), and the WHOLE pipeline
+        runs ``BENCH_REPEAT`` passes (caches cleared between) with per-query
+        minima kept across passes, so one slow phase doesn't poison the
+        report.  Inner repeat is skipped when outer passes already sample
+        each query multiple times."""
         if only and name not in only:
             return None
-        best, out = None, None
-        for _ in range(repeat):
+        best, out = timings.get(name), None
+        for _ in range(repeat if n_passes == 1 else 1):
             t0 = time.perf_counter()
             out = fn()
             dt = time.perf_counter() - t0
@@ -75,7 +81,10 @@ def main() -> None:
     # balanced input partitions: the zstd span parquet is tiny on disk, so
     # file-split sizing would under-parallelize; one explicit repartition
     # feeds every core (on a cluster: bucketed table layout instead)
-    docs = spark.read.parquet(corpus_path).repartition(cpus * 3).persist()
+    def _read_docs():
+        return spark.read.parquet(corpus_path).repartition(cpus * 3).persist()
+
+    docs = _read_docs()
     n_docs = docs.count()
 
     # warm the Python workers once (interpreter spawn + pandas/yaml imports
@@ -130,88 +139,100 @@ def main() -> None:
         spark.stop()
         return
 
-    # build_graph's auto broadcast decision counts the alias dict, which
-    # materializes the tokenize stage — so the BUILD CALL is the tokenize+
-    # dict timing, and the edge count is the link timing
-    built = {}
+    for _pass in range(n_passes):
+        if _pass:
+            # fresh pass: drop every cache so stage timings re-measure the
+            # real work, then re-warm the input and workers (both timed
+            # again; minima survive)
+            spark.catalog.clearCache()
+            docs = _read_docs()
+            docs.count()
+            timed("py_worker_warmup", _warm)
 
-    def kg_tokenize():
-        built["g"] = build_graph(docs, GraphBuildOptions())
-        built["g"].nodes.count()
+        # build_graph's auto broadcast decision counts the alias dict, which
+        # materializes the tokenize stage — so the BUILD CALL is the
+        # tokenize+dict timing, and the edge count is the link timing
+        built = {}
 
-    timed("kg_tokenize", kg_tokenize)
-    if "g" not in built:
-        # BENCH_QUERIES filtered the build out — run it untimed; downstream
-        # queries still need the graph
-        built["g"] = build_graph(docs, GraphBuildOptions())
-    g = built["g"]
-    edges = g.edges.persist()  # the materialized edge table analytics query
-    g = type(g)(nodes=g.nodes, edges=edges, dangling=g.dangling, alias_dict=g.alias_dict)
+        def kg_tokenize():
+            built["g"] = build_graph(docs, GraphBuildOptions())
+            built["g"].nodes.count()
 
-    def kg_build():
-        n = edges.count()
-        extras["triples"] = n
-        return n
+        timed("kg_tokenize", kg_tokenize)
+        if "g" not in built:
+            # BENCH_QUERIES filtered the build out — run it untimed;
+            # downstream queries still need the graph
+            built["g"] = build_graph(docs, GraphBuildOptions())
+        g = built["g"]
+        edges = g.edges.persist()  # the materialized edge table
+        g = type(g)(
+            nodes=g.nodes, edges=edges, dangling=g.dangling, alias_dict=g.alias_dict
+        )
 
-    timed("kg_build_edges", kg_build)
-    timed("kg_backlinks", lambda: A.backlink_counts(g.edges).count(), repeat=2)
-    timed(
-        "kg_analytics",
-        lambda: (
-            A.knowledge_hub(g.edges).collect(),
-            A.duplicates_by_content(g.nodes).count(),
-            A.orphans(g.nodes, g.edges).count(),
-        ),
-        repeat=2,
-    )
-    timed(
-        "kg_components",
-        lambda: component_count(
-            connected_components(g.nodes, A.link_edges(g.edges))
-        ).collect(),
-        repeat=2,
-    )
+        def kg_build():
+            n = edges.count()
+            extras["triples"] = n
+            return n
 
-    vault_text = reconstruct_text(docs).select(
-        F.col("doc_id").alias("doc_id"), F.col("content").alias("text")
-    )
-    # aggregates over the computed columns — a bare count() would let
-    # Catalyst prune the actual work
-    timed(
-        "dd_minhash_vault",
-        lambda: DD.minhash_lsh_pairs(
-            vault_text, k=8, bands=4, id_col="doc_id", hash_fn="xxh"
-        ).count(),
-        repeat=2,
-    )
-    timed(
-        "ts_quality_vault",
-        lambda: TS.quality_scores(vault_text).agg(F.sum("quality")).collect(),
-        repeat=2,
-    )
-    timed(
-        "ts_fingerprint_vault",
-        lambda: TS.fingerprints(vault_text).agg(F.sum("fingerprint")).collect(),
-        repeat=2,
-    )
-
-    # driver-table queries (small, fixed size — latency floor); only when
-    # the sf_dir actually carries the driver tables (vault-only sfs don't)
-    if os.path.exists(os.path.join(sf_dir, "embeddings.parquet")):
-        emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+        timed("kg_build_edges", kg_build)
+        timed("kg_backlinks", lambda: A.backlink_counts(g.edges).count(), repeat=2)
         timed(
-            "ann_topk",
-            lambda: SIM.brute_force_topk(emb, k=10, n_queries=10)
-            .agg(F.sum("score"))
-            .collect(),
+            "kg_analytics",
+            lambda: (
+                A.knowledge_hub(g.edges).collect(),
+                A.duplicates_by_content(g.nodes).count(),
+                A.orphans(g.nodes, g.edges).count(),
+            ),
             repeat=2,
         )
-        ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
         timed(
-            "ev_sessionize",
-            lambda: EV.sessionize(ev).agg(F.sum("value_cents")).collect(),
+            "kg_components",
+            lambda: component_count(
+                connected_components(g.nodes, A.link_edges(g.edges))
+            ).collect(),
             repeat=2,
         )
+
+        vault_text = reconstruct_text(docs).select(
+            F.col("doc_id").alias("doc_id"), F.col("content").alias("text")
+        )
+        # aggregates over the computed columns — a bare count() would let
+        # Catalyst prune the actual work
+        timed(
+            "dd_minhash_vault",
+            lambda: DD.minhash_lsh_pairs(
+                vault_text, k=8, bands=4, id_col="doc_id", hash_fn="xxh"
+            ).count(),
+            repeat=2,
+        )
+        timed(
+            "ts_quality_vault",
+            lambda: TS.quality_scores(vault_text).agg(F.sum("quality")).collect(),
+            repeat=2,
+        )
+        timed(
+            "ts_fingerprint_vault",
+            lambda: TS.fingerprints(vault_text).agg(F.sum("fingerprint")).collect(),
+            repeat=2,
+        )
+
+        # driver-table queries (small, fixed size — latency floor); only
+        # when the sf_dir carries the driver tables (vault-only sfs don't)
+        if os.path.exists(os.path.join(sf_dir, "embeddings.parquet")):
+            emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+            timed(
+                "ann_topk",
+                lambda: SIM.brute_force_topk(emb, k=10, n_queries=10)
+                .agg(F.sum("score"))
+                .collect(),
+                repeat=2,
+            )
+            ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+            timed(
+                "ev_sessionize",
+                lambda: EV.sessionize(ev).agg(F.sum("value_cents")).collect(),
+                repeat=2,
+            )
 
     total = round(
         sum(v for k, v in timings.items() if k != "py_worker_warmup"), 3
