@@ -385,6 +385,60 @@ def _q_ts_percentiles(spark, sf_dir):
     )
 
 
+def _q_ts_repetition(spark, sf_dir):
+    """Gopher-style repetition filters (dup lines / dup line bytes / top
+    bigram) — the standard LLM-corpus boilerplate gate."""
+    return TS.repetition_stats(_documents(spark, sf_dir))
+
+
+def _q_ts_keywords(spark, sf_dir):
+    """Per-doc top-3 keywords: tf ranking under a document-frequency
+    stopword cut (integer-exact TF-IDF core).  df cap 0.8: the driver
+    fixture draws from a ~30-word vocabulary where typical tokens appear
+    in ~80%% of docs — the operator default (0.5) would keep almost
+    nothing on this corpus."""
+    return TS.top_keywords(_documents(spark, sf_dir), k=3, max_df_frac=0.8)
+
+
+def _pii_corpus(spark, sf_dir):
+    """documents with deterministic synthetic PII appended (email + IPv4 +
+    long number per doc) so the scrubber has guaranteed positives; the
+    oracle derives the identical corpus in SQL."""
+    base = _documents(spark, sf_dir).select("doc_id", "text")
+    return base.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact: user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com from 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7 ref 900"),
+            (F.col("doc_id") % 10000).cast("string"),
+            F.lit("1234"),
+        ).alias("text"),
+    )
+
+
+def _q_ts_scrub(spark, sf_dir):
+    return TS.pii_scrub(_pii_corpus(spark, sf_dir))
+
+
+def _q_dd_clusters(spark, sf_dir):
+    """Canonicalization: MinHash-LSH candidate pairs → transitive closure →
+    keeper per duplicate cluster (the md5 hash family, so the oracle
+    re-derives the same pairs)."""
+    pairs = DD.minhash_lsh_pairs(_dedup_corpus(spark, sf_dir), k=12, bands=4)
+    return DD.dedup_clusters(pairs)
+
+
+def _q_kg_modality(spark, sf_dir):
+    """Per-document modality profile off the interleaved span array."""
+    from obsidian_parser_spark.operators.multimodal import modality_stats
+
+    return modality_stats(spark.read.parquet(_vault_path(sf_dir)))
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -440,6 +494,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_props_json": _q_ev_props_json,
         "ts_split": _q_ts_split,
         "ts_percentiles": _q_ts_percentiles,
+        "ts_repetition": _q_ts_repetition,
+        "ts_keywords": _q_ts_keywords,
+        "ts_scrub": _q_ts_scrub,
+        "dd_clusters": _q_dd_clusters,
+        "kg_modality": _q_kg_modality,
     }
 
 
@@ -552,10 +611,18 @@ def _cc_ctes(n_rounds: int = 16) -> str:
         " WHERE subj <> obj"
         " UNION SELECT obj, subj FROM link_edges WHERE subj <> obj)",
         "l0 AS MATERIALIZED (SELECT doc_id AS id, doc_id AS lbl FROM notes)",
+        _label_prop_rounds(n_rounds),
     ]
-    # AS MATERIALIZED is load-bearing: each round references the previous one
-    # 3×, and CTE inlining would expand 3^n_rounds subtrees (and re-open the
-    # parquet per subtree)
+    return ",\n".join(parts)
+
+
+def _label_prop_rounds(n_rounds: int) -> str:
+    """Rounds l1..lN over caller-supplied CTEs ``sym(u, v)`` (symmetric
+    edges) and ``l0(id, lbl)`` (initial labels); final labels exposed as
+    ``cc(id, component)``.  AS MATERIALIZED is load-bearing: each round
+    references the previous one 3×, and CTE inlining would expand
+    3^n_rounds subtrees (and re-open the parquet per subtree)."""
+    parts = []
     for t in range(1, n_rounds + 1):
         parts.append(
             f"""l{t} AS MATERIALIZED (
@@ -650,6 +717,26 @@ def _kg_oracles(path: str) -> dict[str, str]:
         + ",\n"
         + _cc_ctes()
         + "\nSELECT count(DISTINCT component)::BIGINT AS n_components FROM cc",
+        "kg_modality": c
+        + """SELECT doc_id,
+                    count(*)::BIGINT AS n_spans,
+                    count(media_ref)::BIGINT AS n_media,
+                    sum(CASE WHEN ends_with(lower(coalesce(media_ref, '')), '.png')
+                           OR ends_with(lower(coalesce(media_ref, '')), '.jpg')
+                           OR ends_with(lower(coalesce(media_ref, '')), '.jpeg')
+                           OR ends_with(lower(coalesce(media_ref, '')), '.gif')
+                         THEN 1 ELSE 0 END)::BIGINT AS n_image,
+                    sum(CASE WHEN ends_with(lower(coalesce(media_ref, '')), '.mp3')
+                           OR ends_with(lower(coalesce(media_ref, '')), '.wav')
+                           OR ends_with(lower(coalesce(media_ref, '')), '.flac')
+                         THEN 1 ELSE 0 END)::BIGINT AS n_audio,
+                    sum(CASE WHEN ends_with(lower(coalesce(media_ref, '')), '.mp4')
+                           OR ends_with(lower(coalesce(media_ref, '')), '.mkv')
+                           OR ends_with(lower(coalesce(media_ref, '')), '.webm')
+                         THEN 1 ELSE 0 END)::BIGINT AS n_video,
+                    sum(strlen(coalesce(text, '')))::BIGINT AS text_bytes,
+                    round(count(media_ref) / count(*), 4) AS media_frac
+             FROM flat GROUP BY doc_id""",
     }
 
 
@@ -1038,6 +1125,104 @@ SELECT lang,
        round(quantile_cont(n_chars, 0.9), 4) AS p90,
        count(*)::BIGINT AS n_docs
 FROM documents GROUP BY lang""",
+        "ts_repetition": f"""
+WITH lines AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split(text, chr(10)), x -> trim(x) <> '')) AS line
+  FROM documents
+),
+lc AS (SELECT doc_id, line, count(*) AS c FROM lines GROUP BY doc_id, line),
+la AS (
+  SELECT doc_id, sum(c) AS n_lines,
+         sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_lines,
+         sum(strlen(line) * c) AS line_bytes,
+         sum(CASE WHEN c > 1 THEN strlen(line) * c ELSE 0 END) AS dup_line_bytes
+  FROM lc GROUP BY doc_id
+),
+toks AS (SELECT doc_id, {tok} AS t FROM documents),
+bgs AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1])) AS bigram
+  FROM toks
+),
+bc AS (SELECT doc_id, bigram, count(*) AS c FROM bgs GROUP BY doc_id, bigram),
+ba AS (SELECT doc_id, sum(c) AS n_bigrams, max(c) AS top_c FROM bc GROUP BY doc_id),
+r AS (
+  SELECT d.doc_id,
+         coalesce(n_lines, 0)::BIGINT AS n_lines,
+         round(CASE WHEN coalesce(n_lines, 0) > 0
+                    THEN coalesce(dup_lines, 0)::DOUBLE / n_lines ELSE 0.0 END, 4)
+           AS dup_line_frac,
+         round(CASE WHEN coalesce(line_bytes, 0) > 0
+                    THEN coalesce(dup_line_bytes, 0)::DOUBLE / line_bytes ELSE 0.0 END, 4)
+           AS dup_line_char_frac,
+         coalesce(n_bigrams, 0)::BIGINT AS n_bigrams,
+         round(CASE WHEN coalesce(n_bigrams, 0) > 0
+                    THEN coalesce(top_c, 0)::DOUBLE / n_bigrams ELSE 0.0 END, 4)
+           AS top_bigram_frac
+  FROM documents d LEFT JOIN la USING (doc_id) LEFT JOIN ba USING (doc_id)
+)
+SELECT doc_id, n_lines, dup_line_frac, dup_line_char_frac, n_bigrams,
+       top_bigram_frac,
+       (dup_line_frac > 0.30 OR dup_line_char_frac > 0.20
+        OR top_bigram_frac > 0.18) AS is_repetitive
+FROM r""",
+        "ts_keywords": f"""
+WITH t3 AS (
+  SELECT doc_id, token
+  FROM (SELECT doc_id, unnest({tok}) AS token FROM documents)
+  WHERE length(token) >= 3
+),
+tf AS (SELECT doc_id, token, count(*)::BIGINT AS tf FROM t3 GROUP BY doc_id, token),
+df AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+nd AS (SELECT count(*) AS n FROM documents),
+kept AS (
+  SELECT tf.doc_id, tf.token, tf.tf
+  FROM tf JOIN df USING (token), nd
+  WHERE df.df <= nd.n * 0.8
+)
+SELECT doc_id, token, tf, rank FROM (
+  SELECT doc_id, token, tf,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY tf DESC, token)::BIGINT AS rank
+  FROM kept) WHERE rank <= 3""",
+        "ts_scrub": f"""
+WITH pii AS (
+  SELECT doc_id,
+         text || ' contact: user' || doc_id || '@example.com from 10.0.'
+              || (doc_id % 256) || '.7 ref 900' || (doc_id % 10000) || '1234'
+           AS text
+  FROM documents
+)
+SELECT doc_id,
+       len(regexp_extract_all(text, '{TS.EMAIL_RE}'))::BIGINT AS n_emails,
+       len(regexp_extract_all(text, '{TS.IPV4_RE}'))::BIGINT AS n_ips,
+       len(regexp_extract_all(text, '{TS.LONGNUM_RE}'))::BIGINT AS n_longnums,
+       sha256(regexp_replace(regexp_replace(regexp_replace(text,
+                '{TS.EMAIL_RE}', '<EMAIL>', 'g'),
+                '{TS.IPV4_RE}', '<IP>', 'g'),
+                '{TS.LONGNUM_RE}', '<NUM>', 'g')) AS scrubbed_sha
+FROM pii""",
+        "dd_clusters": f"""
+WITH {_DD_SQL.strip()},
+sh AS (SELECT DISTINCT doc_id, unnest({shingles}) AS shingle FROM dd),
+sigs AS (SELECT doc_id, {sig_expr} FROM sh GROUP BY doc_id),
+banded AS ({band_expr}),
+small AS (
+  SELECT band, key FROM banded GROUP BY band, key HAVING count(*) <= 200
+),
+kept AS (SELECT banded.* FROM banded JOIN small USING (band, key)),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+  FROM kept a JOIN kept b ON a.band = b.band AND a.key = b.key
+  WHERE a.doc_id < b.doc_id
+),
+sym AS MATERIALIZED (SELECT a AS u, b AS v FROM pairs
+                     UNION SELECT b, a FROM pairs),
+l0 AS MATERIALIZED (SELECT DISTINCT u AS id, u AS lbl FROM sym),
+{_label_prop_rounds(8)}
+SELECT id AS doc_id, component AS cluster, (id = component) AS is_keeper
+FROM cc""",
     }
 
 

@@ -489,3 +489,36 @@ def simhash_near_dups(
         .filter(F.col("hamming") <= max_hamming)
     )
     return pairs
+
+
+# ---------------------------------------------------------------- clusters
+
+
+def dedup_clusters(pairs: DataFrame) -> DataFrame:
+    """Canonicalization: near-duplicate PAIRS → duplicate CLUSTERS with a
+    deterministic keeper per cluster.
+
+    Input: (a, b) candidate/verified pairs from any detector above.
+    Output: (doc_id, cluster, is_keeper) for every doc appearing in ≥ 1
+    pair; ``cluster`` = the minimum member id (the keeper), so the drop
+    list is simply ``WHERE NOT is_keeper``.
+
+    Transitive closure matters: pairs (A,B), (B,C) must yield ONE cluster
+    {A,B,C} with keeper A — pairwise keeper-picking would keep both A and B.
+    Reuses the large-star/small-star connected-components fixpoint
+    (operators/components.py — long-surrogate rounds, localCheckpoint
+    lineage), so the closure is O(log²) shuffle rounds at any scale, never
+    a driver-side union-find."""
+    from .components import connected_components
+
+    members = pairs.select(F.col("a").alias("doc_id")).unionAll(
+        pairs.select(F.col("b").alias("doc_id"))
+    ).distinct()
+    cc = connected_components(
+        members, pairs.select(F.col("a").alias("subj"), F.col("b").alias("obj"))
+    )
+    return cc.select(
+        F.col("id").alias("doc_id"),
+        F.col("component").alias("cluster"),
+        (F.col("id") == F.col("component")).alias("is_keeper"),
+    )

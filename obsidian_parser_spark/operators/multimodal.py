@@ -112,3 +112,44 @@ def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
             yield pd.DataFrame(rows, columns=["doc_id", "media_ref", "frame_ms"])
 
     return media.select("doc_id", "media_ref").mapInPandas(run, FRAMES_SCHEMA)
+
+
+def modality_stats(documents: DataFrame) -> DataFrame:
+    """Per-document modality profile straight off the interleaved span
+    array — one narrow JVM projection, no explode and no Python:
+
+    (doc_id, n_spans, n_media, n_image, n_audio, n_video, text_bytes,
+     media_frac)
+
+    ``n_image``/``n_audio``/``n_video`` classify ``media_ref`` by extension
+    (the same table as ``_media_type``); ``text_bytes`` sums the text
+    payload of every span; ``media_frac`` = media spans / all spans
+    (rounded to 4 — exact in any engine).  The curation signal for a
+    text+media corpus: filter docs that are all boilerplate media, or route
+    media-heavy docs to the decode pipeline."""
+    from pyspark.sql import functions as F
+
+    media = "filter(spans, s -> s.media_ref IS NOT NULL)"
+
+    def n_ext(exts: tuple[str, ...]) -> str:
+        conds = " OR ".join(
+            f"endswith(lower(s.media_ref), '.{e}')" for e in exts
+        )
+        return f"size(filter(spans, s -> s.media_ref IS NOT NULL AND ({conds})))"
+
+    return documents.select(
+        "doc_id",
+        F.expr("size(spans)").cast("long").alias("n_spans"),
+        F.expr(f"size({media})").cast("long").alias("n_media"),
+        F.expr(n_ext(("png", "jpg", "jpeg", "gif"))).cast("long").alias("n_image"),
+        F.expr(n_ext(("mp3", "wav", "flac"))).cast("long").alias("n_audio"),
+        F.expr(n_ext(("mp4", "mkv", "webm"))).cast("long").alias("n_video"),
+        F.expr(
+            "aggregate(spans, 0L, (acc, s) -> acc + octet_length(coalesce(s.text, '')))"
+        ).alias("text_bytes"),
+        F.expr(
+            # guard: ANSI division by zero on a spanless doc
+            f"CASE WHEN size(spans) = 0 THEN 0.0 "
+            f"ELSE round(size({media}) / size(spans), 4) END"
+        ).alias("media_frac"),
+    )

@@ -138,3 +138,205 @@ def fingerprints(
             f"(acc, v) -> (acc * 31 + v) % 1000000007)"
         ).alias("fingerprint"),
     )
+
+
+# ---------------------------------------------------------------- repetition
+
+# Gopher repetition-filter thresholds (Rae et al. 2021, table A1 — public):
+# docs exceeding any of these are flagged repetitive boilerplate.
+GOPHER_DUP_LINE_FRAC = 0.30
+GOPHER_DUP_LINE_CHAR_FRAC = 0.20
+GOPHER_TOP_BIGRAM_FRAC = 0.18
+
+
+def _word_bigrams(documents: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(doc_id, bigram) — lowercased word 2-grams, NO row for docs with
+    fewer than 2 tokens (unlike dedup.shingles, which falls back to the
+    whole text as one shingle — a deliberate divergence: a 1-token doc has
+    zero bigrams, not one).  NGram (compiled JVM closure) over the token
+    array; the interpreted transform(sequence(...)) alternative measured 5×
+    slower at sf0.1 (see dedup.shingles)."""
+    from pyspark.ml.feature import NGram
+
+    toks = documents.select(
+        F.col(id_col).alias("doc_id"),
+        F.expr(_TOKENS.format(t=text_col)).alias("_t"),
+    )
+    ng = NGram(n=2, inputCol="_t", outputCol="_ng")
+    return ng.transform(toks).select(
+        "doc_id", F.explode("_ng").alias("bigram")
+    )
+
+
+def repetition_stats(
+    documents: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style repetition features per document:
+
+    * ``dup_line_frac``       — occurrences of non-unique (non-blank) lines
+                                / total lines (every copy counts);
+    * ``dup_line_char_frac``  — bytes inside those duplicated lines / total
+                                line bytes;
+    * ``top_bigram_frac``     — occurrences of the most frequent word
+                                2-gram / total 2-grams;
+    * ``is_repetitive``       — any ratio over the Gopher thresholds.
+
+    Plan shape: two explode→groupBy pipelines (lines, bigrams), each with
+    map-side partial aggregation — per-key fanout is per-document, so no
+    hot-key skew is possible, and nothing is collected.  All counters are
+    integers; ratios round to 4 places (exact in any engine)."""
+    ids = documents.select(F.col(id_col).alias("doc_id"))
+
+    lines = documents.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.expr(f"filter(split({text_col}, '\\n'), l -> trim(l) != '')")
+        ).alias("line"),
+    )
+    lc = lines.groupBy("doc_id", "line").agg(F.count("*").alias("c"))
+    line_agg = lc.groupBy("doc_id").agg(
+        F.sum("c").alias("n_lines"),
+        F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)).alias("dup_lines"),
+        F.sum(F.octet_length("line") * F.col("c")).alias("line_bytes"),
+        F.sum(
+            F.when(F.col("c") > 1, F.octet_length("line") * F.col("c")).otherwise(0)
+        ).alias("dup_line_bytes"),
+    )
+
+    bc = _word_bigrams(documents, text_col, id_col).groupBy(
+        "doc_id", "bigram"
+    ).agg(F.count("*").alias("c"))
+    bg_agg = bc.groupBy("doc_id").agg(
+        F.sum("c").alias("n_bigrams"), F.max("c").alias("top_bigram_c")
+    )
+
+    d = (
+        ids.join(line_agg, "doc_id", "left")
+        .join(bg_agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_lines", F.lit(0)).alias("n_lines"),
+            F.coalesce("dup_lines", F.lit(0)).alias("dup_lines"),
+            F.coalesce("line_bytes", F.lit(0)).alias("line_bytes"),
+            F.coalesce("dup_line_bytes", F.lit(0)).alias("dup_line_bytes"),
+            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+            F.coalesce("top_bigram_c", F.lit(0)).alias("top_bigram_c"),
+        )
+    )
+
+    def frac(num, den):
+        return F.round(
+            F.when(F.col(den) > 0, F.col(num) / F.col(den)).otherwise(F.lit(0.0)), 4
+        )
+
+    d = (
+        d.withColumn("dup_line_frac", frac("dup_lines", "n_lines"))
+        .withColumn("dup_line_char_frac", frac("dup_line_bytes", "line_bytes"))
+        .withColumn("top_bigram_frac", frac("top_bigram_c", "n_bigrams"))
+    )
+    return d.select(
+        "doc_id",
+        F.col("n_lines").cast("long").alias("n_lines"),
+        "dup_line_frac",
+        "dup_line_char_frac",
+        F.col("n_bigrams").cast("long").alias("n_bigrams"),
+        "top_bigram_frac",
+        (
+            (F.col("dup_line_frac") > GOPHER_DUP_LINE_FRAC)
+            | (F.col("dup_line_char_frac") > GOPHER_DUP_LINE_CHAR_FRAC)
+            | (F.col("top_bigram_frac") > GOPHER_TOP_BIGRAM_FRAC)
+        ).alias("is_repetitive"),
+    )
+
+
+# ---------------------------------------------------------------- keywords
+
+
+def top_keywords(
+    documents: DataFrame,
+    k: int = 3,
+    max_df_frac: float = 0.5,
+    min_token_len: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document top-k keywords: highest term frequency among tokens
+    that are (a) at least ``min_token_len`` chars and (b) present in at most
+    ``max_df_frac`` of documents (a document-frequency stopword filter — the
+    integer-exact core of TF-IDF, with no floating-point idf so the ranking
+    is bit-reproducible across engines).  Ties break lexicographically.
+
+    → (doc_id, token, tf, rank), rank ∈ [1, k].
+
+    Plan shape: explode → (doc, token) partial-agg counts → token-level df
+    agg (map-side combined, so a corpus-wide stopword never concentrates) →
+    join tf⋈df (broadcast-eligible: the df frame shrinks to distinct kept
+    tokens) → per-doc top-k window.  The window partitions by doc_id —
+    per-document cardinality, no skew."""
+    from pyspark.sql import Window
+
+    toks = documents.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.expr(_TOKENS.format(t=text_col))).alias("token"),
+    ).filter(F.length("token") >= min_token_len)
+    tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    df = tf.groupBy("token").agg(F.count("*").alias("df"))
+    n_docs = documents.select(
+        F.count("*").alias("_n_docs")
+    )  # 1-row frame, broadcast by Catalyst — no driver-side action
+    kept = (
+        tf.join(df, "token")
+        .crossJoin(F.broadcast(n_docs))
+        .filter(F.col("df") <= F.col("_n_docs") * max_df_frac)
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tf"), F.asc("token"))
+    return (
+        kept.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "token", "tf", F.col("rank").cast("long").alias("rank"))
+    )
+
+
+# ---------------------------------------------------------------- PII scrub
+
+# RE2 ∩ java.util.regex compatible patterns (no lookaround, ASCII \b) — the
+# DuckDB oracle runs the SAME patterns through RE2.
+EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+IPV4_RE = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+LONGNUM_RE = "\\b[0-9]{7,}\\b"
+
+
+def pii_scrub(
+    documents: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Regex PII redaction for training-data hygiene: emails → ``<EMAIL>``,
+    IPv4 literals → ``<IP>``, 7+-digit runs (phone/account numbers) →
+    ``<NUM>``, applied in that order (emails first so their digits are not
+    half-eaten by the number rule).  Pure JVM regexp_replace — whole-stage
+    codegen, no UDF.  Returns counts plus a sha256 of the scrubbed text
+    (the cheap cross-engine witness that the replacement text is
+    byte-identical — the full scrubbed column stays in the plan for sinks).
+    """
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col(text_col), EMAIL_RE, "<EMAIL>"),
+            IPV4_RE,
+            "<IP>",
+        ),
+        LONGNUM_RE,
+        "<NUM>",
+    )
+    def n_hits(pattern: str):
+        # native fn + lit pattern: no SQL-string escape round-trip on the
+        # regex (an F.expr literal would eat the backslashes)
+        return F.size(
+            F.regexp_extract_all(F.col(text_col), F.lit(pattern), F.lit(0))
+        ).cast("long")
+
+    return documents.select(
+        F.col(id_col).alias("doc_id"),
+        n_hits(EMAIL_RE).alias("n_emails"),
+        n_hits(IPV4_RE).alias("n_ips"),
+        n_hits(LONGNUM_RE).alias("n_longnums"),
+        F.sha2(scrubbed, 256).alias("scrubbed_sha"),
+    )

@@ -4,6 +4,7 @@ insensitive), exactly like the driver's CORRECTNESS gate.
 
 Usage:
     python scripts/oracle_sweep.py [sf_dir]     # default /root/testdata/sf0.01
+    ORACLE_QUERIES=q1,q2 python scripts/oracle_sweep.py   # subset (dev loop)
 
 For non-default sf_dirs the KG oracles are rebuilt against that sf's vault
 corpus via the entry module's internals (oracle_sql() itself hardcodes the
@@ -68,8 +69,12 @@ vault_path = E.ensure_vault_corpus(os.path.basename(os.path.normpath(SF_DIR)))
 oracles = E._kg_oracles(vault_path)
 oracles.update(E._datapipe_oracles())
 
+only = {q for q in os.environ.get("ORACLE_QUERIES", "").split(",") if q}
+
 fails = []
 for name in sorted(E.queries()):
+    if only and name not in only:
+        continue
     df = E.queries()[name](spark, SF_DIR)
     got = rows([c.lower() for c in df.columns], [tuple(r) for r in df.collect()])
     if name in oracles:

@@ -1,0 +1,169 @@
+"""Round-2 curation operators: Gopher repetition filters, df-capped
+keywords, PII scrubbing, dedup canonicalization clusters, modality stats.
+(Each also has a DuckDB oracle exercised by the driver gate /
+scripts/oracle_sweep.py; these tests pin the SEMANTICS on hand-built
+fixtures where the expected values are computed by eye.)"""
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from obsidian_parser_spark.operators.dedup import dedup_clusters
+from obsidian_parser_spark.operators.multimodal import modality_stats
+from obsidian_parser_spark.operators.textstats import (
+    pii_scrub,
+    repetition_stats,
+    top_keywords,
+)
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id int, text string"
+    )
+
+
+# ---------------------------------------------------------------- repetition
+
+
+def test_repetition_dup_lines(spark):
+    # 3 identical non-blank lines + 1 unique; blank lines ignored
+    txt = "spam line\n\nspam line\nunique line\nspam line\n"
+    r = repetition_stats(_docs(spark, [txt])).collect()[0]
+    assert r.n_lines == 4
+    assert r.dup_line_frac == 0.75  # 3 of 4 line occurrences are duplicated
+    # bytes: 3*9 dup / (3*9 + 11) total
+    assert r.dup_line_char_frac == round(27 / 38, 4)
+    assert bool(r.is_repetitive)
+
+
+def test_repetition_top_bigram(spark):
+    # "ha ha ha ha" → bigrams: 3 × "ha ha" → top_bigram_frac = 1.0
+    r = repetition_stats(_docs(spark, ["ha ha ha ha"])).collect()[0]
+    assert r.n_bigrams == 3
+    assert r.top_bigram_frac == 1.0
+    assert bool(r.is_repetitive)
+
+
+def test_repetition_clean_doc_and_edge_cases(spark):
+    rows = {
+        r.doc_id: r
+        for r in repetition_stats(
+            _docs(
+                spark,
+                ["one two three four five six seven eight nine ten", "", "single"],
+            )
+        ).collect()
+    }
+    clean = rows[0]
+    assert clean.dup_line_frac == 0.0
+    assert clean.top_bigram_frac == round(1 / 9, 4)  # 9 distinct bigrams
+    assert not clean.is_repetitive
+    empty = rows[1]
+    assert empty.n_lines == 0 and empty.n_bigrams == 0
+    assert not empty.is_repetitive
+    # 1 token → ZERO bigrams (unlike dedup.shingles' whole-text fallback)
+    assert rows[2].n_bigrams == 0
+
+
+# ---------------------------------------------------------------- keywords
+
+
+def test_top_keywords_df_cap_and_ties(spark):
+    texts = [
+        "apple apple banana common common",
+        "banana banana cherry common",
+        "cherry apple common common common",
+        "dates common",
+    ]
+    # 'common' is in all 4 docs → df 4 > 4*0.5 → filtered out everywhere;
+    # df-2 tokens sit exactly AT the cap (≤) and survive
+    out = top_keywords(_docs(spark, texts), k=2, max_df_frac=0.5).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append((r.rank, r.token, r.tf))
+    assert sorted(by_doc[0]) == [(1, "apple", 2), (2, "banana", 1)]
+    assert sorted(by_doc[1]) == [(1, "banana", 2), (2, "cherry", 1)]
+    # doc 2: apple/cherry tie at tf=1 → lexicographic
+    assert sorted(by_doc[2]) == [(1, "apple", 1), (2, "cherry", 1)]
+    assert sorted(by_doc[3]) == [(1, "dates", 1)]
+    assert all(t != "common" for rs in by_doc.values() for _, t, _ in rs)
+
+
+def test_top_keywords_min_len(spark):
+    out = top_keywords(_docs(spark, ["ab ab ab zzzz"]), k=3, max_df_frac=1.0)
+    toks = [r.token for r in out.collect()]
+    assert toks == ["zzzz"]  # 2-char token dropped despite tf=3
+
+
+# ---------------------------------------------------------------- PII scrub
+
+
+def test_pii_scrub_counts_and_text(spark):
+    txt = (
+        "mail a.user+x@sub.example.org or bob@x.co, host 192.168.0.1 "
+        "acct 12345678 short 123456 done"
+    )
+    r = pii_scrub(_docs(spark, [txt])).collect()[0]
+    assert r.n_emails == 2
+    assert r.n_ips == 1
+    assert r.n_longnums == 1  # 123456 is only 6 digits
+    scrubbed = (
+        "mail <EMAIL> or <EMAIL>, host <IP> acct <NUM> short 123456 done"
+    )
+    assert r.scrubbed_sha == hashlib.sha256(scrubbed.encode()).hexdigest()
+
+
+def test_pii_scrub_no_false_positives_inside_words(spark):
+    # digits glued to letters: no word boundary → not a long number
+    r = pii_scrub(_docs(spark, ["user1234567x and ref90012345"])).collect()[0]
+    assert r.n_longnums == 0 and r.n_emails == 0 and r.n_ips == 0
+
+
+# ---------------------------------------------------------------- clusters
+
+
+def test_dedup_clusters_transitive_closure(spark):
+    # chain A-B, B-C must form ONE cluster keeping only A; D-E separate
+    pairs = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("d", "e")], "a string, b string"
+    )
+    rows = {r.doc_id: r for r in dedup_clusters(pairs).collect()}
+    assert len(rows) == 5
+    assert {rows[x].cluster for x in "abc"} == {"a"}
+    assert {rows[x].cluster for x in "de"} == {"d"}
+    keepers = {d for d, r in rows.items() if r.is_keeper}
+    assert keepers == {"a", "d"}
+
+
+# ---------------------------------------------------------------- modality
+
+
+def test_modality_stats_micro(spark):
+    from tests.util import spans_df
+
+    rows = [
+        {
+            "doc_id": "m/doc",
+            "spans": [
+                {"kind": "frontmatter", "text": "id: 1", "media_ref": None, "offset": 0},
+                {"kind": "text", "text": "héllo ", "media_ref": None, "offset": 1},
+                {"kind": "embed", "text": "![[a.PNG]]", "media_ref": "a.PNG", "offset": 2},
+                {"kind": "media", "text": "", "media_ref": "v.mp4", "offset": 3},
+                {"kind": "media", "text": "", "media_ref": "s.wav", "offset": 4},
+            ],
+        }
+    ]
+    r = modality_stats(spans_df(spark, rows)).collect()[0]
+    assert r.n_spans == 5 and r.n_media == 3
+    # extension match is case-insensitive; text_bytes counts UTF-8 bytes
+    assert (r.n_image, r.n_audio, r.n_video) == (1, 1, 1)
+    assert r.text_bytes == len("id: 1".encode()) + len("héllo ".encode()) + len(
+        "![[a.PNG]]".encode()
+    )
+    assert r.media_frac == 0.6
+
+
+def test_repetition_no_python_in_plan(spark):
+    plan = repetition_stats(_docs(spark, ["x"]))._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
