@@ -439,6 +439,44 @@ def _q_kg_modality(spark, sf_dir):
     return modality_stats(spark.read.parquet(_vault_path(sf_dir)))
 
 
+def _q_kg_pagerank(spark, sf_dir):
+    """Integer fixed-point PageRank (10 rounds, damping 85%) over the link
+    graph — bit-exact vs the oracle's unrolled iteration CTEs."""
+    from obsidian_parser_spark.operators.pagerank import pagerank
+
+    g = _graph(spark, sf_dir)
+    return pagerank(g.nodes, A.link_edges(g.edges))
+
+
+def _q_ts_chunks(spark, sf_dir):
+    """Context-window packing: 200-char windows, 50-char overlap; emits
+    (len, sha256) per chunk — the cross-engine witness of the exact window
+    text."""
+    ch = TS.chunk_documents(
+        _documents(spark, sf_dir), chunk_chars=200, overlap=50
+    )
+    return ch.select(
+        "doc_id",
+        "chunk_id",
+        F.length("chunk_text").cast("long").alias("chunk_len"),
+        F.sha2("chunk_text", 256).alias("chunk_sha"),
+    )
+
+
+def _q_ts_stratified(spark, sf_dir):
+    """Per-language deterministic downsample (en→30%, de→75%, others kept)
+    aggregated per stratum."""
+    from obsidian_parser_spark.operators.sampling import stratified_sample
+
+    d = stratified_sample(
+        _documents(spark, sf_dir), "lang", {"en": 30, "de": 75}, default_pct=100
+    )
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -499,6 +537,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_scrub": _q_ts_scrub,
         "dd_clusters": _q_dd_clusters,
         "kg_modality": _q_kg_modality,
+        "kg_pagerank": _q_kg_pagerank,
+        "ts_chunks": _q_ts_chunks,
+        "ts_stratified": _q_ts_stratified,
     }
 
 
@@ -637,6 +678,32 @@ def _label_prop_rounds(n_rounds: int) -> str:
     return ",\n".join(parts)
 
 
+def _pagerank_ctes(n_iter: int = 10, damping: int = 85, scale: int = 1_000_000) -> str:
+    """Unrolled integer fixed-point PageRank iterations mirroring
+    operators/pagerank.py: every intermediate is an integer (DIV at the
+    per-edge contribution and the damping step), so the ranks are
+    byte-identical across engines — no float summation order to drift."""
+    base = (100 - damping) * scale // 100
+    parts = [
+        "w AS MATERIALIZED (SELECT subj AS u, obj AS v, count(*) AS w"
+        " FROM link_edges GROUP BY subj, obj)",
+        "od AS (SELECT u, sum(w) AS od FROM w GROUP BY u)",
+        "wj AS MATERIALIZED (SELECT w.u, w.v, w.w, od.od FROM w JOIN od USING (u))",
+        f"p0 AS (SELECT doc_id AS id, {scale}::BIGINT AS pr FROM notes)",
+    ]
+    for t in range(1, n_iter + 1):
+        parts.append(
+            f"""p{t} AS MATERIALIZED (
+  SELECT n.id, ({base} + ({damping} * coalesce(s.m, 0)) // 100)::BIGINT AS pr
+  FROM p{t - 1} n
+  LEFT JOIN (SELECT wj.v, sum((p.pr * wj.w) // wj.od) AS m
+             FROM wj JOIN p{t - 1} p ON p.id = wj.u GROUP BY wj.v) s
+    ON s.v = n.id)"""
+        )
+    parts.append(f"pr_final AS (SELECT id, pr FROM p{n_iter})")
+    return ",\n".join(parts)
+
+
 def _kg_oracles(path: str) -> dict[str, str]:
     c = _kg_cte(path)
     return {
@@ -737,6 +804,10 @@ def _kg_oracles(path: str) -> dict[str, str]:
                     sum(strlen(coalesce(text, '')))::BIGINT AS text_bytes,
                     round(count(media_ref) / count(*), 4) AS media_frac
              FROM flat GROUP BY doc_id""",
+        "kg_pagerank": c
+        + ",\n"
+        + _pagerank_ctes()
+        + "\nSELECT id, pr FROM pr_final",
     }
 
 
@@ -866,6 +937,13 @@ SELECT a, b, hamming FROM pairs WHERE hamming <= 3"""
 
 def _datapipe_oracles() -> dict[str, str]:
     tok = r"list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')"
+    # sampling.hash_bucket mirror: first 16 bits of md5(id) mod 100
+    _nib = "(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), {i}, 1)) - 1)"
+    bkt = (
+        "(" + " + ".join(
+            f"{_nib.format(i=i + 1)} * {16 ** (3 - i)}" for i in range(4)
+        ) + ") % 100"
+    )
     shingles = (
         f"CASE WHEN len({tok}) >= 3 "
         f"THEN [array_to_string({tok}[i:i+2], ' ') for i in range(1, len({tok}) - 1)] "
@@ -1108,12 +1186,30 @@ SELECT user_id,
        count(*)::BIGINT AS n_events
 FROM events GROUP BY user_id
 ORDER BY value_cents DESC, user_id LIMIT 10""",
-        "ts_split": """
-WITH b AS (SELECT n_chars, ((strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 4096 + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 256 + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 16 + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1)) % 100 AS bkt FROM documents)
+        "ts_split": f"""
+WITH b AS (SELECT n_chars, {bkt} AS bkt FROM documents)
 SELECT CASE WHEN bkt < 80 THEN 'train'
             WHEN bkt < 90 THEN 'valid' ELSE 'test' END AS split,
        count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS total_chars
 FROM b GROUP BY 1""",
+        "ts_stratified": f"""
+WITH b AS (SELECT lang, n_chars, {bkt} AS bkt FROM documents)
+SELECT lang, count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS total_chars
+FROM b
+WHERE bkt < CASE lang WHEN 'en' THEN 30 WHEN 'de' THEN 75 ELSE 100 END
+GROUP BY lang""",
+        "ts_chunks": """
+WITH d AS (
+  SELECT doc_id, text,
+         CASE WHEN length(text) = 0 THEN 0
+              ELSE (length(text) + 149) // 150 END AS nc
+  FROM documents
+),
+c AS (SELECT doc_id, text, unnest(range(0, nc)) AS chunk_id FROM d)
+SELECT doc_id, chunk_id::BIGINT AS chunk_id,
+       length(substr(text, (chunk_id * 150 + 1)::INT, 200))::BIGINT AS chunk_len,
+       sha256(substr(text, (chunk_id * 150 + 1)::INT, 200)) AS chunk_sha
+FROM c""",
         "ev_props_json": """
 SELECT event_type, count(*)::BIGINT AS n_events,
        sum(CAST(json_extract_string(props, '$.k') AS BIGINT))::BIGINT AS sum_k,

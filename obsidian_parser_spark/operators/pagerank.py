@@ -1,0 +1,81 @@
+"""PageRank over the note graph — integer fixed-point, bit-exact.
+
+The reference stops at degree/backlink analytics (its graph lives in
+petgraph, examples/analyzer.rs); ranking notes by link authority is the
+natural next query a knowledge-graph user asks for, and at 10^12 documents
+it must be the same iterative shuffle pattern as connected components
+(operators/components.py), not an in-memory pass.
+
+Semantics (deliberately fixed-point — every intermediate is an INTEGER, so
+two independent engines produce byte-identical ranks; float PageRank sums
+in engine-dependent order and drifts):
+
+  pr_0(v)    = SCALE                      (SCALE = 10^6)
+  out(u)     = Σ_v w(u, v)                (w = parallel-edge count, so each
+                                           link occurrence votes)
+  pr_t+1(v)  = floor((100-D)·SCALE/100)
+             + (D · Σ_u  (pr_t(u) · w(u, v)) div out(u)) div 100
+
+with D = damping percent (85).  Division is integer (DIV) at both the
+per-edge contribution and the damping step.  Dangling-node mass (notes
+with no outlinks) is dropped, not redistributed — documented divergence
+from the textbook formulation; it only deflates the global sum, not the
+relative order.  Fixed ``n_iter`` rounds (no convergence probe: a fixed
+round count is itself part of the deterministic contract).
+
+Scale shape: the per-iteration plan is join(edge_weights, pr) →
+groupBy(v).sum — the sum is map-side combinable, so a hub with 10^7
+backlinks never concentrates on one reducer; the weighted edge list is
+computed once and localCheckpoint-ed (on a cluster: checkpoint to reliable
+store); pr is re-checkpointed per round to cut lineage exactly like the CC
+fixpoint.  Overflow: pr values are bounded by n·SCALE; with SCALE=10^6 the
+long accumulator holds to ~10^12 nodes — past that, lower SCALE.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SCALE = 1_000_000
+
+
+def pagerank(
+    nodes: DataFrame,
+    edges: DataFrame,
+    n_iter: int = 10,
+    damping_pct: int = 85,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """→ (id, pr) for every node; ``edges`` needs (subj, obj), direction
+    respected, parallel edges weighted."""
+    base = (100 - damping_pct) * SCALE // 100
+
+    w = edges.select(F.col("subj").alias("u"), F.col("obj").alias("v")).groupBy(
+        "u", "v"
+    ).agg(F.count("*").alias("w"))
+    out = w.groupBy("u").agg(F.sum("w").alias("od"))
+    wj = w.join(out, "u").localCheckpoint()
+
+    all_nodes = nodes.select(F.col(id_col).alias("id")).distinct().localCheckpoint()
+    pr = all_nodes.select("id", F.lit(SCALE).cast("long").alias("pr"))
+
+    for _ in range(n_iter):
+        contribs = (
+            wj.join(pr.select(F.col("id").alias("u"), "pr"), "u")
+            .select("v", F.expr("pr * w DIV od").alias("c"))
+            .groupBy("v")
+            .agg(F.sum("c").alias("m"))
+        )
+        pr = (
+            all_nodes.join(contribs.withColumnRenamed("v", "id"), "id", "left")
+            .select(
+                "id",
+                (
+                    F.lit(base)
+                    + F.expr(f"{damping_pct} * coalesce(m, 0L) DIV 100")
+                ).cast("long").alias("pr"),
+            )
+            .localCheckpoint()
+        )
+    return pr

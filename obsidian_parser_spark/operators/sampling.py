@@ -42,3 +42,24 @@ def hash_split(
 def hash_sample(df: DataFrame, pct: int, id_col: str = "doc_id") -> DataFrame:
     """Keep a deterministic ~pct% sample (same rows every run, any cluster)."""
     return df.filter(hash_bucket(id_col) < pct)
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    pcts: dict[str, int],
+    default_pct: int = 100,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-stratum deterministic sample: keep ~``pcts[stratum]``% of each
+    stratum (``default_pct`` for unlisted strata) by the same md5 hash
+    bucket as ``hash_split`` — e.g. downsample a dominant language while
+    keeping rare ones whole.  A pure filter (no shuffle, no RNG): the kept
+    set is a function of (id, stratum) only, stable across runs and
+    cluster sizes, and the per-stratum rates compose with ``hash_split``
+    (the bucket is reused, so a row's split and its sampling fate are
+    consistent)."""
+    pct = F.lit(default_pct)
+    for k in sorted(pcts):
+        pct = F.when(F.col(strata_col) == k, F.lit(pcts[k])).otherwise(pct)
+    return df.filter(hash_bucket(id_col) < pct)

@@ -340,3 +340,50 @@ def pii_scrub(
         n_hits(LONGNUM_RE).alias("n_longnums"),
         F.sha2(scrubbed, 256).alias("scrubbed_sha"),
     )
+
+
+# ---------------------------------------------------------------- chunking
+
+
+def chunk_documents(
+    documents: DataFrame,
+    chunk_chars: int = 512,
+    overlap: int = 0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Context-window packing: split each document into fixed character
+    windows (``chunk_chars`` wide, consecutive starts ``chunk_chars -
+    overlap`` apart; the last window may be short).  Zero-length docs yield
+    zero chunks.
+
+    → (doc_id, chunk_id, chunk_text) — one row per window, in order.
+
+    Pure JVM: posexplode(sequence(0, n_chunks-1)) + substring — the chunk
+    count is integer arithmetic ((len + step - 1) div step) so the row set
+    is exact in any engine, and nothing leaves codegen.  At 100 TB this is
+    the map-only stage before a training-shard sink: no shuffle at all
+    (the explode preserves the input partitioning)."""
+    if not 0 <= overlap < chunk_chars:
+        raise ValueError("need 0 <= overlap < chunk_chars")
+    step = chunk_chars - overlap
+    n_chunks = f"(length({text_col}) + {step} - 1) DIV {step}"
+    d = documents.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(text_col).alias("_t"),
+        F.expr(
+            f"CASE WHEN length({text_col}) = 0 THEN array() "
+            f"ELSE sequence(0L, {n_chunks} - 1) END"
+        ).alias("_ix"),
+    )
+    return d.select(
+        "doc_id",
+        "_t",
+        F.posexplode("_ix").alias("_pos", "chunk_id"),
+    ).select(
+        "doc_id",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.expr(f"substring(_t, cast(chunk_id * {step} + 1 AS int), {chunk_chars})").alias(
+            "chunk_text"
+        ),
+    )

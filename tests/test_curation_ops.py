@@ -167,3 +167,87 @@ def test_modality_stats_micro(spark):
 def test_repetition_no_python_in_plan(spark):
     plan = repetition_stats(_docs(spark, ["x"]))._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+# ---------------------------------------------------------------- pagerank
+
+
+def test_pagerank_matches_python_fixed_point(spark):
+    from collections import Counter, defaultdict
+
+    from obsidian_parser_spark.operators.pagerank import SCALE, pagerank
+
+    nodes = ["a", "b", "c", "d"]  # d isolated
+    edge_list = [("a", "b"), ("a", "b"), ("b", "c"), ("c", "a"), ("b", "a")]
+
+    def py_pr(n_iter=10, d=85):
+        w = Counter(edge_list)
+        od = defaultdict(int)
+        for (u, _), c in w.items():
+            od[u] += c
+        pr = {n: SCALE for n in nodes}
+        base = (100 - d) * SCALE // 100
+        for _ in range(n_iter):
+            m = defaultdict(int)
+            for (u, v), c in w.items():
+                m[v] += (pr[u] * c) // od[u]
+            pr = {n: base + (d * m.get(n, 0)) // 100 for n in nodes}
+        return pr
+
+    ndf = spark.createDataFrame([(n,) for n in nodes], "doc_id string")
+    edf = spark.createDataFrame(edge_list, "subj string, obj string")
+    got = {r.id: r.pr for r in pagerank(ndf, edf).collect()}
+    assert got == py_pr()
+    # isolated node holds the damped floor exactly
+    assert got["d"] == (100 - 85) * SCALE // 100
+    # a receives c's whole vote plus half of b's → highest rank
+    assert max(got, key=got.get) == "a"
+
+
+# ---------------------------------------------------------------- chunking
+
+
+def test_chunk_documents_windows(spark):
+    from obsidian_parser_spark.operators.textstats import chunk_documents
+
+    d = _docs(spark, ["abcdefghij", ""])
+    out = chunk_documents(d, chunk_chars=4, overlap=1).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append((r.chunk_id, r.chunk_text))
+    # step 3: starts 0,3,6,9 — last window short
+    assert sorted(by_doc[0]) == [(0, "abcd"), (1, "defg"), (2, "ghij"), (3, "j")]
+    assert 1 not in by_doc  # empty doc → zero chunks
+
+    no_overlap = chunk_documents(_docs(spark, ["abcdef"]), chunk_chars=3).collect()
+    assert sorted((r.chunk_id, r.chunk_text) for r in no_overlap) == [
+        (0, "abc"),
+        (1, "def"),
+    ]
+
+
+def test_chunk_documents_rejects_bad_overlap(spark):
+    import pytest
+
+    from obsidian_parser_spark.operators.textstats import chunk_documents
+
+    with pytest.raises(ValueError):
+        chunk_documents(_docs(spark, ["x"]), chunk_chars=4, overlap=4)
+
+
+# ---------------------------------------------------------------- stratified
+
+
+def test_stratified_sample_deterministic(spark):
+    from obsidian_parser_spark.operators.sampling import stratified_sample
+
+    rows = [(i, "en" if i % 2 == 0 else "rare") for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id int, lang string")
+    kept = stratified_sample(df, "lang", {"en": 30}, default_pct=100).collect()
+
+    def bucket(i):
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:4], 16) % 100
+
+    want = {i for i, lang in rows if (bucket(i) < 30 if lang == "en" else True)}
+    assert {r.doc_id for r in kept} == want
+    assert all(r.doc_id % 2 == 1 or bucket(r.doc_id) < 30 for r in kept)
