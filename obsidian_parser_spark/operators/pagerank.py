@@ -61,21 +61,25 @@ def pagerank(
     pr = all_nodes.select("id", F.lit(SCALE).cast("long").alias("pr"))
 
     for _ in range(n_iter):
-        contribs = (
-            wj.join(pr.select(F.col("id").alias("u"), "pr"), "u")
-            .select("v", F.expr("pr * w DIV od").alias("c"))
-            .groupBy("v")
-            .agg(F.sum("c").alias("m"))
-        )
-        pr = (
-            all_nodes.join(contribs.withColumnRenamed("v", "id"), "id", "left")
-            .select(
-                "id",
-                (
-                    F.lit(base)
-                    + F.expr(f"{damping_pct} * coalesce(m, 0L) DIV 100")
-                ).cast("long").alias("pr"),
-            )
-            .localCheckpoint()
-        )
+        pr = _step(wj, all_nodes, pr, base, damping_pct).localCheckpoint()
     return pr
+
+
+def _step(
+    wj: DataFrame, all_nodes: DataFrame, pr: DataFrame, base: int, damping_pct: int
+) -> DataFrame:
+    """One un-checkpointed iteration (factored out so the plan-shape gates
+    can assert its aggregation is map-side partial — the returned frame of
+    ``pagerank`` itself is checkpointed and shows only an RDD scan)."""
+    contribs = (
+        wj.join(pr.select(F.col("id").alias("u"), "pr"), "u")
+        .select("v", F.expr("pr * w DIV od").alias("c"))
+        .groupBy("v")
+        .agg(F.sum("c").alias("m"))
+    )
+    return all_nodes.join(contribs.withColumnRenamed("v", "id"), "id", "left").select(
+        "id",
+        (F.lit(base) + F.expr(f"{damping_pct} * coalesce(m, 0L) DIV 100"))
+        .cast("long")
+        .alias("pr"),
+    )

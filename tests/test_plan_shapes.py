@@ -105,3 +105,59 @@ def test_minhash_plan_is_jvm_only(spark):
     for marker in PY_MARKERS:
         assert marker not in plan, marker
     assert "MapInPandas" not in plan
+
+
+def test_round2_curation_plans_are_jvm_only(spark):
+    """repetition / keywords / scrub / chunks / modality / pagerank: all
+    relational — no Python stage may appear in any of their plans."""
+    from obsidian_parser_spark.operators.multimodal import modality_stats
+    from obsidian_parser_spark.operators.pagerank import pagerank
+    from obsidian_parser_spark.operators.textstats import (
+        chunk_documents,
+        pii_scrub,
+        repetition_stats,
+        top_keywords,
+    )
+    from tests.util import spans_df
+
+    docs = spark.createDataFrame(
+        [(i, f"a b c w{i} w{i+1}") for i in range(10)], "doc_id int, text string"
+    )
+    spans = spans_df(
+        spark,
+        [{"doc_id": "d", "spans": [
+            {"kind": "text", "text": "x", "media_ref": None, "offset": 0}
+        ]}],
+    )
+    nodes = spark.createDataFrame([("a",), ("b",)], "doc_id string")
+    edges = spark.createDataFrame([("a", "b")], "subj string, obj string")
+    frames = [
+        repetition_stats(docs),
+        top_keywords(docs),
+        pii_scrub(docs),
+        chunk_documents(docs, chunk_chars=4),
+        modality_stats(spans),
+        pagerank(nodes, edges, n_iter=2),
+    ]
+    for df in frames:
+        plan = _plan(df)
+        assert "MapInPandas" not in plan
+        for marker in PY_MARKERS:
+            assert marker not in plan, marker
+
+
+def test_pagerank_contribution_sum_is_partial(spark):
+    from obsidian_parser_spark.operators.pagerank import SCALE, _step
+
+    nodes = spark.createDataFrame(
+        [(f"n{i}",) for i in range(6)], "doc_id string"
+    ).selectExpr("doc_id AS id")
+    wj = spark.createDataFrame(
+        [(f"n{i}", f"n{(i + 1) % 6}", 1, 1) for i in range(6)],
+        "u string, v string, w long, od long",
+    )
+    pr0 = nodes.selectExpr("id", f"CAST({SCALE} AS BIGINT) AS pr")
+    plan = _plan(_step(wj, nodes, pr0, 150000, 85))
+    # the per-target contribution sum must map-side combine (hub skew)
+    assert plan.count("HashAggregate") >= 2
+    assert "partial_sum" in plan
