@@ -251,3 +251,33 @@ def test_stratified_sample_deterministic(spark):
     want = {i for i, lang in rows if (bucket(i) < 30 if lang == "en" else True)}
     assert {r.doc_id for r in kept} == want
     assert all(r.doc_id % 2 == 1 or bucket(r.doc_id) < 30 for r in kept)
+
+
+def test_chunk_reconstruction_invariant(spark):
+    """For any text: chunks tile it exactly — chunk 0 plus each later
+    chunk minus its `overlap`-char prefix re-concatenates to the original
+    (valid because every non-final window is full by construction)."""
+    import random
+
+    from obsidian_parser_spark.operators.textstats import chunk_documents
+
+    rng = random.Random(7)
+    alphabet = "ab 勢😭\n-"
+    texts = ["".join(rng.choice(alphabet) for _ in range(rng.randrange(0, 41)))
+             for _ in range(60)]
+    d = _docs(spark, texts)
+    for chunk_chars, overlap in ((4, 1), (5, 0), (7, 3)):
+        step = chunk_chars - overlap
+        out = chunk_documents(d, chunk_chars=chunk_chars, overlap=overlap).collect()
+        by_doc = {}
+        for r in out:
+            by_doc.setdefault(r.doc_id, {})[r.chunk_id] = r.chunk_text
+        for i, text in enumerate(texts):
+            chunks = [t for _, t in sorted(by_doc.get(i, {}).items())]
+            if not text:
+                assert chunks == []
+                continue
+            assert len(chunks) == (len(text) + step - 1) // step
+            assert all(len(c) <= chunk_chars for c in chunks)
+            rebuilt = chunks[0] + "".join(c[overlap:] for c in chunks[1:])
+            assert rebuilt == text, (chunk_chars, overlap, text)
