@@ -109,13 +109,22 @@ def main() -> None:
     # steady-state strong-scaling measurement
     if os.environ.get("BENCH_SCALE_MODE"):
         # the at-scale configuration: no driver-side broadcast (the alias
-        # dict of a 10^12-doc vault cannot broadcast), no notes cache (one
-        # streaming pass) — every stage fully parallel.  Two runs, min =
-        # steady state (run 1 pays JIT + allocator growth).
+        # dict of a 10^12-doc vault cannot broadcast), notes CACHED — the
+        # edge plan consumes the tokenize stage three times (dict side,
+        # mention side, tag-triple branch), so an uncached run pays the
+        # Python stage 3× (measured 155 s vs 45 s at sf1 local[32]); a real
+        # pipeline materializes that stage exactly once (plans/materialize
+        # writes it).  Timing includes the cache population.  Two runs from
+        # cold caches, min = steady state (run 1 pays JIT + allocator
+        # growth).
         runs = []
         triples = 0
-        opts = GraphBuildOptions(persist_notes=False, broadcast_dict=False)
-        for _ in range(2):
+        opts = GraphBuildOptions(persist_notes=True, broadcast_dict=False)
+        for i in range(2):
+            if i:
+                spark.catalog.clearCache()
+                docs = _read_docs()
+                docs.count()
             gg = build_graph(docs, opts)
             t0 = time.perf_counter()
             triples = gg.edges.count()
