@@ -1,0 +1,37 @@
+"""Training-data export sinks.
+
+The last stage of a curation pipeline: ship the filtered/deduped/chunked
+corpus as sharded JSONL (the de-facto LLM training interchange).  Pure
+Spark writers — sharding is delegated to ``maxRecordsPerFile`` so the
+executor-parallel write needs no extra shuffle, and every shard is written
+atomically by the file-commit protocol (a killed job leaves no partial
+shard visible).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def write_jsonl_shards(
+    df: DataFrame,
+    path: str,
+    max_docs_per_shard: int = 10_000,
+    compression: str = "gzip",
+    coalesce_to: int | None = None,
+) -> None:
+    """Write ``df`` as gzipped JSONL shards of at most
+    ``max_docs_per_shard`` rows each.
+
+    ``maxRecordsPerFile`` splits within each task, so shard size is capped
+    regardless of partition skew; ``coalesce_to`` optionally bounds the
+    shard COUNT from below-fragmentation (many tiny partitions → many tiny
+    shards) without a shuffle.  Overwrite mode: re-running a failed export
+    is idempotent."""
+    w = df.coalesce(coalesce_to) if coalesce_to else df
+    (
+        w.write.mode("overwrite")
+        .option("maxRecordsPerFile", max_docs_per_shard)
+        .option("compression", compression)
+        .json(path)
+    )

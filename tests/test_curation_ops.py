@@ -281,3 +281,27 @@ def test_chunk_reconstruction_invariant(spark):
             assert all(len(c) <= chunk_chars for c in chunks)
             rebuilt = chunks[0] + "".join(c[overlap:] for c in chunks[1:])
             assert rebuilt == text, (chunk_chars, overlap, text)
+
+
+# ---------------------------------------------------------------- export
+
+
+def test_jsonl_shard_export_roundtrip(spark, tmp_path):
+    from obsidian_parser_spark.operators.export import write_jsonl_shards
+
+    df = _docs(spark, [f"text {i}" for i in range(250)])
+    out = str(tmp_path / "shards")
+    write_jsonl_shards(df, out, max_docs_per_shard=100, coalesce_to=1)
+    back = spark.read.json(out)
+    assert back.count() == 250
+    assert {r.doc_id for r in back.collect()} == set(range(250))
+    # shard cap respected: 250 rows / ≤100 per file → ≥3 data files
+    import glob
+
+    files = glob.glob(f"{out}/part-*.json.gz")
+    assert len(files) >= 3
+    for f in files:
+        import gzip
+
+        with gzip.open(f, "rt") as fh:
+            assert sum(1 for _ in fh) <= 100
