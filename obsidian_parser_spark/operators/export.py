@@ -35,3 +35,16 @@ def write_jsonl_shards(
         .option("compression", compression)
         .json(path)
     )
+
+
+def read_jsonl_corpus(spark, path: str, schema=None) -> DataFrame:
+    """Read a JSONL corpus — the inverse of ``write_jsonl_shards`` (also
+    accepts externally-produced JSONL).  Pass an explicit ``schema``
+    (e.g. ``sources.schema.DOCUMENTS_SCHEMA`` for span documents): at
+    10^12 documents schema inference is a full extra scan, and on an
+    empty/partial shard set it silently infers a wrong shape — never
+    infer in production paths."""
+    r = spark.read
+    if schema is not None:
+        r = r.schema(schema)
+    return r.json(path)

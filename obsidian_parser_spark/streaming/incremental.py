@@ -109,3 +109,29 @@ def windowed_event_counts(
         if checkpoint is not None:
             writer = writer.option("checkpointLocation", checkpoint)
     return writer.trigger(availableNow=True).start()
+
+
+def dedup_stream(
+    stream: DataFrame,
+    ts_col: str = "ts",
+    text_col: str = "text",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming exact deduplication: keep the FIRST arrival of each
+    content hash, dropping later copies that arrive within the watermark
+    horizon of the first (``dropDuplicatesWithinWatermark`` — state for a
+    hash is evictable once the watermark passes its first-seen event time,
+    so state size is bounded by the dedup horizon, not the stream length —
+    the property that makes streaming dedup viable on an unbounded
+    corpus).  Copies arriving later than the horizon are treated as new —
+    the standard at-scale trade; route survivors through the batch
+    ``dedup.exact_duplicates`` for a full-history sweep.
+
+    Input must carry an event-time column ``ts_col``; the content hash is
+    computed JVM-side (md5, matching the batch detector's grouping key)."""
+    return (
+        stream.withColumn("_h", F.md5(F.col(text_col)))
+        .withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["_h"])
+        .drop("_h")
+    )

@@ -305,3 +305,58 @@ def test_jsonl_shard_export_roundtrip(spark, tmp_path):
 
         with gzip.open(f, "rt") as fh:
             assert sum(1 for _ in fh) <= 100
+
+
+def test_jsonl_span_corpus_roundtrip(spark, tmp_path):
+    """Span documents survive a JSONL shard round-trip byte-for-byte
+    (export → read_jsonl_corpus with the canonical schema)."""
+    from obsidian_parser_spark.operators.export import (
+        read_jsonl_corpus,
+        write_jsonl_shards,
+    )
+    from obsidian_parser_spark.sources.corpus import micro_vault_rows
+    from obsidian_parser_spark.sources.schema import DOCUMENTS_SCHEMA
+    from tests.util import spans_df
+
+    docs = spans_df(spark, micro_vault_rows())
+    out = str(tmp_path / "jsonl")
+    write_jsonl_shards(docs, out, coalesce_to=1)
+    back = read_jsonl_corpus(spark, out, DOCUMENTS_SCHEMA)
+    a = sorted(docs.collect(), key=lambda r: r.doc_id)
+    b = sorted(back.collect(), key=lambda r: r.doc_id)
+    assert [r.asDict(recursive=True) for r in a] == [
+        r.asDict(recursive=True) for r in b
+    ]
+
+
+def test_reconstruct_hostile_spans(spark):
+    """Reconstruction is total on hostile span arrays: empty arrays,
+    negative offsets (still sorted numerically), null span text, and two
+    frontmatter spans (the FIRST in array order wins — pinned semantic)."""
+    from obsidian_parser_spark.operators.tokenize import reconstruct_text
+    from tests.util import spans_df
+
+    rows = [
+        {"doc_id": "empty", "spans": []},
+        {
+            "doc_id": "neg",
+            "spans": [
+                {"kind": "text", "text": "b", "media_ref": None, "offset": 0},
+                {"kind": "text", "text": "a", "media_ref": None, "offset": -5},
+                {"kind": "text", "text": None, "media_ref": None, "offset": 3},
+            ],
+        },
+        {
+            "doc_id": "twofm",
+            "spans": [
+                {"kind": "frontmatter", "text": "first", "media_ref": None, "offset": 1},
+                {"kind": "frontmatter", "text": "second", "media_ref": None, "offset": 0},
+                {"kind": "text", "text": "body", "media_ref": None, "offset": 2},
+            ],
+        },
+    ]
+    got = {r.doc_id: r for r in reconstruct_text(spans_df(spark, rows)).collect()}
+    assert got["empty"].content == "" and got["empty"].properties_yaml is None
+    assert got["neg"].content == "ab"  # -5 sorts first; null text contributes ''
+    assert got["twofm"].properties_yaml == "first"
+    assert got["twofm"].content == "body"

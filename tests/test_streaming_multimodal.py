@@ -132,3 +132,36 @@ def test_render_roundtrip_micro_vault(spark, micro_vault):
         ("link", "links_to", "main"),
         ("main", "links_to", "data/main"),
     ]
+
+
+def test_dedup_stream_drops_within_horizon(spark, tmp_path):
+    """Streaming exact dedup: a copy arriving within the watermark horizon
+    of the first occurrence is dropped; distinct content passes."""
+    from datetime import datetime, timezone
+
+    from obsidian_parser_spark.streaming.incremental import dedup_stream
+
+    ts = lambda m: datetime(2026, 1, 1, 10, m, tzinfo=timezone.utc)  # noqa: E731
+    rows = [
+        (1, "same text", ts(0)),
+        (2, "same text", ts(5)),  # dup within 10-min horizon → dropped
+        (3, "other text", ts(1)),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string, ts timestamp")
+    indir = str(tmp_path / "in")
+    df.coalesce(1).write.parquet(indir)
+    stream = spark.readStream.schema(
+        "doc_id int, text string, ts timestamp"
+    ).parquet(indir)
+    q = (
+        dedup_stream(stream)
+        .writeStream.format("memory")
+        .queryName("dd_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r.doc_id for r in spark.sql("SELECT * FROM dd_stream").collect()}
+    assert got == {1, 3}
