@@ -439,6 +439,12 @@ def _q_kg_modality(spark, sf_dir):
     return modality_stats(spark.read.parquet(_vault_path(sf_dir)))
 
 
+def _q_kg_related(spark, sf_dir):
+    """Bibliographic coupling: note pairs sharing >= 2 distinct link
+    targets (hub targets df-capped at 100 — the inverted-index guard)."""
+    return A.related_notes(_graph(spark, sf_dir).edges, min_shared=2, max_target_df=100)
+
+
 def _q_kg_pagerank(spark, sf_dir):
     """Integer fixed-point PageRank (10 rounds, damping 85%) over the link
     graph — bit-exact vs the oracle's unrolled iteration CTEs."""
@@ -538,6 +544,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd_clusters": _q_dd_clusters,
         "kg_modality": _q_kg_modality,
         "kg_pagerank": _q_kg_pagerank,
+        "kg_related": _q_kg_related,
         "ts_chunks": _q_ts_chunks,
         "ts_stratified": _q_ts_stratified,
     }
@@ -808,6 +815,15 @@ def _kg_oracles(path: str) -> dict[str, str]:
         + ",\n"
         + _pagerank_ctes()
         + "\nSELECT id, pr FROM pr_final",
+        "kg_related": c
+        + """,
+le AS (SELECT DISTINCT subj, obj FROM link_edges),
+keep AS (SELECT obj FROM le GROUP BY obj HAVING count(*) <= 100),
+lek AS (SELECT le.subj, le.obj FROM le JOIN keep USING (obj))
+SELECT a.subj AS a, b.subj AS b, count(*)::BIGINT AS shared
+FROM lek a JOIN lek b ON a.obj = b.obj AND a.subj < b.subj
+GROUP BY a.subj, b.subj
+HAVING count(*) >= 2""",
     }
 
 

@@ -145,3 +145,32 @@ def graph_summary(nodes: DataFrame, edges: DataFrame, dangling: DataFrame) -> Da
     t = edges.filter(F.col("pred") == "tagged").agg(F.count("*").alias("n_tag_triples"))
     d = dangling.agg(F.count("*").alias("n_dangling"))
     return n.crossJoin(e).crossJoin(t).crossJoin(d)
+
+
+def related_notes(
+    edges: DataFrame, min_shared: int = 2, max_target_df: int = 100
+) -> DataFrame:
+    """Bibliographic coupling: note pairs (a, b, shared) linking to at
+    least ``min_shared`` common DISTINCT targets, a < b — the standard
+    "related notes" query over the link graph.
+
+    Scale shape: the same inverted-index candidate generator as the dedup
+    family — self-join on the shared target, with targets whose in-link
+    note count exceeds ``max_target_df`` dropped first (a hub linked by
+    everything is non-discriminative and would make the join quadratic;
+    identical reasoning to the stop-shingle cap in dedup.ngram_jaccard).
+    Map-side partial aggs throughout; no driver-side state."""
+    le = link_edges(edges).select("subj", "obj").distinct()
+    keep = le.groupBy("obj").agg(F.count("*").alias("_df")).filter(
+        F.col("_df") <= max_target_df
+    )
+    le = le.join(keep.select("obj"), "obj")
+    a = le.select(F.col("subj").alias("a"), "obj")
+    b = le.select(F.col("subj").alias("b"), "obj")
+    return (
+        a.join(b, "obj")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("shared"))
+        .filter(F.col("shared") >= min_shared)
+    )

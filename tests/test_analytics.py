@@ -78,3 +78,23 @@ def test_degree_distribution(spark):
     g = _graph(spark, rows)
     dist = {r.degree: r.n_notes for r in A.degree_distribution(g.edges).collect()}
     assert dist == {2: 2}  # a and b each have undirected degree 2
+
+
+def test_related_notes_coupling_and_hub_cap(spark):
+    from obsidian_parser_spark.operators.analytics import related_notes
+
+    rows = [
+        ("n1", "links_to", "t1"), ("n1", "links_to", "t2"),
+        ("n2", "links_to", "t1"), ("n2", "links_to", "t2"),
+        ("n3", "links_to", "t3"),
+        # hub target linked by all three: df 3 > cap 2 → contributes nothing
+        ("n1", "links_to", "hub"), ("n2", "links_to", "hub"), ("n3", "links_to", "hub"),
+        # duplicate occurrence must not double-count (distinct targets)
+        ("n1", "links_to", "t2"),
+        ("n9", "tagged", "t1"),  # tag triples excluded from the link graph
+    ]
+    edges = spark.createDataFrame(rows, "subj string, pred string, obj string")
+    got = {(r.a, r.b): r.shared for r in related_notes(
+        edges, min_shared=2, max_target_df=2
+    ).collect()}
+    assert got == {("n1", "n2"): 2}
