@@ -432,6 +432,19 @@ def _q_dd_clusters(spark, sf_dir):
     return DD.dedup_clusters(pairs)
 
 
+def _q_dd_curate(spark, sf_dir):
+    """The END-TO-END curation plan's audit metrics on the dedup corpus:
+    quality gate -> repetition gate -> exact dedup -> MinHash-LSH clusters,
+    first-matching drop_reason, one aggregation (md5 hash family so the
+    oracle replays the identical pipeline in SQL)."""
+    from obsidian_parser_spark.plans.curation import CurationOptions, curate
+
+    res = curate(
+        _dedup_corpus(spark, sf_dir), CurationOptions(minhash_hash_fn="md5")
+    )
+    return res.metrics
+
+
 def _q_kg_modality(spark, sf_dir):
     """Per-document modality profile off the interleaved span array."""
     from obsidian_parser_spark.operators.multimodal import modality_stats
@@ -542,6 +555,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_keywords": _q_ts_keywords,
         "ts_scrub": _q_ts_scrub,
         "dd_clusters": _q_dd_clusters,
+        "dd_curate": _q_dd_curate,
         "kg_modality": _q_kg_modality,
         "kg_pagerank": _q_kg_pagerank,
         "kg_related": _q_kg_related,
@@ -1315,6 +1329,94 @@ SELECT doc_id,
                 '{TS.IPV4_RE}', '<IP>', 'g'),
                 '{TS.LONGNUM_RE}', '<NUM>', 'g')) AS scrubbed_sha
 FROM pii""",
+        "dd_curate": f"""
+WITH {_DD_SQL.strip()},
+qd AS (
+  SELECT doc_id,
+         len({tok})::BIGINT AS n_words,
+         len(regexp_extract_all(text, '[.,;:!?]', 0))::BIGINT AS n_punct,
+         len(list_distinct({tok}))::BIGINT AS n_distinct
+  FROM dd
+),
+qe AS (
+  SELECT doc_id,
+    round(CASE WHEN n_words > 0 THEN n_distinct / n_words ELSE 0.0 END, 4)
+      AS distinct_ratio, n_words, n_punct
+  FROM qd
+),
+q AS (
+  SELECT doc_id,
+    round(least(n_words / 100.0, 1.0) * 0.4
+          + least(n_punct / 5.0, 1.0) * 0.2
+          + distinct_ratio * 0.4, 4) AS quality
+  FROM qe
+),
+lines AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split(text, chr(10)), x -> trim(x) <> '')) AS line
+  FROM dd
+),
+lc AS (SELECT doc_id, line, count(*) AS c FROM lines GROUP BY doc_id, line),
+la AS (
+  SELECT doc_id, sum(c) AS n_lines,
+         sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_lines,
+         sum(strlen(line) * c) AS line_bytes,
+         sum(CASE WHEN c > 1 THEN strlen(line) * c ELSE 0 END) AS dup_line_bytes
+  FROM lc GROUP BY doc_id
+),
+toks2 AS (SELECT doc_id, {tok} AS t FROM dd),
+bgs AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1])) AS bigram
+  FROM toks2
+),
+bc AS (SELECT doc_id, bigram, count(*) AS c FROM bgs GROUP BY doc_id, bigram),
+ba AS (SELECT doc_id, sum(c) AS n_bigrams, max(c) AS top_c FROM bc GROUP BY doc_id),
+rep AS (
+  SELECT d.doc_id,
+    (round(CASE WHEN coalesce(n_lines, 0) > 0
+                THEN coalesce(dup_lines, 0)::DOUBLE / n_lines ELSE 0.0 END, 4) > 0.30
+     OR round(CASE WHEN coalesce(line_bytes, 0) > 0
+                THEN coalesce(dup_line_bytes, 0)::DOUBLE / line_bytes ELSE 0.0 END, 4) > 0.20
+     OR round(CASE WHEN coalesce(n_bigrams, 0) > 0
+                THEN coalesce(top_c, 0)::DOUBLE / n_bigrams ELSE 0.0 END, 4) > 0.18)
+      AS is_rep
+  FROM dd d LEFT JOIN la USING (doc_id) LEFT JOIN ba USING (doc_id)
+),
+ex AS (
+  SELECT doc_id, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+  FROM dd
+),
+sh AS (SELECT DISTINCT doc_id, unnest({shingles}) AS shingle FROM dd),
+sigs AS (SELECT doc_id, {sig_expr} FROM sh GROUP BY doc_id),
+banded AS ({band_expr}),
+small AS (
+  SELECT band, key FROM banded GROUP BY band, key HAVING count(*) <= 200
+),
+kept AS (SELECT banded.* FROM banded JOIN small USING (band, key)),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+  FROM kept a JOIN kept b ON a.band = b.band AND a.key = b.key
+  WHERE a.doc_id < b.doc_id
+),
+sym AS MATERIALIZED (SELECT a AS u, b AS v FROM pairs
+                     UNION SELECT b, a FROM pairs),
+l0 AS MATERIALIZED (SELECT DISTINCT u AS id, u AS lbl FROM sym),
+{_label_prop_rounds(8)},
+nd AS (SELECT id AS doc_id FROM cc WHERE id <> component)
+SELECT reason AS drop_reason, count(*)::BIGINT AS n_docs FROM (
+  SELECT d.doc_id,
+    CASE WHEN q.quality < 0.2 THEN 'low_quality'
+         WHEN rep.is_rep THEN 'repetitive'
+         WHEN ex.rn > 1 THEN 'exact_duplicate'
+         WHEN nd.doc_id IS NOT NULL THEN 'near_duplicate'
+         ELSE 'kept' END AS reason
+  FROM dd d
+  JOIN q USING (doc_id)
+  JOIN rep USING (doc_id)
+  JOIN ex USING (doc_id)
+  LEFT JOIN nd ON nd.doc_id = d.doc_id
+) GROUP BY reason""",
         "dd_clusters": f"""
 WITH {_DD_SQL.strip()},
 sh AS (SELECT DISTINCT doc_id, unnest({shingles}) AS shingle FROM dd),

@@ -306,18 +306,12 @@ IPV4_RE = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
 LONGNUM_RE = "\\b[0-9]{7,}\\b"
 
 
-def pii_scrub(
-    documents: DataFrame, text_col: str = "text", id_col: str = "doc_id"
-) -> DataFrame:
-    """Regex PII redaction for training-data hygiene: emails → ``<EMAIL>``,
-    IPv4 literals → ``<IP>``, 7+-digit runs (phone/account numbers) →
-    ``<NUM>``, applied in that order (emails first so their digits are not
-    half-eaten by the number rule).  Pure JVM regexp_replace — whole-stage
-    codegen, no UDF.  Returns counts plus a sha256 of the scrubbed text
-    (the cheap cross-engine witness that the replacement text is
-    byte-identical — the full scrubbed column stays in the plan for sinks).
-    """
-    scrubbed = F.regexp_replace(
+def scrubbed_text(text_col: str = "text"):
+    """Column expression: ``text_col`` with emails → ``<EMAIL>``, IPv4 →
+    ``<IP>``, 7+-digit runs → ``<NUM>`` (in that order — emails first so
+    their digits are not half-eaten by the number rule).  Reused by
+    ``pii_scrub`` and the curation plan's sink path."""
+    return F.regexp_replace(
         F.regexp_replace(
             F.regexp_replace(F.col(text_col), EMAIL_RE, "<EMAIL>"),
             IPV4_RE,
@@ -326,6 +320,18 @@ def pii_scrub(
         LONGNUM_RE,
         "<NUM>",
     )
+
+
+def pii_scrub(
+    documents: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Regex PII redaction for training-data hygiene (see
+    ``scrubbed_text`` for the replacement rules).  Pure JVM
+    regexp_replace — whole-stage codegen, no UDF.  Returns counts plus a
+    sha256 of the scrubbed text (the cheap cross-engine witness that the
+    replacement text is byte-identical — the full scrubbed column stays in
+    the plan for sinks)."""
+    scrubbed = scrubbed_text(text_col)
     def n_hits(pattern: str):
         # native fn + lit pattern: no SQL-string escape round-trip on the
         # regex (an F.expr literal would eat the backslashes)

@@ -1,0 +1,114 @@
+"""End-to-end training-data curation plan.
+
+One call composes the curation operators into the standard LLM
+data-pipeline shape over a ``documents(doc_id, text)`` corpus:
+
+    quality gate → Gopher repetition gate → exact dedup → MinHash-LSH
+    near-dup clusters (transitive, keeper-wins) → PII scrub →
+    deterministic train/valid/test split → context-window chunking
+
+Every gate records a ``drop_reason`` instead of filtering eagerly, so the
+whole audit is ONE aggregation over the annotated frame (no per-gate
+count() actions — at 10^12 docs each extra action is a full pipeline
+re-execution) and every dropped doc is attributable.  First matching
+reason wins, evaluated in gate order — a doc that is both low-quality and
+a duplicate reports ``low_quality``.
+
+All stages are the already-oracle-checked operators; this module only
+wires them, so the plan inherits their scale shapes (map-side partial
+aggs, inverted-index candidate generation, hub caps, no Python in any
+plan)."""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..operators.dedup import dedup_clusters, exact_duplicates, minhash_lsh_pairs
+from ..operators.sampling import hash_split
+from ..operators.textstats import (
+    chunk_documents,
+    quality_scores,
+    repetition_stats,
+    scrubbed_text,
+)
+
+
+@dataclass
+class CurationOptions:
+    min_quality: float = 0.2  # composite score gate (quality_scores)
+    drop_repetitive: bool = True  # Gopher repetition thresholds
+    near_dup: bool = True  # MinHash-LSH transitive clusters
+    minhash_k: int = 12
+    minhash_bands: int = 4
+    # 'xxh' (scale default) or 'md5' (cross-engine oracle-portable)
+    minhash_hash_fn: str = "xxh" 
+    scrub_pii: bool = True
+    chunk_chars: int = 2048
+    chunk_overlap: int = 128
+    train_pct: int = 80
+    valid_pct: int = 10
+
+
+@dataclass
+class CurationResult:
+    docs: DataFrame  # (doc_id, text, drop_reason, split) — full audit frame
+    chunks: DataFrame  # (doc_id, split, chunk_id, chunk_text) — survivors only
+    metrics: DataFrame  # (drop_reason, n_docs) incl. kept
+
+
+def curate(documents: DataFrame, opts: CurationOptions | None = None) -> CurationResult:
+    """Annotate → audit → emit.  Lazy end to end: nothing executes until an
+    action on one of the returned frames."""
+    opts = opts or CurationOptions()
+    d = documents.select("doc_id", "text")
+
+    q = quality_scores(d).select("doc_id", "quality")
+    r = repetition_stats(d).select("doc_id", "is_repetitive")
+    exact = exact_duplicates(d).select("doc_id", F.lit(True).alias("_exact_dup"))
+    annotated = (
+        d.join(q, "doc_id")
+        .join(r, "doc_id")
+        .join(exact, "doc_id", "left")
+    )
+    if opts.near_dup:
+        pairs = minhash_lsh_pairs(
+            d,
+            k=opts.minhash_k,
+            bands=opts.minhash_bands,
+            hash_fn=opts.minhash_hash_fn,
+        )
+        near = dedup_clusters(pairs).filter(~F.col("is_keeper")).select(
+            "doc_id", F.lit(True).alias("_near_dup")
+        )
+        annotated = annotated.join(near, "doc_id", "left")
+    else:
+        annotated = annotated.withColumn("_near_dup", F.lit(None).cast("boolean"))
+
+    reason = (
+        F.when(F.col("quality") < opts.min_quality, F.lit("low_quality"))
+        .when(
+            F.col("is_repetitive") if opts.drop_repetitive else F.lit(False),
+            F.lit("repetitive"),
+        )
+        .when(F.coalesce("_exact_dup", F.lit(False)), F.lit("exact_duplicate"))
+        .when(F.coalesce("_near_dup", F.lit(False)), F.lit("near_duplicate"))
+        .otherwise(F.lit("kept"))
+    )
+    docs = annotated.withColumn("drop_reason", reason)
+    docs = hash_split(docs, train_pct=opts.train_pct, valid_pct=opts.valid_pct)
+    docs = docs.select("doc_id", "text", "drop_reason", "split")
+
+    metrics = docs.groupBy("drop_reason").agg(F.count("*").alias("n_docs"))
+
+    kept = docs.filter(F.col("drop_reason") == "kept")
+    if opts.scrub_pii:
+        kept = kept.withColumn("text", scrubbed_text("text"))
+    chunks = chunk_documents(
+        kept, chunk_chars=opts.chunk_chars, overlap=opts.chunk_overlap
+    ).join(kept.select("doc_id", "split"), "doc_id")
+    chunks = chunks.select("doc_id", "split", "chunk_id", "chunk_text")
+
+    return CurationResult(docs=docs, chunks=chunks, metrics=metrics)

@@ -1,0 +1,59 @@
+"""End-to-end curation plan: gate order, one-pass audit metrics, scrubbed
+chunk emission."""
+
+from pyspark.sql import functions as F
+
+from obsidian_parser_spark.plans.curation import CurationOptions, curate
+
+
+def _good_text(seed: int, n: int = 60) -> str:
+    # distinct-ish words + punctuation → composite quality well above 0.2
+    return " ".join(f"word{seed}x{i} token{i}." for i in range(n))
+
+
+def test_curate_gate_order_metrics_and_chunks(spark):
+    good = _good_text(1)
+    rows = [
+        (0, ""),  # low_quality
+        (1, "word one two. \n" * 20),  # decent quality but repetitive
+        (2, good),  # kept (cluster/exact keeper)
+        (3, good),  # exact duplicate of 2
+        (4, good + " zz extra token"),  # near duplicate of 2 (not exact)
+        (5, _good_text(9) + " mail me: a.b@example.org ok"),  # kept + scrub
+    ]
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+    res = curate(
+        docs,
+        CurationOptions(chunk_chars=200, chunk_overlap=20),
+    )
+
+    reasons = {r.doc_id: r.drop_reason for r in res.docs.collect()}
+    assert reasons[0] == "low_quality"
+    assert reasons[1] == "repetitive"
+    assert reasons[2] == "kept"
+    assert reasons[3] == "exact_duplicate"
+    assert reasons[4] == "near_duplicate"
+    assert reasons[5] == "kept"
+
+    m = {r.drop_reason: r.n_docs for r in res.metrics.collect()}
+    assert sum(m.values()) == len(rows)  # one-pass audit is total
+    assert m["kept"] == 2
+
+    ch = res.chunks.collect()
+    assert {r.doc_id for r in ch} == {2, 5}  # survivors only
+    assert all(r.split in ("train", "valid", "test") for r in ch)
+    joined5 = "".join(
+        c.chunk_text if c.chunk_id == 0 else c.chunk_text[20:]
+        for c in sorted((c for c in ch if c.doc_id == 5), key=lambda c: c.chunk_id)
+    )
+    assert "<EMAIL>" in joined5 and "a.b@example.org" not in joined5
+
+
+def test_curate_is_lazy_and_jvm_only_after_tokeniserless_input(spark):
+    """The composed plan stays Python-free: documents(doc_id, text) in,
+    no mapInPandas/UDF anywhere in the chunk plan."""
+    docs = spark.createDataFrame([(1, _good_text(3))], "doc_id int, text string")
+    res = curate(docs)
+    plan = res.chunks._jdf.queryExecution().executedPlan().toString()
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "PythonUDF", "MapInPandas"):
+        assert marker not in plan, marker
