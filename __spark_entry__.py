@@ -452,6 +452,15 @@ def _q_kg_modality(spark, sf_dir):
     return modality_stats(spark.read.parquet(_vault_path(sf_dir)))
 
 
+def _q_kg_hits(spark, sf_dir):
+    """HITS hubs/authorities (integer fixed-point, 10 rounds) over the
+    link graph."""
+    from obsidian_parser_spark.operators.pagerank import hits
+
+    g = _graph(spark, sf_dir)
+    return hits(g.nodes, A.link_edges(g.edges))
+
+
 def _q_kg_related(spark, sf_dir):
     """Bibliographic coupling: note pairs sharing >= 2 distinct link
     targets (hub targets df-capped at 100 — the inverted-index guard)."""
@@ -559,6 +568,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_modality": _q_kg_modality,
         "kg_pagerank": _q_kg_pagerank,
         "kg_related": _q_kg_related,
+        "kg_hits": _q_kg_hits,
         "ts_chunks": _q_ts_chunks,
         "ts_stratified": _q_ts_stratified,
     }
@@ -725,6 +735,50 @@ def _pagerank_ctes(n_iter: int = 10, damping: int = 85, scale: int = 1_000_000) 
     return ",\n".join(parts)
 
 
+def _hits_ctes(n_iter: int = 10, scale: int = 1_000_000) -> str:
+    """Unrolled integer fixed-point HITS mirroring operators/pagerank.hits:
+    per round, authority = max-normalized sum of in-neighbor hubs, then
+    hub = max-normalized sum of out-neighbor authorities — all integer
+    (// at the normalization), byte-identical across engines."""
+    parts = [
+        "w AS MATERIALIZED (SELECT subj AS u, obj AS v, count(*) AS w"
+        " FROM link_edges GROUP BY subj, obj)",
+        f"h0 AS (SELECT doc_id AS id, {scale}::BIGINT AS s FROM notes)",
+    ]
+    for t in range(1, n_iter + 1):
+        parts.append(
+            f"""araw{t} AS MATERIALIZED (
+  SELECT n.id, coalesce(s.r, 0)::BIGINT AS r
+  FROM h0 n LEFT JOIN (SELECT w.v, sum(h.s * w.w) AS r
+                       FROM w JOIN h{t - 1} h ON h.id = w.u GROUP BY w.v) s
+    ON s.v = n.id)"""
+        )
+        parts.append(f"amax{t} AS (SELECT max(r) AS mx FROM araw{t})")
+        parts.append(
+            f"""a{t} AS MATERIALIZED (
+  SELECT id, (CASE WHEN mx > 0 THEN (r * {scale}) // mx ELSE 0 END)::BIGINT AS s
+  FROM araw{t}, amax{t})"""
+        )
+        parts.append(
+            f"""hraw{t} AS MATERIALIZED (
+  SELECT n.id, coalesce(s.r, 0)::BIGINT AS r
+  FROM h0 n LEFT JOIN (SELECT w.u, sum(a.s * w.w) AS r
+                       FROM w JOIN a{t} a ON a.id = w.v GROUP BY w.u) s
+    ON s.u = n.id)"""
+        )
+        parts.append(f"hmax{t} AS (SELECT max(r) AS mx FROM hraw{t})")
+        parts.append(
+            f"""h{t} AS MATERIALIZED (
+  SELECT id, (CASE WHEN mx > 0 THEN (r * {scale}) // mx ELSE 0 END)::BIGINT AS s
+  FROM hraw{t}, hmax{t})"""
+        )
+    parts.append(
+        f"hits_final AS (SELECT h.id, h.s AS hub, a.s AS authority"
+        f" FROM h{n_iter} h JOIN a{n_iter} a USING (id))"
+    )
+    return ",\n".join(parts)
+
+
 def _kg_oracles(path: str) -> dict[str, str]:
     c = _kg_cte(path)
     return {
@@ -829,6 +883,10 @@ def _kg_oracles(path: str) -> dict[str, str]:
         + ",\n"
         + _pagerank_ctes()
         + "\nSELECT id, pr FROM pr_final",
+        "kg_hits": c
+        + ",\n"
+        + _hits_ctes()
+        + "\nSELECT id, hub, authority FROM hits_final",
         "kg_related": c
         + """,
 le AS (SELECT DISTINCT subj, obj FROM link_edges),

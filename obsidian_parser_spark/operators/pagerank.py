@@ -83,3 +83,73 @@ def _step(
         .cast("long")
         .alias("pr"),
     )
+
+
+def hits(
+    nodes: DataFrame,
+    edges: DataFrame,
+    n_iter: int = 10,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """HITS hubs & authorities — integer fixed-point, bit-exact like
+    ``pagerank`` above, but with the OTHER iterative normalization shape:
+    each half-round ends with a max-normalization ``score·SCALE div max``,
+    where the max is a one-row aggregate broadcast back onto the frame (a
+    scalar join, not a driver-side collect).  Unnormalized HITS explodes
+    exponentially, so the normalization is load-bearing, and doing it with
+    integer div keeps both engines byte-identical.
+
+    → (id, hub, authority); nodes untouched by any edge settle to 0.
+    Parallel edges vote per occurrence; per-round localCheckpoint cuts
+    lineage exactly like the CC/PageRank fixpoints."""
+    w = edges.select(F.col("subj").alias("u"), F.col("obj").alias("v")).groupBy(
+        "u", "v"
+    ).agg(F.count("*").alias("w"))
+    w = w.localCheckpoint()
+    all_nodes = nodes.select(F.col(id_col).alias("id")).distinct().localCheckpoint()
+    hub = all_nodes.select("id", F.lit(SCALE).cast("long").alias("s"))
+    auth = all_nodes.select("id", F.lit(SCALE).cast("long").alias("s"))
+
+    def _norm(raw: DataFrame) -> DataFrame:
+        # raw: (id, r) — scale so the max is SCALE; all-zero → stays zero
+        mx = raw.agg(F.max("r").alias("_mx"))
+        return (
+            raw.crossJoin(F.broadcast(mx))
+            .select(
+                "id",
+                F.when(F.col("_mx") > 0, F.expr(f"r * {SCALE} DIV _mx"))
+                .otherwise(F.lit(0))
+                .cast("long")
+                .alias("s"),
+            )
+        )
+
+    for _ in range(n_iter):
+        a_raw = (
+            w.join(hub.select(F.col("id").alias("u"), "s"), "u")
+            .select("v", (F.col("s") * F.col("w")).alias("c"))
+            .groupBy("v")
+            .agg(F.sum("c").alias("r"))
+        )
+        auth = _norm(
+            all_nodes.join(a_raw.withColumnRenamed("v", "id"), "id", "left").select(
+                "id", F.coalesce("r", F.lit(0)).alias("r")
+            )
+        ).localCheckpoint()
+        h_raw = (
+            w.join(auth.select(F.col("id").alias("v"), "s"), "v")
+            .select("u", (F.col("s") * F.col("w")).alias("c"))
+            .groupBy("u")
+            .agg(F.sum("c").alias("r"))
+        )
+        hub = _norm(
+            all_nodes.join(h_raw.withColumnRenamed("u", "id"), "id", "left").select(
+                "id", F.coalesce("r", F.lit(0)).alias("r")
+            )
+        ).localCheckpoint()
+
+    return (
+        hub.withColumnRenamed("s", "hub")
+        .join(auth.withColumnRenamed("s", "authority"), "id")
+        .select("id", "hub", "authority")
+    )

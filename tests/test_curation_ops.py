@@ -360,3 +360,43 @@ def test_reconstruct_hostile_spans(spark):
     assert got["neg"].content == "ab"  # -5 sorts first; null text contributes ''
     assert got["twofm"].properties_yaml == "first"
     assert got["twofm"].content == "body"
+
+
+def test_hits_matches_python_fixed_point(spark):
+    from collections import Counter, defaultdict
+
+    from obsidian_parser_spark.operators.pagerank import SCALE, hits
+
+    nodes = ["a", "b", "c", "d"]  # d isolated
+    edge_list = [("a", "b"), ("a", "b"), ("b", "c"), ("c", "a"), ("a", "c")]
+
+    def py_hits(n_iter=10):
+        w = Counter(edge_list)
+        hub = {n: SCALE for n in nodes}
+        auth = {n: SCALE for n in nodes}
+        for _ in range(n_iter):
+            raw = defaultdict(int)
+            for (u, v), c in w.items():
+                raw[v] += hub[u] * c
+            mx = max((raw.get(n, 0) for n in nodes), default=0)
+            auth = {
+                n: (raw.get(n, 0) * SCALE) // mx if mx > 0 else 0 for n in nodes
+            }
+            raw = defaultdict(int)
+            for (u, v), c in w.items():
+                raw[u] += auth[v] * c
+            mx = max((raw.get(n, 0) for n in nodes), default=0)
+            hub = {
+                n: (raw.get(n, 0) * SCALE) // mx if mx > 0 else 0 for n in nodes
+            }
+        return hub, auth
+
+    ndf = spark.createDataFrame([(n,) for n in nodes], "doc_id string")
+    edf = spark.createDataFrame(edge_list, "subj string, obj string")
+    got = {r.id: (r.hub, r.authority) for r in hits(ndf, edf).collect()}
+    hub, auth = py_hits()
+    assert got == {n: (hub[n], auth[n]) for n in nodes}
+    assert got["d"] == (0, 0)  # isolated node settles to zero
+    # a points at everything heavily → top hub; b is the most-pointed-at
+    assert max(got, key=lambda n: got[n][0]) == "a"
+    assert max(got, key=lambda n: got[n][1]) == "b"
