@@ -112,36 +112,44 @@ dd AS (
 
 
 def _q_kg_edges(spark, sf_dir):
+    """Resolved (subj, pred, obj) triples - the engine's core output (links_to / embeds / tagged)."""
     g = _graph(spark, sf_dir)
     return g.edges.select("subj", "pred", "obj")
 
 
 def _q_kg_backlinks(spark, sf_dir):
+    """A9: in-degree (backlink count) per note over the link graph."""
     return A.backlink_counts(_graph(spark, sf_dir).edges)
 
 
 def _q_kg_out_degree(spark, sf_dir):
+    """Out-degree per note over the link graph."""
     return A.out_degree(_graph(spark, sf_dir).edges)
 
 
 def _q_kg_hub(spark, sf_dir):
+    """A8: the knowledge hub - max undirected degree, petgraph self-loop-once semantics."""
     return A.knowledge_hub(_graph(spark, sf_dir).edges)
 
 
 def _q_kg_orphans(spark, sf_dir):
+    """A10: notes with no link edges in either direction."""
     g = _graph(spark, sf_dir)
     return A.orphans(g.nodes, g.edges)
 
 
 def _q_kg_dup_names(spark, sf_dir):
+    """A2: notes whose stem duplicates an earlier note (first-wins order)."""
     return A.duplicates_by_name(_graph(spark, sf_dir).nodes)
 
 
 def _q_kg_dup_content(spark, sf_dir):
+    """A4: notes whose content sha256 duplicates an earlier note."""
     return A.duplicates_by_content(_graph(spark, sf_dir).nodes).select("doc_id")
 
 
 def _q_kg_nodes(spark, sf_dir):
+    """Per-note projection: name, todo flag, word/byte counts, tag/alias counts."""
     n = _graph(spark, sf_dir).nodes
     return n.select(
         "doc_id",
@@ -155,33 +163,40 @@ def _q_kg_nodes(spark, sf_dir):
 
 
 def _q_kg_tags(spark, sf_dir):
+    """P5/P6 tag triples (subj, tag), frontmatter-then-inline order."""
     e = _graph(spark, sf_dir).edges
     return e.filter(F.col("pred") == "tagged").select("subj", "obj")
 
 
 def _q_kg_aliases(spark, sf_dir):
+    """P7: exploded frontmatter aliases per note."""
     n = _graph(spark, sf_dir).nodes
     return n.select("doc_id", F.explode("aliases").alias("alias"))
 
 
 def _q_kg_dangling(spark, sf_dir):
+    """J2: mentions whose target resolves to no note (silently dropped from edges)."""
     return _graph(spark, sf_dir).dangling.select("subj", "raw_target")
 
 
 def _q_kg_degree_dist(spark, sf_dir):
+    """Histogram of undirected degree over the link graph."""
     return A.degree_distribution(_graph(spark, sf_dir).edges)
 
 
 def _q_kg_word_total(spark, sf_dir):
+    """A5: corpus-wide word count."""
     return A.total_word_count(_graph(spark, sf_dir).nodes)
 
 
 def _q_kg_summary(spark, sf_dir):
+    """A1/A6 one-row summary: notes, words, parse errors, todos, edges, dangling."""
     g = _graph(spark, sf_dir)
     return A.graph_summary(g.nodes, g.edges, g.dangling)
 
 
 def _q_kg_media_refs(spark, sf_dir):
+    """Opaque media spans (doc_id, media_ref, kind) - the multimodal operators' input."""
     docs = spark.read.parquet(_vault_path(sf_dir))
     return media_refs(docs).select("doc_id", "media_ref", "kind")
 
@@ -206,6 +221,7 @@ def _q_kg_edge_stats(spark, sf_dir):
 
 
 def _q_kg_render(spark, sf_dir):
+    """S6: re-rendered raw markdown (frontmatter + content) per note."""
     from obsidian_parser_spark.operators.render import render_raw
 
     docs = spark.read.parquet(_vault_path(sf_dir))
@@ -229,11 +245,13 @@ def _q_kg_props_typed(spark, sf_dir):
 
 
 def _q_kg_components(spark, sf_dir):
+    """J6: connected components over the undirected link graph (large-star/small-star)."""
     g = _graph(spark, sf_dir)
     return connected_components(g.nodes, A.link_edges(g.edges))
 
 
 def _q_kg_component_count(spark, sf_dir):
+    """A7: number of connected components."""
     return component_count(_q_kg_components(spark, sf_dir))
 
 
@@ -243,22 +261,27 @@ def _q_kg_component_count(spark, sf_dir):
 
 
 def _q_dd_exact(spark, sf_dir):
+    """Exact-text duplicates (md5 groupBy, first-wins keeper)."""
     return DD.exact_duplicates(_dedup_corpus(spark, sf_dir))
 
 
 def _q_dd_ngram_jaccard(spark, sf_dir):
+    """Word-3-gram Jaccard >= 0.8 pairs via inverted-index join with stop-shingle cap."""
     return DD.ngram_jaccard_pairs(_dedup_corpus(spark, sf_dir), threshold=0.8)
 
 
 def _q_dd_minhash_lsh(spark, sf_dir):
+    """MinHash(12)+LSH(4 bands) candidate pairs, md5 family, mega-bucket cap."""
     return DD.minhash_lsh_pairs(_dedup_corpus(spark, sf_dir), k=12, bands=4)
 
 
 def _q_dd_simhash(spark, sf_dir):
+    """64-bit SimHash near-dups (hamming <= 3) via pigeonhole band blocking, JVM-native."""
     return DD.simhash_near_dups(_dedup_corpus(spark, sf_dir), max_hamming=3)
 
 
 def _q_dd_lsh_verified(spark, sf_dir):
+    """LSH candidates verified with exact distinct-shingle Jaccard >= 0.8."""
     return DD.lsh_verified_pairs(_dedup_corpus(spark, sf_dir), threshold=0.8)
 
 
@@ -284,17 +307,20 @@ def _emb_corpus(spark, sf_dir):
 
 
 def _q_dd_embed_cosine(spark, sf_dir):
+    """Embedding near-dups: sign-LSH candidates + exact integer cosine >= 0.9 test."""
     return DD.embedding_cosine_pairs(
         _emb_corpus(spark, sf_dir), dim=EMB_DIM, threshold_pct=90, n_tables=2
     )
 
 
 def _q_ann_topk(spark, sf_dir):
+    """Brute-force integer-MIPS top-10 - the ANN correctness baseline."""
     r = SIM.brute_force_topk(_embeddings(spark, sf_dir), k=10, n_queries=10)
     return r.withColumn("rank", F.col("rank").cast("long"))
 
 
 def _q_ann_lsh(spark, sf_dir):
+    """Hyperplane-LSH bucketed top-10 (1 table, 6 planes), exact re-rank in bucket."""
     r = SIM.lsh_topk(
         _embeddings(spark, sf_dir), dim=EMB_DIM, k=10, n_queries=10, n_planes=6
     )
@@ -323,18 +349,22 @@ def _q_ann_ivf(spark, sf_dir):
 
 
 def _q_ts_langid(spark, sf_dir):
+    """Marker-stopword language ID with deterministic tie-break."""
     return TS.lang_id(_documents(spark, sf_dir))
 
 
 def _q_ts_quality(spark, sf_dir):
+    """Length/punctuation/lexical-diversity quality features + composite score."""
     return TS.quality_scores(_documents(spark, sf_dir))
 
 
 def _q_ts_tokens(spark, sf_dir):
+    """Whitespace + BPE-ish regex token counts."""
     return TS.token_counts(_documents(spark, sf_dir))
 
 
 def _q_ts_fingerprint(spark, sf_dir):
+    """Order-sensitive polynomial rolling hash over tokens (mod 1e9+7)."""
     return TS.fingerprints(_documents(spark, sf_dir))
 
 
@@ -343,18 +373,22 @@ def _events(spark, sf_dir):
 
 
 def _q_ev_sessionize(spark, sf_dir):
+    """Gap-based sessionization per user (epoch-us, integer cents)."""
     return EV.sessionize(_events(spark, sf_dir))
 
 
 def _q_ev_windowed(spark, sf_dir):
+    """Tumbling-window event counts and value sums."""
     return EV.windowed_counts(_events(spark, sf_dir))
 
 
 def _q_ev_top_users(spark, sf_dir):
+    """Top-10 users by total event value."""
     return EV.top_users_by_value(_events(spark, sf_dir), k=10)
 
 
 def _q_ev_props_json(spark, sf_dir):
+    """JSON property extraction (get_json_object) aggregated per event type."""
     return EV.props_json_stats(_events(spark, sf_dir))
 
 
@@ -421,6 +455,7 @@ def _pii_corpus(spark, sf_dir):
 
 
 def _q_ts_scrub(spark, sf_dir):
+    """PII redaction counts + scrubbed-text sha over a deterministic PII-injected corpus."""
     return TS.pii_scrub(_pii_corpus(spark, sf_dir))
 
 
