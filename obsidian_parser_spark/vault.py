@@ -143,6 +143,29 @@ class Vault:
     def orphans(self) -> DataFrame:
         return _A.orphans(self._g.nodes, self._g.edges)
 
+    # -- engine extensions (beyond the reference API) ---------------------
+
+    def pagerank(self, n_iter: int = 10) -> DataFrame:
+        """(id, pr) — integer fixed-point PageRank over the link graph
+        (engine extension; operators/pagerank.py)."""
+        from .operators.pagerank import pagerank as _pr
+
+        return _pr(self._g.nodes, self.get_digraph(), n_iter=n_iter)
+
+    def hits(self, n_iter: int = 10) -> DataFrame:
+        """(id, hub, authority) — integer fixed-point HITS (extension)."""
+        from .operators.pagerank import hits as _hits
+
+        return _hits(self._g.nodes, self.get_digraph(), n_iter=n_iter)
+
+    def related_notes(
+        self, min_shared: int = 2, max_target_df: int = 100
+    ) -> DataFrame:
+        """(a, b, shared) — bibliographic coupling pairs (extension)."""
+        return _A.related_notes(
+            self._g.edges, min_shared=min_shared, max_target_df=max_target_df
+        )
+
     # -- sinks ------------------------------------------------------------
 
     def flush(self, out_root: str, mode: str = "flush") -> int:

@@ -37,3 +37,17 @@ def test_facade_file_mode(spark, tmp_path):
     assert v.orphans().count() == 0
     with pytest.raises(ValueError, match="from_documents"):
         v.flush(str(tmp_path / "o"))
+
+
+def test_vault_extension_analytics(spark, micro_vault):
+    """Engine-extension accessors: pagerank / hits / related_notes run off
+    the same graph the facade already built."""
+    from obsidian_parser_spark.vault import Vault
+
+    v = Vault.from_documents(micro_vault)
+    pr = {r.id: r.pr for r in v.pagerank(n_iter=3).collect()}
+    assert set(pr) == {"main", "link", "data/main"}
+    assert all(p > 0 for p in pr.values())
+    h = v.hits(n_iter=3).collect()
+    assert {r.id for r in h} == set(pr)
+    assert v.related_notes(min_shared=1).count() >= 0
