@@ -487,6 +487,15 @@ def _q_kg_modality(spark, sf_dir):
     return modality_stats(spark.read.parquet(_vault_path(sf_dir)))
 
 
+def _q_kg_identities(spark, sf_dir):
+    """North-star canonicalization: CC over the identity/alias graph
+    (shared name, identical content, alias->name) -> canonical_id per
+    note."""
+    from obsidian_parser_spark.operators.linking import identity_clusters
+
+    return identity_clusters(_graph(spark, sf_dir).nodes)
+
+
 def _q_kg_hits(spark, sf_dir):
     """HITS hubs/authorities (integer fixed-point, 10 rounds) over the
     link graph."""
@@ -604,6 +613,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_pagerank": _q_kg_pagerank,
         "kg_related": _q_kg_related,
         "kg_hits": _q_kg_hits,
+        "kg_identities": _q_kg_identities,
         "ts_chunks": _q_ts_chunks,
         "ts_stratified": _q_ts_stratified,
     }
@@ -922,6 +932,29 @@ def _kg_oracles(path: str) -> dict[str, str]:
         + ",\n"
         + _hits_ctes()
         + "\nSELECT id, hub, authority FROM hits_final",
+        "kg_identities": c
+        + """,
+name_roots AS (SELECT note_name, min(doc_id) AS root FROM stats GROUP BY note_name),
+name_e AS (SELECT r.root AS u, s.doc_id AS v
+           FROM stats s JOIN name_roots r USING (note_name)
+           WHERE s.doc_id <> r.root),
+sha AS (SELECT doc_id, sha256(content) AS h FROM notes),
+sha_roots AS (SELECT h, min(doc_id) AS root FROM sha GROUP BY h),
+sha_e AS (SELECT r.root AS u, s.doc_id AS v
+          FROM sha s JOIN sha_roots r USING (h) WHERE s.doc_id <> r.root),
+al AS (SELECT f.doc_id AS u, unnest(f.fm_aliases) AS a FROM fmlists f),
+alias_e AS (SELECT al.u, s.doc_id AS v
+            FROM al JOIN stats s ON s.note_name = al.a WHERE al.u <> s.doc_id),
+ie AS (SELECT u, v FROM name_e UNION ALL SELECT u, v FROM sha_e
+       UNION ALL SELECT u, v FROM alias_e),
+sym AS MATERIALIZED (SELECT u, v FROM ie WHERE u <> v
+                     UNION SELECT v, u FROM ie WHERE u <> v),
+l0 AS MATERIALIZED (SELECT doc_id AS id, doc_id AS lbl FROM notes),
+"""
+        + _label_prop_rounds(16)
+        + """
+SELECT id AS doc_id, component AS canonical_id,
+       (id = component) AS is_canonical FROM cc""",
         "kg_related": c
         + """,
 le AS (SELECT DISTINCT subj, obj FROM link_edges),

@@ -124,3 +124,51 @@ def resolve_mentions(
         dangling = missed
 
     return resolved, dangling
+
+
+def identity_clusters(notes: DataFrame) -> DataFrame:
+    """Collapse duplicate note IDENTITIES (north_star: "canonicalizes ...
+    via a connected-components/union-find pass over the alias graph"):
+    two notes denote the same entity when they share a note name, share
+    identical content, or one's frontmatter alias names the other.  The
+    identity graph is run through the distributed CC fixpoint and every
+    note gets a ``canonical_id`` (the lexicographic-minimum member).
+
+    → (doc_id, canonical_id, is_canonical).
+
+    Scale shape: each evidence family emits STAR edges (every group member
+    → the group's min id via one partial-aggregated groupBy), never
+    all-pairs — a name shared by 10^6 notes contributes 10^6 edges, not
+    10^12; the alias family is a broadcast-sized equi-join on the stem.
+    The CC pass is operators/components.py (long-surrogate rounds,
+    localCheckpoint lineage)."""
+    from .components import connected_components
+
+    base = notes.select("doc_id", "note_name", "content_sha", "aliases")
+
+    def star(frame: DataFrame, key: str) -> DataFrame:
+        roots = frame.groupBy(key).agg(F.min("doc_id").alias("_root"))
+        return (
+            frame.join(roots, key)
+            .filter(F.col("doc_id") != F.col("_root"))
+            .select(F.col("_root").alias("subj"), F.col("doc_id").alias("obj"))
+        )
+
+    name_edges = star(base.select("doc_id", "note_name"), "note_name")
+    content_edges = star(base.select("doc_id", "content_sha"), "content_sha")
+    alias_edges = (
+        base.select("doc_id", F.explode("aliases").alias("_a"))
+        .join(
+            base.select(F.col("note_name").alias("_a"), F.col("doc_id").alias("obj")),
+            "_a",
+        )
+        .filter(F.col("doc_id") != F.col("obj"))
+        .select(F.col("doc_id").alias("subj"), "obj")
+    )
+    edges = name_edges.unionByName(content_edges).unionByName(alias_edges)
+    cc = connected_components(notes.select("doc_id"), edges)
+    return cc.select(
+        F.col("id").alias("doc_id"),
+        F.col("component").alias("canonical_id"),
+        (F.col("id") == F.col("component")).alias("is_canonical"),
+    )

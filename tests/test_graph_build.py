@@ -150,3 +150,35 @@ def test_analyzer_prefilters(spark):
     # their nodes vanish and links to them dangle.
     assert sorted(r.doc_id for r in g.nodes.collect()) == ["gone", "keep"]
     assert [(r.subj, r.obj) for r in g.edges.collect()] == [("keep", "gone")]
+
+
+def test_identity_clusters_collapse(spark):
+    """Identity canonicalization: shared stem, identical content, and
+    alias->name evidence all merge transitively; unrelated notes stay
+    their own canonical."""
+    from obsidian_parser_spark.operators.linking import identity_clusters
+    from obsidian_parser_spark.operators.tokenize import tokenize_raw_text
+
+    rows = [
+        # a/x and b/x share the stem 'x'
+        ("a/x", "unique one"),
+        ("b/x", "unique two"),
+        # c shares CONTENT with d (different names)
+        ("c", "same body"),
+        ("d", "same body"),
+        # e's alias names b's stem's twin? alias 'x' -> merges with the x-group
+        ("e", "---\naliases: [x]\n---\nbody e"),
+        # loner
+        ("z", "alone"),
+    ]
+    raw = spark.createDataFrame(rows, "doc_id string, raw_text string")
+    notes = tokenize_raw_text(raw)
+    got = {r.doc_id: r for r in identity_clusters(notes).collect()}
+    assert len(got) == 6
+    # x-group ∪ alias evidence: {a/x, b/x, e} one cluster, canonical a/x
+    assert {got[k].canonical_id for k in ("a/x", "b/x", "e")} == {"a/x"}
+    # content pair: canonical c
+    assert {got[k].canonical_id for k in ("c", "d")} == {"c"}
+    assert got["z"].canonical_id == "z" and got["z"].is_canonical
+    canons = {k for k, r in got.items() if r.is_canonical}
+    assert canons == {"a/x", "c", "z"}
