@@ -182,3 +182,25 @@ def test_identity_clusters_collapse(spark):
     assert got["z"].canonical_id == "z" and got["z"].is_canonical
     canons = {k for k, r in got.items() if r.is_canonical}
     assert canons == {"a/x", "c", "z"}
+
+
+def test_triple_precision_recall_vs_reference(spark, micro_vault):
+    """The north-rule metric, stated as itself: (subj, pred, obj) precision
+    AND recall vs the reference's expected multiset on its canonical
+    fixture = 1.0 (target >= 0.95).  Multiset-aware: a duplicated emitted
+    edge would cost precision even though the set view hides it."""
+    from collections import Counter
+
+    g = build_graph(micro_vault, reference_parity_options())
+    got = Counter((r.subj, r.pred, r.obj) for r in g.edges.collect())
+    expected = Counter(
+        [
+            ("data/main", "links_to", "link"),
+            ("link", "links_to", "main"),
+            ("main", "links_to", "data/main"),
+        ]
+    )
+    tp = sum(min(got[t], expected[t]) for t in expected)
+    precision = tp / sum(got.values())
+    recall = tp / sum(expected.values())
+    assert precision == 1.0 and recall == 1.0
