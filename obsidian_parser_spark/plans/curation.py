@@ -112,3 +112,26 @@ def curate(documents: DataFrame, opts: CurationOptions | None = None) -> Curatio
     chunks = chunks.select("doc_id", "split", "chunk_id", "chunk_text")
 
     return CurationResult(docs=docs, chunks=chunks, metrics=metrics)
+
+
+def curate_to_shards(
+    documents: DataFrame,
+    out_path: str,
+    opts: CurationOptions | None = None,
+    max_docs_per_shard: int = 10_000,
+) -> CurationResult:
+    """``curate`` + ship: write the surviving chunks as gzip JSONL shards
+    partitioned by split (``out_path/split=train/...``), shard size capped
+    by ``maxRecordsPerFile`` — the standard training-data layout, readable
+    back with ``spark.read.json(out_path)`` (split restored from the
+    partition directory).  Idempotent overwrite; returns the audit frames
+    so the caller can persist metrics beside the shards."""
+    res = curate(documents, opts)
+    (
+        res.chunks.write.mode("overwrite")
+        .partitionBy("split")
+        .option("maxRecordsPerFile", max_docs_per_shard)
+        .option("compression", "gzip")
+        .json(out_path)
+    )
+    return res

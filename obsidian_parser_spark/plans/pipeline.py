@@ -43,6 +43,12 @@ class GraphBuildOptions:
     # driver.  True/False forces.
     broadcast_dict: bool | None = None
     broadcast_dict_max_rows: int = 1_000_000
+    # north_star canonicalization: rewrite every edge endpoint to its
+    # identity-cluster canonical id (linking.identity_clusters — CC over
+    # shared-stem ∪ identical-content ∪ alias→name evidence), collapsing
+    # duplicate note identities in the emitted graph.  Off by default:
+    # reference parity keeps one node per file.
+    canonicalize_identities: bool = False
 
 
 @dataclass
@@ -102,4 +108,32 @@ def build_graph(
         edges = edges.unionByName(tag_triples(notes))
 
     nodes = notes.drop("mentions")
+
+    if opts.canonicalize_identities:
+        from ..operators.linking import identity_clusters
+
+        ids = identity_clusters(nodes).select("doc_id", "canonical_id")
+        ids = ids.localCheckpoint()  # CC output reused on both endpoints
+        subj_map = ids.select(
+            F.col("doc_id").alias("subj"), F.col("canonical_id").alias("_cs")
+        )
+        obj_map = ids.select(
+            F.col("doc_id").alias("obj"), F.col("canonical_id").alias("_co")
+        )
+        edges = (
+            edges.join(subj_map, "subj", "left")
+            .join(obj_map, "obj", "left")
+            .select(
+                F.coalesce("_cs", F.col("subj")).alias("subj"),
+                "pred",
+                # tag objects are tag strings, not note ids — they miss the
+                # map and keep themselves via the coalesce
+                F.coalesce("_co", F.col("obj")).alias("obj"),
+                "mention_ord",
+            )
+        )
+        nodes = nodes.join(ids, "doc_id").filter(
+            F.col("doc_id") == F.col("canonical_id")
+        ).drop("canonical_id")
+
     return GraphBuild(nodes=nodes, edges=edges, dangling=dangling, alias_dict=alias_dict)

@@ -57,3 +57,24 @@ def test_curate_is_lazy_and_jvm_only_after_tokeniserless_input(spark):
     plan = res.chunks._jdf.queryExecution().executedPlan().toString()
     for marker in ("BatchEvalPython", "ArrowEvalPython", "PythonUDF", "MapInPandas"):
         assert marker not in plan, marker
+
+
+def test_curate_to_shards_layout(spark, tmp_path):
+    from obsidian_parser_spark.plans.curation import (
+        CurationOptions,
+        curate_to_shards,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, _good_text(i)) for i in range(12)], "doc_id int, text string"
+    )
+    out = str(tmp_path / "shards")
+    res = curate_to_shards(
+        docs, out, CurationOptions(chunk_chars=300, chunk_overlap=0)
+    )
+    back = spark.read.json(out)
+    assert "split" in back.columns  # restored from partition dirs
+    assert back.count() == res.chunks.count() > 0
+    import glob
+
+    assert glob.glob(f"{out}/split=*/part-*.json.gz")

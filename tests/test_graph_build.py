@@ -204,3 +204,26 @@ def test_triple_precision_recall_vs_reference(spark, micro_vault):
     precision = tp / sum(got.values())
     recall = tp / sum(expected.values())
     assert precision == 1.0 and recall == 1.0
+
+
+def test_canonicalize_identities_collapses_graph(spark):
+    """GraphBuildOptions(canonicalize_identities=True): duplicate-identity
+    notes merge into one node and edges rewrite both endpoints to the
+    canonical id; tag objects (not note ids) pass through untouched."""
+    rows = [
+        spans_from_raw("a/x", "#tagged link to [[y]]"),
+        spans_from_raw("b/x", "different text"),  # same stem 'x' as a/x
+        spans_from_raw("y", "points back [[x]]"),
+    ]
+    docs = spans_df(spark, rows)
+    g = build_graph(
+        docs, GraphBuildOptions(canonicalize_identities=True)
+    )
+    nodes = {r.doc_id for r in g.nodes.collect()}
+    assert nodes == {"a/x", "y"}  # b/x collapsed into canonical a/x
+    triples = {(r.subj, r.pred, r.obj) for r in g.edges.collect()}
+    # y's [[x]] resolved to the short-name winner, then canonicalized
+    assert ("y", "links_to", "a/x") in triples
+    assert ("a/x", "links_to", "y") in triples
+    # tag string stays a tag string
+    assert ("a/x", "tagged", "tagged") in triples
