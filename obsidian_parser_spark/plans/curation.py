@@ -50,6 +50,12 @@ class CurationOptions:
     chunk_overlap: int = 128
     train_pct: int = 80
     valid_pct: int = 10
+    # cache the (doc_id, text) projection: the gates are independent
+    # explode/agg pipelines, so the input is scanned ~5x (quality, lines,
+    # bigrams, exact-hash, shingles).  On a RAM-comfortable cluster persist
+    # pays for itself; at 100 TB leave False and let the columnar scans
+    # re-read object storage (caching the corpus is not an option there).
+    persist_input: bool = False
 
 
 @dataclass
@@ -64,6 +70,8 @@ def curate(documents: DataFrame, opts: CurationOptions | None = None) -> Curatio
     action on one of the returned frames."""
     opts = opts or CurationOptions()
     d = documents.select("doc_id", "text")
+    if opts.persist_input:
+        d = d.persist()
 
     q = quality_scores(d).select("doc_id", "quality")
     r = repetition_stats(d).select("doc_id", "is_repetitive")
