@@ -55,7 +55,7 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     extras: dict[str, float] = {}
-    n_passes = max(1, int(os.environ.get("BENCH_REPEAT", "2")))
+    n_passes = max(1, int(os.environ.get("BENCH_REPEAT", "3")))
 
     def timed(name: str, fn, repeat: int = 1):
         """Record min time across calls.  Host CPU-steal on this sandbox
