@@ -1093,13 +1093,20 @@ SELECT a, b, hamming FROM pairs WHERE hamming <= 3"""
 
 def _datapipe_oracles() -> dict[str, str]:
     tok = r"list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')"
-    # sampling.hash_bucket mirror: first 16 bits of md5(id) mod 100
-    _nib = "(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), {i}, 1)) - 1)"
-    bkt = (
-        "(" + " + ".join(
-            f"{_nib.format(i=i + 1)} * {16 ** (3 - i)}" for i in range(4)
-        ) + ") % 100"
-    )
+    # sampling.hash_bucket mirror: first 16 bits of md5(id || salt) mod 100
+    def _bkt(salt: str = "") -> str:
+        nib = (
+            "(strpos('0123456789abcdef', "
+            f"substr(md5(CAST(doc_id AS VARCHAR) || '{salt}'), {{i}}, 1)) - 1)"
+        )
+        return (
+            "(" + " + ".join(
+                f"{nib.format(i=i + 1)} * {16 ** (3 - i)}" for i in range(4)
+            ) + ") % 100"
+        )
+
+    bkt = _bkt()  # unsalted: the train/valid/test split
+    bkt_sample = _bkt("sample")  # sampling family (decorrelated)
     shingles = (
         f"CASE WHEN len({tok}) >= 3 "
         f"THEN [array_to_string({tok}[i:i+2], ' ') for i in range(1, len({tok}) - 1)] "
@@ -1349,7 +1356,7 @@ SELECT CASE WHEN bkt < 80 THEN 'train'
        count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS total_chars
 FROM b GROUP BY 1""",
         "ts_stratified": f"""
-WITH b AS (SELECT lang, n_chars, {bkt} AS bkt FROM documents)
+WITH b AS (SELECT lang, n_chars, {bkt_sample} AS bkt FROM documents)
 SELECT lang, count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS total_chars
 FROM b
 WHERE bkt < CASE lang WHEN 'en' THEN 30 WHEN 'de' THEN 75 ELSE 100 END

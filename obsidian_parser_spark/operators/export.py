@@ -19,6 +19,7 @@ def write_jsonl_shards(
     max_docs_per_shard: int = 10_000,
     compression: str = "gzip",
     coalesce_to: int | None = None,
+    partition_by: str | None = None,
 ) -> None:
     """Write ``df`` as gzipped JSONL shards of at most
     ``max_docs_per_shard`` rows each.
@@ -29,12 +30,14 @@ def write_jsonl_shards(
     shards) without a shuffle.  Overwrite mode: re-running a failed export
     is idempotent."""
     w = df.coalesce(coalesce_to) if coalesce_to else df
-    (
+    writer = (
         w.write.mode("overwrite")
         .option("maxRecordsPerFile", max_docs_per_shard)
         .option("compression", compression)
-        .json(path)
     )
+    if partition_by:
+        writer = writer.partitionBy(partition_by)
+    writer.json(path)
 
 
 def read_jsonl_corpus(spark, path: str, schema=None) -> DataFrame:

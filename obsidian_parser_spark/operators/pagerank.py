@@ -40,6 +40,20 @@ from pyspark.sql import functions as F
 SCALE = 1_000_000
 
 
+def _edge_weights(edges: DataFrame) -> DataFrame:
+    """(u, v, w) — occurrence-weighted directed edge list; the shared
+    precondition of both iterative rankers."""
+    return (
+        edges.select(F.col("subj").alias("u"), F.col("obj").alias("v"))
+        .groupBy("u", "v")
+        .agg(F.count("*").alias("w"))
+    )
+
+
+def _node_ids(nodes: DataFrame, id_col: str) -> DataFrame:
+    return nodes.select(F.col(id_col).alias("id")).distinct().localCheckpoint()
+
+
 def pagerank(
     nodes: DataFrame,
     edges: DataFrame,
@@ -51,13 +65,11 @@ def pagerank(
     respected, parallel edges weighted."""
     base = (100 - damping_pct) * SCALE // 100
 
-    w = edges.select(F.col("subj").alias("u"), F.col("obj").alias("v")).groupBy(
-        "u", "v"
-    ).agg(F.count("*").alias("w"))
+    w = _edge_weights(edges)
     out = w.groupBy("u").agg(F.sum("w").alias("od"))
     wj = w.join(out, "u").localCheckpoint()
 
-    all_nodes = nodes.select(F.col(id_col).alias("id")).distinct().localCheckpoint()
+    all_nodes = _node_ids(nodes, id_col)
     pr = all_nodes.select("id", F.lit(SCALE).cast("long").alias("pr"))
 
     for _ in range(n_iter):
@@ -102,11 +114,8 @@ def hits(
     → (id, hub, authority); nodes untouched by any edge settle to 0.
     Parallel edges vote per occurrence; per-round localCheckpoint cuts
     lineage exactly like the CC/PageRank fixpoints."""
-    w = edges.select(F.col("subj").alias("u"), F.col("obj").alias("v")).groupBy(
-        "u", "v"
-    ).agg(F.count("*").alias("w"))
-    w = w.localCheckpoint()
-    all_nodes = nodes.select(F.col(id_col).alias("id")).distinct().localCheckpoint()
+    w = _edge_weights(edges).localCheckpoint()
+    all_nodes = _node_ids(nodes, id_col)
     hub = all_nodes.select("id", F.lit(SCALE).cast("long").alias("s"))
     auth = all_nodes.select("id", F.lit(SCALE).cast("long").alias("s"))
 

@@ -14,10 +14,19 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def hash_bucket(col: str = "doc_id", buckets: int = 100):
-    """0..buckets-1 bucket from the first 16 bits of md5(cast(col AS string));
-    pure JVM expression."""
-    h16 = F.conv(F.substring(F.md5(F.col(col).cast("string")), 1, 4), 16, 10)
+def hash_bucket(col: str = "doc_id", buckets: int = 100, salt: str = ""):
+    """0..buckets-1 bucket from the first 16 bits of
+    md5(cast(col AS string) || salt); pure JVM expression.
+
+    ``salt`` decorrelates independent uses: the train/valid/test split uses
+    the unsalted bucket, SAMPLING uses salt='sample' — with one shared
+    bucket, any sample of pct ≤ train_pct would land ENTIRELY inside the
+    train split (valid/test silently empty after sample→split)."""
+    h16 = F.conv(
+        F.substring(F.md5(F.concat(F.col(col).cast("string"), F.lit(salt))), 1, 4),
+        16,
+        10,
+    )
     return F.pmod(h16.cast("long"), F.lit(buckets))
 
 
@@ -40,8 +49,10 @@ def hash_split(
 
 
 def hash_sample(df: DataFrame, pct: int, id_col: str = "doc_id") -> DataFrame:
-    """Keep a deterministic ~pct% sample (same rows every run, any cluster)."""
-    return df.filter(hash_bucket(id_col) < pct)
+    """Keep a deterministic ~pct% sample (same rows every run, any
+    cluster); salted independently of ``hash_split`` so sampling composes
+    with splitting instead of aliasing into the train bucket range."""
+    return df.filter(hash_bucket(id_col, salt="sample") < pct)
 
 
 def stratified_sample(
@@ -53,13 +64,14 @@ def stratified_sample(
 ) -> DataFrame:
     """Per-stratum deterministic sample: keep ~``pcts[stratum]``% of each
     stratum (``default_pct`` for unlisted strata) by the same md5 hash
-    bucket as ``hash_split`` — e.g. downsample a dominant language while
-    keeping rare ones whole.  A pure filter (no shuffle, no RNG): the kept
-    set is a function of (id, stratum) only, stable across runs and
-    cluster sizes, and the per-stratum rates compose with ``hash_split``
-    (the bucket is reused, so a row's split and its sampling fate are
-    consistent)."""
+    bucket FAMILY as ``hash_split`` but with an independent salt — e.g.
+    downsample a dominant language while keeping rare ones whole.  A pure
+    filter (no shuffle, no RNG): the kept set is a function of
+    (id, stratum) only, stable across runs and cluster sizes.  The salt is
+    load-bearing: sharing the split's bucket would put every sampled row
+    (pct ≤ train_pct) inside the train range, leaving valid/test empty
+    after a sample→split composition."""
     pct = F.lit(default_pct)
     for k in sorted(pcts):
         pct = F.when(F.col(strata_col) == k, F.lit(pcts[k])).otherwise(pct)
-    return df.filter(hash_bucket(id_col) < pct)
+    return df.filter(hash_bucket(id_col, salt="sample") < pct)

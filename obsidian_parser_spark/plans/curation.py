@@ -63,6 +63,10 @@ class CurationResult:
     docs: DataFrame  # (doc_id, text, drop_reason, split) — full audit frame
     chunks: DataFrame  # (doc_id, split, chunk_id, chunk_text) — survivors only
     metrics: DataFrame  # (drop_reason, n_docs) incl. kept
+    # the (possibly persisted) input projection — exposed so a long-lived
+    # app can `result.input.unpersist()` after consuming the outputs
+    # (otherwise persist_input=True would pin executor storage forever)
+    input: DataFrame | None = None
 
 
 def curate(documents: DataFrame, opts: CurationOptions | None = None) -> CurationResult:
@@ -116,10 +120,16 @@ def curate(documents: DataFrame, opts: CurationOptions | None = None) -> Curatio
         kept = kept.withColumn("text", scrubbed_text("text"))
     chunks = chunk_documents(
         kept, chunk_chars=opts.chunk_chars, overlap=opts.chunk_overlap
-    ).join(kept.select("doc_id", "split"), "doc_id")
-    chunks = chunks.select("doc_id", "split", "chunk_id", "chunk_text")
+    )
+    # split is a pure function of doc_id — re-derive it on the chunk frame
+    # instead of joining back to `kept`, which would execute the whole
+    # annotation pipeline a SECOND time (once as chunk lineage, once as the
+    # join's right side) plus a shuffle
+    chunks = hash_split(
+        chunks, train_pct=opts.train_pct, valid_pct=opts.valid_pct
+    ).select("doc_id", "split", "chunk_id", "chunk_text")
 
-    return CurationResult(docs=docs, chunks=chunks, metrics=metrics)
+    return CurationResult(docs=docs, chunks=chunks, metrics=metrics, input=d)
 
 
 def curate_to_shards(
@@ -134,12 +144,13 @@ def curate_to_shards(
     back with ``spark.read.json(out_path)`` (split restored from the
     partition directory).  Idempotent overwrite; returns the audit frames
     so the caller can persist metrics beside the shards."""
+    from ..operators.export import write_jsonl_shards
+
     res = curate(documents, opts)
-    (
-        res.chunks.write.mode("overwrite")
-        .partitionBy("split")
-        .option("maxRecordsPerFile", max_docs_per_shard)
-        .option("compression", "gzip")
-        .json(out_path)
+    write_jsonl_shards(
+        res.chunks,
+        out_path,
+        max_docs_per_shard=max_docs_per_shard,
+        partition_by="split",
     )
     return res

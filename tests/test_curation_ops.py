@@ -246,7 +246,8 @@ def test_stratified_sample_deterministic(spark):
     kept = stratified_sample(df, "lang", {"en": 30}, default_pct=100).collect()
 
     def bucket(i):
-        return int(hashlib.md5(str(i).encode()).hexdigest()[:4], 16) % 100
+        # sampling family: salted 'sample' (decorrelated from the split)
+        return int(hashlib.md5((str(i) + "sample").encode()).hexdigest()[:4], 16) % 100
 
     want = {i for i, lang in rows if (bucket(i) < 30 if lang == "en" else True)}
     assert {r.doc_id for r in kept} == want
@@ -400,3 +401,21 @@ def test_hits_matches_python_fixed_point(spark):
     # a points at everything heavily → top hub; b is the most-pointed-at
     assert max(got, key=lambda n: got[n][0]) == "a"
     assert max(got, key=lambda n: got[n][1]) == "b"
+
+
+def test_sample_then_split_composition_not_aliased(spark):
+    """Regression: sampling and splitting use DECORRELATED hash buckets —
+    a 30% sample followed by hash_split must still populate valid/test
+    (with one shared bucket every sampled row would land in train)."""
+    from obsidian_parser_spark.operators.sampling import hash_sample, hash_split
+
+    df = spark.createDataFrame([(i,) for i in range(2000)], "doc_id int")
+    sampled = hash_sample(df, 30)
+    splits = {
+        r.split: r.c
+        for r in hash_split(sampled)
+        .groupBy("split")
+        .agg(F.count("*").alias("c"))
+        .collect()
+    }
+    assert splits.get("valid", 0) > 0 and splits.get("test", 0) > 0
