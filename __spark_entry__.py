@@ -469,9 +469,11 @@ def _q_dd_clusters(spark, sf_dir):
 
 def _q_dd_curate(spark, sf_dir):
     """The END-TO-END curation plan's audit metrics on the dedup corpus:
-    quality gate -> repetition gate -> exact dedup -> MinHash-LSH clusters,
+    quality gate -> repetition gate -> exact dedup -> MinHash-LSH
+    candidates -> exact-Jaccard verification -> transitive clusters,
     first-matching drop_reason, one aggregation (md5 hash family so the
-    oracle replays the identical pipeline in SQL)."""
+    oracle replays the identical pipeline, including the verify stage,
+    in SQL)."""
     from obsidian_parser_spark.plans.curation import CurationOptions, curate
 
     res = curate(
@@ -799,9 +801,11 @@ def _hits_ctes(n_iter: int = 10, scale: int = 1_000_000) -> str:
     ON s.v = n.id)"""
         )
         parts.append(f"amax{t} AS (SELECT max(r) AS mx FROM araw{t})")
+        # r·scale in HUGEINT (int128) — mirrors the engine's decimal(38,0)
+        # intermediate; a BIGINT product overflows at ~9.2e6 weighted degree
         parts.append(
             f"""a{t} AS MATERIALIZED (
-  SELECT id, (CASE WHEN mx > 0 THEN (r * {scale}) // mx ELSE 0 END)::BIGINT AS s
+  SELECT id, (CASE WHEN mx > 0 THEN (r::HUGEINT * {scale}) // mx ELSE 0 END)::BIGINT AS s
   FROM araw{t}, amax{t})"""
         )
         parts.append(
@@ -814,7 +818,7 @@ def _hits_ctes(n_iter: int = 10, scale: int = 1_000_000) -> str:
         parts.append(f"hmax{t} AS (SELECT max(r) AS mx FROM hraw{t})")
         parts.append(
             f"""h{t} AS MATERIALIZED (
-  SELECT id, (CASE WHEN mx > 0 THEN (r * {scale}) // mx ELSE 0 END)::BIGINT AS s
+  SELECT id, (CASE WHEN mx > 0 THEN (r::HUGEINT * {scale}) // mx ELSE 0 END)::BIGINT AS s
   FROM hraw{t}, hmax{t})"""
         )
     parts.append(
@@ -905,25 +909,39 @@ def _kg_oracles(path: str) -> dict[str, str]:
         + _cc_ctes()
         + "\nSELECT count(DISTINCT component)::BIGINT AS n_components FROM cc",
         "kg_modality": c
-        + """SELECT doc_id,
-                    count(*)::BIGINT AS n_spans,
-                    count(media_ref)::BIGINT AS n_media,
-                    sum(CASE WHEN ends_with(lower(coalesce(media_ref, '')), '.png')
-                           OR ends_with(lower(coalesce(media_ref, '')), '.jpg')
-                           OR ends_with(lower(coalesce(media_ref, '')), '.jpeg')
-                           OR ends_with(lower(coalesce(media_ref, '')), '.gif')
-                         THEN 1 ELSE 0 END)::BIGINT AS n_image,
-                    sum(CASE WHEN ends_with(lower(coalesce(media_ref, '')), '.mp3')
-                           OR ends_with(lower(coalesce(media_ref, '')), '.wav')
-                           OR ends_with(lower(coalesce(media_ref, '')), '.flac')
-                         THEN 1 ELSE 0 END)::BIGINT AS n_audio,
-                    sum(CASE WHEN ends_with(lower(coalesce(media_ref, '')), '.mp4')
-                           OR ends_with(lower(coalesce(media_ref, '')), '.mkv')
-                           OR ends_with(lower(coalesce(media_ref, '')), '.webm')
-                         THEN 1 ELSE 0 END)::BIGINT AS n_video,
-                    sum(strlen(coalesce(text, '')))::BIGINT AS text_bytes,
-                    round(count(media_ref) / count(*), 4) AS media_frac
-             FROM flat GROUP BY doc_id""",
+        + f""",
+mod_agg AS (
+  SELECT doc_id,
+         count(*)::BIGINT AS n_spans,
+         count(media_ref)::BIGINT AS n_media,
+         sum(CASE WHEN ends_with(lower(coalesce(media_ref, '')), '.png')
+                OR ends_with(lower(coalesce(media_ref, '')), '.jpg')
+                OR ends_with(lower(coalesce(media_ref, '')), '.jpeg')
+                OR ends_with(lower(coalesce(media_ref, '')), '.gif')
+              THEN 1 ELSE 0 END)::BIGINT AS n_image,
+         sum(CASE WHEN ends_with(lower(coalesce(media_ref, '')), '.mp3')
+                OR ends_with(lower(coalesce(media_ref, '')), '.wav')
+                OR ends_with(lower(coalesce(media_ref, '')), '.flac')
+              THEN 1 ELSE 0 END)::BIGINT AS n_audio,
+         sum(CASE WHEN ends_with(lower(coalesce(media_ref, '')), '.mp4')
+                OR ends_with(lower(coalesce(media_ref, '')), '.mkv')
+                OR ends_with(lower(coalesce(media_ref, '')), '.webm')
+              THEN 1 ELSE 0 END)::BIGINT AS n_video,
+         sum(strlen(coalesce(text, '')))::BIGINT AS text_bytes,
+         round(count(media_ref) / count(*), 4) AS media_frac
+  FROM flat GROUP BY doc_id)
+-- left join onto the FULL doc list: a doc with an empty spans array has no
+-- flat rows, but the engine's per-document contract emits an all-zero row
+SELECT d.doc_id,
+       coalesce(a.n_spans, 0)::BIGINT AS n_spans,
+       coalesce(a.n_media, 0)::BIGINT AS n_media,
+       coalesce(a.n_image, 0)::BIGINT AS n_image,
+       coalesce(a.n_audio, 0)::BIGINT AS n_audio,
+       coalesce(a.n_video, 0)::BIGINT AS n_video,
+       coalesce(a.text_bytes, 0)::BIGINT AS text_bytes,
+       coalesce(a.media_frac, 0.0) AS media_frac
+FROM (SELECT doc_id FROM read_parquet('{path}')) d
+LEFT JOIN mod_agg a USING (doc_id)""",
         "kg_pagerank": c
         + ",\n"
         + _pagerank_ctes()
@@ -1106,7 +1124,7 @@ def _datapipe_oracles() -> dict[str, str]:
         )
 
     bkt = _bkt()  # unsalted: the train/valid/test split
-    bkt_sample = _bkt("sample")  # sampling family (decorrelated)
+    bkt_strata = _bkt("strata")  # stratified family (decorrelated from both)
     shingles = (
         f"CASE WHEN len({tok}) >= 3 "
         f"THEN [array_to_string({tok}[i:i+2], ' ') for i in range(1, len({tok}) - 1)] "
@@ -1356,7 +1374,7 @@ SELECT CASE WHEN bkt < 80 THEN 'train'
        count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS total_chars
 FROM b GROUP BY 1""",
         "ts_stratified": f"""
-WITH b AS (SELECT lang, n_chars, {bkt_sample} AS bkt FROM documents)
+WITH b AS (SELECT lang, n_chars, {bkt_strata} AS bkt FROM documents)
 SELECT lang, count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS total_chars
 FROM b
 WHERE bkt < CASE lang WHEN 'en' THEN 30 WHEN 'de' THEN 75 ELSE 100 END
@@ -1532,8 +1550,23 @@ pairs AS (
   FROM kept a JOIN kept b ON a.band = b.band AND a.key = b.key
   WHERE a.doc_id < b.doc_id
 ),
-sym AS MATERIALIZED (SELECT a AS u, b AS v FROM pairs
-                     UNION SELECT b, a FROM pairs),
+-- exact-Jaccard verification of the LSH candidates (near_dup_verify=True):
+-- only pairs whose distinct-shingle Jaccard clears the threshold cluster
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+vinter AS (
+  SELECT c.a, c.b, count(*) AS inter
+  FROM pairs c
+  JOIN sh x ON x.doc_id = c.a
+  JOIN sh y ON y.doc_id = c.b AND y.shingle = x.shingle
+  GROUP BY c.a, c.b
+),
+vpairs AS (
+  SELECT i.a, i.b
+  FROM vinter i JOIN sizes sa ON sa.doc_id = i.a JOIN sizes sb ON sb.doc_id = i.b
+  WHERE i.inter / (sa.sz + sb.sz - i.inter) >= 0.8
+),
+sym AS MATERIALIZED (SELECT a AS u, b AS v FROM vpairs
+                     UNION SELECT b, a FROM vpairs),
 l0 AS MATERIALIZED (SELECT DISTINCT u AS id, u AS lbl FROM sym),
 {_label_prop_rounds(8)},
 nd AS (SELECT id AS doc_id FROM cc WHERE id <> component)

@@ -6,10 +6,12 @@ All plain DataFrame aggregations; the link graph is the edge rows with
 
 Skew note (north_rule): backlink counts over hub notes are a skewed
 ``groupBy(obj)``.  Spark's hash aggregate already does map-side partial
-aggregation, which flattens pure-agg skew; ``salted_count`` below is the
-explicit two-phase variant used by the scale pipeline so a single reducer
-never sees a hub's full row set even with partial-agg disabled operators
-(e.g. collect_list extensions).
+aggregation, which flattens pure-agg skew; where an explicit two-phase
+salted aggregation is still needed (operators whose agg disables partial
+combine, e.g. collect_list), the manifest metric in plans/materialize.py
+shows the pattern with a DETERMINISTIC salt — never salt on
+``monotonically_increasing_id``, whose value can change on stage retry and
+double-count/drop rows mid-shuffle (the SPARK-23207 class).
 """
 
 from __future__ import annotations
@@ -36,14 +38,6 @@ def backlink_counts(edges: DataFrame) -> DataFrame:
         .groupBy(F.col("obj").alias("id"))
         .agg(F.count("*").alias("backlinks"))
     )
-
-
-def salted_count(df: DataFrame, key: str, out: str, buckets: int = 32) -> DataFrame:
-    """Explicit two-phase (salted) count-by-key for heavy-hitter keys:
-    groupBy(key, salt) → partial counts → groupBy(key) → sum."""
-    salted = df.withColumn("_salt", F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(buckets)))
-    partial = salted.groupBy(key, "_salt").agg(F.count("*").alias("_c"))
-    return partial.groupBy(key).agg(F.sum("_c").alias(out))
 
 
 def out_degree(edges: DataFrame) -> DataFrame:

@@ -120,13 +120,22 @@ def hits(
     auth = all_nodes.select("id", F.lit(SCALE).cast("long").alias("s"))
 
     def _norm(raw: DataFrame) -> DataFrame:
-        # raw: (id, r) — scale so the max is SCALE; all-zero → stays zero
+        # raw: (id, r) — scale so the max is SCALE; all-zero → stays zero.
+        # The r·SCALE product runs in decimal(38,0): r is bounded by
+        # SCALE · (max weighted in-degree), so a bigint product would wrap
+        # silently (Spark non-ANSI) once that degree passes ~9.2e6 — below
+        # hub scale — while the DuckDB oracle (HUGEINT) keeps going; the
+        # 128-bit intermediate keeps both engines exact to ~10^26-degree
+        # hubs, far past any physical graph.  DIV on decimals yields LONG.
         mx = raw.agg(F.max("r").alias("_mx"))
         return (
             raw.crossJoin(F.broadcast(mx))
             .select(
                 "id",
-                F.when(F.col("_mx") > 0, F.expr(f"r * {SCALE} DIV _mx"))
+                F.when(
+                    F.col("_mx") > 0,
+                    F.expr(f"CAST(r AS DECIMAL(38,0)) * {SCALE} DIV _mx"),
+                )
                 .otherwise(F.lit(0))
                 .cast("long")
                 .alias("s"),

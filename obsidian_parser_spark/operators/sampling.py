@@ -48,11 +48,13 @@ def hash_split(
     )
 
 
-def hash_sample(df: DataFrame, pct: int, id_col: str = "doc_id") -> DataFrame:
+def hash_sample(
+    df: DataFrame, pct: int, id_col: str = "doc_id", salt: str = "sample"
+) -> DataFrame:
     """Keep a deterministic ~pct% sample (same rows every run, any
     cluster); salted independently of ``hash_split`` so sampling composes
     with splitting instead of aliasing into the train bucket range."""
-    return df.filter(hash_bucket(id_col, salt="sample") < pct)
+    return df.filter(hash_bucket(id_col, salt=salt) < pct)
 
 
 def stratified_sample(
@@ -61,6 +63,7 @@ def stratified_sample(
     pcts: dict[str, int],
     default_pct: int = 100,
     id_col: str = "doc_id",
+    salt: str = "strata",
 ) -> DataFrame:
     """Per-stratum deterministic sample: keep ~``pcts[stratum]``% of each
     stratum (``default_pct`` for unlisted strata) by the same md5 hash
@@ -68,10 +71,14 @@ def stratified_sample(
     downsample a dominant language while keeping rare ones whole.  A pure
     filter (no shuffle, no RNG): the kept set is a function of
     (id, stratum) only, stable across runs and cluster sizes.  The salt is
-    load-bearing: sharing the split's bucket would put every sampled row
-    (pct ≤ train_pct) inside the train range, leaving valid/test empty
-    after a sample→split composition."""
+    load-bearing TWICE: sharing the split's bucket would put every sampled
+    row (pct ≤ train_pct) inside the train range, leaving valid/test empty
+    after a sample→split composition; and sharing ``hash_sample``'s salt
+    ('sample') would alias the two samplers — any stratum pct ≤ the sample
+    pct would keep exactly the rows the sample kept (nested min-pct
+    semantics, not independent sampling).  Hence the distinct default
+    'strata'; override via ``salt`` to decorrelate repeated uses."""
     pct = F.lit(default_pct)
     for k in sorted(pcts):
         pct = F.when(F.col(strata_col) == k, F.lit(pcts[k])).otherwise(pct)
-    return df.filter(hash_bucket(id_col, salt="sample") < pct)
+    return df.filter(hash_bucket(id_col, salt=salt) < pct)

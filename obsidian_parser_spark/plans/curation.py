@@ -4,7 +4,9 @@ One call composes the curation operators into the standard LLM
 data-pipeline shape over a ``documents(doc_id, text)`` corpus:
 
     quality gate → Gopher repetition gate → exact dedup → MinHash-LSH
-    near-dup clusters (transitive, keeper-wins) → PII scrub →
+    candidates → exact-Jaccard verification (default on — a drop is
+    permanent, so band-collision false positives must not drop docs) →
+    transitive clusters (keeper-wins) → PII scrub →
     deterministic train/valid/test split → context-window chunking
 
 Every gate records a ``drop_reason`` instead of filtering eagerly, so the
@@ -26,7 +28,12 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..operators.dedup import dedup_clusters, exact_duplicates, minhash_lsh_pairs
+from ..operators.dedup import (
+    dedup_clusters,
+    exact_duplicates,
+    lsh_verified_pairs,
+    minhash_lsh_pairs,
+)
 from ..operators.sampling import hash_split
 from ..operators.textstats import (
     chunk_documents,
@@ -41,6 +48,12 @@ class CurationOptions:
     min_quality: float = 0.2  # composite score gate (quality_scores)
     drop_repetitive: bool = True  # Gopher repetition thresholds
     near_dup: bool = True  # MinHash-LSH transitive clusters
+    # verify LSH candidates with the exact distinct-shingle Jaccard before
+    # clustering (default ON): raw band collisions include false positives,
+    # and a curation drop is PERMANENT — without verification a non-duplicate
+    # doc caught in a boilerplate band is lost from the corpus
+    near_dup_verify: bool = True
+    jaccard_threshold: float = 0.8
     minhash_k: int = 12
     minhash_bands: int = 4
     # 'xxh' (scale default) or 'md5' (cross-engine oracle-portable)
@@ -86,12 +99,21 @@ def curate(documents: DataFrame, opts: CurationOptions | None = None) -> Curatio
         .join(exact, "doc_id", "left")
     )
     if opts.near_dup:
-        pairs = minhash_lsh_pairs(
-            d,
-            k=opts.minhash_k,
-            bands=opts.minhash_bands,
-            hash_fn=opts.minhash_hash_fn,
-        )
+        if opts.near_dup_verify:
+            pairs = lsh_verified_pairs(
+                d,
+                threshold=opts.jaccard_threshold,
+                k=opts.minhash_k,
+                bands=opts.minhash_bands,
+                hash_fn=opts.minhash_hash_fn,
+            ).select("a", "b")
+        else:
+            pairs = minhash_lsh_pairs(
+                d,
+                k=opts.minhash_k,
+                bands=opts.minhash_bands,
+                hash_fn=opts.minhash_hash_fn,
+            )
         near = dedup_clusters(pairs).filter(~F.col("is_keeper")).select(
             "doc_id", F.lit(True).alias("_near_dup")
         )

@@ -135,5 +135,13 @@ def build_graph(
         nodes = nodes.join(ids, "doc_id").filter(
             F.col("doc_id") == F.col("canonical_id")
         ).drop("canonical_id")
+        # dangling rows reference their SOURCE note — rewrite subj through
+        # the same canonical map, else a dangling row can point at a
+        # non-canonical node that no longer exists in the emitted graph
+        dangling = (
+            dangling.join(subj_map, "subj", "left")
+            .withColumn("subj", F.coalesce("_cs", F.col("subj")))
+            .drop("_cs")
+        )
 
     return GraphBuild(nodes=nodes, edges=edges, dangling=dangling, alias_dict=alias_dict)

@@ -246,12 +246,32 @@ def test_stratified_sample_deterministic(spark):
     kept = stratified_sample(df, "lang", {"en": 30}, default_pct=100).collect()
 
     def bucket(i):
-        # sampling family: salted 'sample' (decorrelated from the split)
-        return int(hashlib.md5((str(i) + "sample").encode()).hexdigest()[:4], 16) % 100
+        # stratified family: salted 'strata' (decorrelated from BOTH the
+        # split's unsalted bucket and hash_sample's 'sample' bucket)
+        return int(hashlib.md5((str(i) + "strata").encode()).hexdigest()[:4], 16) % 100
 
     want = {i for i, lang in rows if (bucket(i) < 30 if lang == "en" else True)}
     assert {r.doc_id for r in kept} == want
     assert all(r.doc_id % 2 == 1 or bucket(r.doc_id) < 30 for r in kept)
+
+
+def test_stratified_salt_decorrelated_from_sample(spark):
+    """hash_sample → stratified_sample must compose as INDEPENDENT samples:
+    with a shared salt, any stratum pct ≤ the sample pct keeps the full
+    sample (nested min-pct semantics) — the distinct 'strata' salt makes
+    the composition multiplicative (~pct² of the input)."""
+    from obsidian_parser_spark.operators.sampling import (
+        hash_sample,
+        stratified_sample,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "en") for i in range(500)], "doc_id int, lang string"
+    )
+    sampled = hash_sample(df, 30)
+    both = stratified_sample(sampled, "lang", {"en": 30})
+    n_s, n_b = sampled.count(), both.count()
+    assert 0 < n_b < n_s  # an aliased salt would keep the whole sample
 
 
 def test_chunk_reconstruction_invariant(spark):
