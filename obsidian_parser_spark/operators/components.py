@@ -16,9 +16,11 @@ Hub skew: both steps are ``groupBy(u).agg(min(v))`` + a re-join of the
 grouped min onto the symmetric edge list.  The aggregation is partial
 (map-side combined), so a 10^7-degree hub never concentrates on one reducer;
 the re-join is skew-split by AQE (spark.sql.adaptive.skewJoin).  Each round
-is ``localCheckpoint``-ed to cut lineage (on a cluster: ``checkpoint`` to a
-reliable store) — this is also the resume point for the north_rule's
-checkpointed-lineage requirement.
+is checkpointed via ``checkpointing.cut_lineage`` — reliable
+``df.checkpoint()`` when the session has ``setCheckpointDir`` configured
+(the cluster mode: the fixpoint survives executor loss), else
+``localCheckpoint`` (local mode) — this is also the resume point for the
+north_rule's checkpointed-lineage requirement.
 
 Node ids are strings; ordering is lexicographic (any total order works).
 """
@@ -27,6 +29,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from ..checkpointing import cut_lineage
 
 
 def _dedup(e: DataFrame) -> DataFrame:
@@ -104,9 +108,9 @@ def connected_components(
     all_ids = (
         nodes.select(F.col(id_col).alias("id")).unionAll(eu).distinct()
     )
-    mapping = all_ids.withColumn(
-        "nid", F.monotonically_increasing_id()
-    ).localCheckpoint()
+    mapping = cut_lineage(
+        all_ids.withColumn("nid", F.monotonically_increasing_id())
+    )
     mu = mapping.select(F.col("id").alias("_su"), F.col("nid").alias("u"))
     mv = mapping.select(F.col("id").alias("_sv"), F.col("nid").alias("v"))
     e = (
@@ -115,10 +119,10 @@ def connected_components(
         .join(mv, "_sv")
         .select("u", "v")
     )
-    e = _dedup(e).localCheckpoint()
+    e = cut_lineage(_dedup(e))
     prev = (-1, -1)
     for _ in range(max_iter):
-        e = _dedup(_small_star(_large_star(e))).localCheckpoint()
+        e = cut_lineage(_dedup(_small_star(_large_star(e))))
         cur = _checksum(e)
         if cur == prev:
             break

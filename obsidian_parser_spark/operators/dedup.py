@@ -31,6 +31,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..checkpointing import cut_lineage
+
 # ---------------------------------------------------------------- exact
 
 
@@ -218,16 +220,17 @@ def minhash_lsh_pairs(
             )
         ).alias("bk"),
     ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
-    # banded is tiny (bands rows/doc) but expensive to derive — localCheckpoint
+    # banded is tiny (bands rows/doc) but expensive to derive — cut_lineage
     # materializes it eagerly AND cuts lineage, so the self-join reads one
     # stored table instead of computing the upstream pipeline once per side
-    # (a lazily-cached frame races its own cache population).  On a real
-    # cluster prefer checkpoint() to a reliable store — localCheckpoint
-    # stores on executors and is lost on executor failure.
+    # (a lazily-cached frame races its own cache population).  With a
+    # session checkpoint dir set (sparkContext.setCheckpointDir) this is a
+    # reliable checkpoint() that survives executor loss; else
+    # localCheckpoint (local mode).
     # Bucket-size cap via window count: one shuffle on (band, key) — the
     # same partitioning the join needs — and no bucket-list broadcast
     # (which would not fit the driver at 10^12 docs).
-    banded = banded.localCheckpoint()
+    banded = cut_lineage(banded)
     banded_kept = banded.withColumn(
         "_n", F.count("*").over(Window.partitionBy("band", "key"))
     ).filter(F.col("_n") <= max_bucket_size)

@@ -26,9 +26,10 @@ round count is itself part of the deterministic contract).
 Scale shape: the per-iteration plan is join(edge_weights, pr) →
 groupBy(v).sum — the sum is map-side combinable, so a hub with 10^7
 backlinks never concentrates on one reducer; the weighted edge list is
-computed once and localCheckpoint-ed (on a cluster: checkpoint to reliable
-store); pr is re-checkpointed per round to cut lineage exactly like the CC
-fixpoint.  Overflow: pr values are bounded by n·SCALE; with SCALE=10^6 the
+computed once and checkpointed (``checkpointing.cut_lineage`` — reliable
+``checkpoint()`` when the session has a checkpoint dir, else
+``localCheckpoint``); pr is re-checkpointed per round to cut lineage
+exactly like the CC fixpoint.  Overflow: pr values are bounded by n·SCALE; with SCALE=10^6 the
 long accumulator holds to ~10^12 nodes — past that, lower SCALE.
 """
 
@@ -36,6 +37,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from ..checkpointing import cut_lineage
 
 SCALE = 1_000_000
 
@@ -51,7 +54,7 @@ def _edge_weights(edges: DataFrame) -> DataFrame:
 
 
 def _node_ids(nodes: DataFrame, id_col: str) -> DataFrame:
-    return nodes.select(F.col(id_col).alias("id")).distinct().localCheckpoint()
+    return cut_lineage(nodes.select(F.col(id_col).alias("id")).distinct())
 
 
 def pagerank(
@@ -67,13 +70,13 @@ def pagerank(
 
     w = _edge_weights(edges)
     out = w.groupBy("u").agg(F.sum("w").alias("od"))
-    wj = w.join(out, "u").localCheckpoint()
+    wj = cut_lineage(w.join(out, "u"))
 
     all_nodes = _node_ids(nodes, id_col)
     pr = all_nodes.select("id", F.lit(SCALE).cast("long").alias("pr"))
 
     for _ in range(n_iter):
-        pr = _step(wj, all_nodes, pr, base, damping_pct).localCheckpoint()
+        pr = cut_lineage(_step(wj, all_nodes, pr, base, damping_pct))
     return pr
 
 
@@ -112,9 +115,10 @@ def hits(
     integer div keeps both engines byte-identical.
 
     → (id, hub, authority); nodes untouched by any edge settle to 0.
-    Parallel edges vote per occurrence; per-round localCheckpoint cuts
-    lineage exactly like the CC/PageRank fixpoints."""
-    w = _edge_weights(edges).localCheckpoint()
+    Parallel edges vote per occurrence; per-round ``cut_lineage`` cuts
+    lineage exactly like the CC/PageRank fixpoints (reliable checkpoint
+    when the session has a checkpoint dir)."""
+    w = cut_lineage(_edge_weights(edges))
     all_nodes = _node_ids(nodes, id_col)
     hub = all_nodes.select("id", F.lit(SCALE).cast("long").alias("s"))
     auth = all_nodes.select("id", F.lit(SCALE).cast("long").alias("s"))
@@ -153,7 +157,8 @@ def hits(
             all_nodes.join(a_raw.withColumnRenamed("v", "id"), "id", "left").select(
                 "id", F.coalesce("r", F.lit(0)).alias("r")
             )
-        ).localCheckpoint()
+        )
+        auth = cut_lineage(auth)
         h_raw = (
             w.join(auth.select(F.col("id").alias("v"), "s"), "v")
             .select("u", (F.col("s") * F.col("w")).alias("c"))
@@ -164,7 +169,8 @@ def hits(
             all_nodes.join(h_raw.withColumnRenamed("u", "id"), "id", "left").select(
                 "id", F.coalesce("r", F.lit(0)).alias("r")
             )
-        ).localCheckpoint()
+        )
+        hub = cut_lineage(hub)
 
     return (
         hub.withColumnRenamed("s", "hub")

@@ -113,7 +113,9 @@ def build_graph(
         from ..operators.linking import identity_clusters
 
         ids = identity_clusters(nodes).select("doc_id", "canonical_id")
-        ids = ids.localCheckpoint()  # CC output reused on both endpoints
+        from ..checkpointing import cut_lineage
+
+        ids = cut_lineage(ids)  # CC output reused on both endpoints
         subj_map = ids.select(
             F.col("doc_id").alias("subj"), F.col("canonical_id").alias("_cs")
         )

@@ -1,5 +1,7 @@
 """Connected components vs a brute-force Python union-find oracle."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -89,3 +91,29 @@ def test_cc_on_real_corpus_vs_union_find(spark):
     got = {r.id: r.component for r in cc.collect()}
     want = _brute_cc(node_ids, pairs)
     assert got == want
+
+
+def test_cc_reliable_checkpoint_mode(spark, tmp_path):
+    """With a session checkpoint dir set, the fixpoint's lineage cuts go
+    through reliable df.checkpoint() (files under the dir — the cluster
+    mode that survives executor loss) and produce the identical result."""
+    from obsidian_parser_spark.checkpointing import has_reliable_checkpoint
+
+    ids = [f"n{i}" for i in range(12)]
+    pairs = [(ids[i], ids[i + 1]) for i in range(0, 10, 2)] + [(ids[1], ids[4])]
+    ckpt = str(tmp_path / "ckpt")
+    spark.sparkContext.setCheckpointDir(ckpt)
+    try:
+        assert has_reliable_checkpoint(spark.range(1))
+        _run(spark, ids, pairs)
+        written = [
+            os.path.join(dp, f)
+            for dp, _, fs in os.walk(ckpt)
+            for f in fs
+            if not f.startswith(".")
+        ]
+        assert written, "reliable checkpoint mode wrote no checkpoint files"
+    finally:
+        # restore local mode for the session-scoped fixture
+        spark.sparkContext._jsc.sc().setCheckpointDir(None)
+        assert not has_reliable_checkpoint(spark.range(1))
