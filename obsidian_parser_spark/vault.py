@@ -55,6 +55,8 @@ class Vault:
         spark: SparkSession,
         path: str,
         include_hidden: bool = False,
+        follow_links: bool = False,
+        follow_root_links: bool = True,
         min_depth: int = 1,
         max_depth: int | None = None,
         filter_entry: str | None = None,
@@ -65,6 +67,8 @@ class Vault:
             spark,
             path,
             include_hidden=include_hidden,
+            follow_links=follow_links,
+            follow_root_links=follow_root_links,
             min_depth=min_depth,
             max_depth=max_depth,
             path_filter=filter_entry,

@@ -173,3 +173,70 @@ def test_have_duplicates_by_name(spark):
     g2 = build_graph(nodup, reference_parity_options())
     assert have_duplicates_by_name(g1.nodes) is True
     assert have_duplicates_by_name(g2.nodes) is False
+
+
+@pytest.fixture()
+def symlink_vault(tmp_path):
+    """Vault with every symlink case the reference's walkdir options cover
+    (vault_open/mod.rs:86-96): symlinked file, symlinked subdir, symlink
+    loop back to the root, and a sibling-dir symlink (diamond)."""
+    v = tmp_path / "vault"
+    outside = tmp_path / "outside"
+    v.mkdir()
+    outside.mkdir()
+    (v / "dira").mkdir()
+    (v / "plain.md").write_text("[[x]]")
+    (v / "dira" / "a.md").write_text("a")
+    (outside / "ext.md").write_text("external")
+    (v / "sl.md").symlink_to(v / "plain.md")  # symlinked file
+    (v / "linked").symlink_to(outside)  # symlinked dir
+    (v / "dira" / "loop").symlink_to(v)  # loop to root
+    (v / "dirb").symlink_to(v / "dira")  # sibling diamond
+    return str(v)
+
+
+def _ids(spark, root, **kw):
+    return sorted(
+        r.doc_id for r in read_vault_files(spark, root, **kw).collect()
+    )
+
+
+def test_symlinks_not_followed_by_default(spark, symlink_vault):
+    # walkdir follow_links=false: symlinked FILES dropped (not is_file()),
+    # symlinked dirs not descended
+    assert _ids(spark, symlink_vault) == ["dira/a", "plain"]
+
+
+def test_symlinks_followed(spark, symlink_vault):
+    # follow_links=true: symlinked file + dir resolve; the root loop is
+    # skipped by the ancestor identity check (walkdir Err -> dropped); the
+    # sibling diamond duplicates dira's subtree under dirb/ (walkdir parity:
+    # a non-ancestor target is traversed again)
+    assert _ids(spark, symlink_vault, follow_links=True) == [
+        "dira/a",
+        "dirb/a",
+        "linked/ext",
+        "plain",
+        "sl",
+    ]
+
+
+def test_follow_root_links(spark, symlink_vault, tmp_path):
+    entry = tmp_path / "entry"
+    entry.symlink_to(tmp_path / "vault")
+    # default follow_root_links=True: a symlinked root is followed
+    assert _ids(spark, str(entry)) == ["dira/a", "plain"]
+    # =False: nothing below min_depth 1
+    assert _ids(spark, str(entry), follow_root_links=False) == []
+    # a REAL root is unaffected by the flag
+    assert _ids(spark, symlink_vault, follow_root_links=False) == ["dira/a", "plain"]
+
+
+@pytest.mark.parametrize("follow", [False, True])
+def test_distributed_listing_matches_driver_walk(
+    spark, symlink_vault, vault_dir, follow
+):
+    for root in (symlink_vault, vault_dir):
+        assert _ids(spark, root, listing="walk_distributed", follow_links=follow) == _ids(
+            spark, root, listing="walk", follow_links=follow
+        )
