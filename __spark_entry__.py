@@ -38,7 +38,10 @@ from obsidian_parser_spark.operators.components import (
 )
 from obsidian_parser_spark.operators.tokenize import media_refs
 from obsidian_parser_spark.plans.pipeline import GraphBuildOptions, build_graph
-from obsidian_parser_spark.sources.corpus import ensure_vault_corpus
+from obsidian_parser_spark.sources.corpus import (
+    ensure_media_corpus,
+    ensure_vault_corpus,
+)
 
 ORACLE_SF = "sf0.01"  # the driver's correctness scale
 # Driver-testdata embedding width (engine-side plane literals only; the
@@ -551,6 +554,29 @@ def _q_ts_stratified(spark, sf_dir):
     )
 
 
+def _q_kg_decode(spark, sf_dir):
+    """REAL dependency-free media decode over the deterministic payload
+    table media(media_ref, payload): PNG width/height parsed from the IHDR
+    header bytes, WAV duration from the RIFF byte-rate/data-size fields,
+    corrupt payloads -> ok=false with NULL metrics.  The oracle re-parses
+    the SAME binary prefixes in SQL (hex() + positional substr), so the
+    byte-level parse is cross-engine-verified."""
+    from obsidian_parser_spark.operators.multimodal import decode_media
+
+    media = spark.read.parquet(ensure_media_corpus(_sf_name(sf_dir)))
+    d = decode_media(media, fake=False, payload_col="payload")
+    # driver artifact stays NULL-free: corrupt rows report -1 metrics (the
+    # operator itself keeps NULL semantics; this is a presentation cast)
+    return d.select(
+        "media_ref",
+        "media_type",
+        F.coalesce("width", F.lit(-1)).cast("int").alias("width"),
+        F.coalesce("height", F.lit(-1)).cast("int").alias("height"),
+        F.coalesce("duration_ms", F.lit(-1)).cast("long").alias("duration_ms"),
+        "ok",
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -618,6 +644,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_identities": _q_kg_identities,
         "ts_chunks": _q_ts_chunks,
         "ts_stratified": _q_ts_stratified,
+        "kg_decode": _q_kg_decode,
     }
 
 
@@ -828,9 +855,65 @@ def _hits_ctes(n_iter: int = 10, scale: int = 1_000_000) -> str:
     return ",\n".join(parts)
 
 
+def _media_decode_oracle(mpath: str) -> str:
+    """Re-parse the PNG/WAV binary headers in pure SQL: hex() the payload,
+    then positional substr — big-endian uint32 is one 8-hex-digit cast,
+    little-endian is four byte-pair casts with place values.  TRY_CAST
+    keeps truncated/corrupt payloads NULL instead of erroring."""
+
+    def be4(o: int) -> str:  # big-endian uint32 at 1-based byte offset o
+        return f"TRY_CAST('0x' || substr(h, {(o - 1) * 2 + 1}, 8) AS BIGINT)"
+
+    def le4(o: int) -> str:  # little-endian uint32 at 1-based byte offset o
+        terms = [
+            f"TRY_CAST('0x' || substr(h, {(o - 1 + k) * 2 + 1}, 2) AS BIGINT)"
+            f" * {256 ** k}"
+            for k in range(4)
+        ]
+        return "(" + " + ".join(terms) + ")"
+
+    return f"""
+WITH m AS (
+  SELECT media_ref, hex(payload) AS h, octet_length(payload) AS n
+  FROM read_parquet('{mpath}')
+),
+png AS (
+  SELECT media_ref, 'image' AS media_type,
+         coalesce(n >= 24 AND substr(h, 1, 16) = '89504E470D0A1A0A'
+                          AND substr(h, 25, 8) = '49484452', FALSE) AS ok,
+         {be4(17)} AS w, {be4(21)} AS ht
+  FROM m WHERE lower(media_ref) LIKE '%.png'
+),
+wav AS (
+  SELECT media_ref, 'audio' AS media_type,
+         coalesce(n >= 44 AND substr(h, 1, 8) = '52494646'
+                          AND substr(h, 17, 8) = '57415645'
+                          AND substr(h, 25, 8) = '666D7420'
+                          AND substr(h, 73, 8) = '64617461'
+                          AND {le4(29)} > 0, FALSE) AS ok,
+         {le4(29)} AS brate, {le4(41)} AS dsize
+  FROM m WHERE lower(media_ref) LIKE '%.wav'
+)
+SELECT media_ref, media_type,
+       (CASE WHEN ok THEN w ELSE -1 END)::INTEGER AS width,
+       (CASE WHEN ok THEN ht ELSE -1 END)::INTEGER AS height,
+       (CASE WHEN ok THEN 0 ELSE -1 END)::BIGINT AS duration_ms,
+       ok
+FROM png
+UNION ALL
+SELECT media_ref, media_type,
+       (CASE WHEN ok THEN 0 ELSE -1 END)::INTEGER AS width,
+       (CASE WHEN ok THEN 0 ELSE -1 END)::INTEGER AS height,
+       (CASE WHEN ok THEN (dsize * 1000) // brate ELSE -1 END)::BIGINT AS duration_ms,
+       ok
+FROM wav"""
+
+
 def _kg_oracles(path: str) -> dict[str, str]:
     c = _kg_cte(path)
+    mpath = os.path.join(os.path.dirname(path), "media.parquet")
     return {
+        "kg_decode": _media_decode_oracle(mpath),
         "kg_edges": c + "SELECT subj, pred, obj FROM edges",
         "kg_backlinks": c
         + """SELECT obj AS id, count(*)::BIGINT AS backlinks
@@ -1608,6 +1691,7 @@ FROM cc""",
 
 def oracle_sql() -> dict[str, str]:
     path = ensure_vault_corpus(ORACLE_SF)
+    ensure_media_corpus(ORACLE_SF)  # kg_decode reads the payload table
     out = _kg_oracles(path)
     out.update(_datapipe_oracles())
     return out

@@ -1,25 +1,34 @@
 """Multimodal column plumbing: opaque media payloads through the engine.
 
 Media enters as ``kind='media'``/``kind='embed'`` spans carrying an opaque
-``media_ref`` (and, in a full deployment, a ``binary`` payload column or an
-object-store URI).  The Spark-side plumbing — schema, batch shape,
-partitioning, Arrow transfer — is real and tested; the actual codec calls
-are STUBBED because no image/audio libraries exist in this container:
+``media_ref``, plus (for payload-bearing tables) a ``binary`` column.
+The Spark-side plumbing — schema, batch shape, partitioning, Arrow
+transfer — is real and tested, and for PNG and WAV the DECODE itself is
+real too: both formats carry their metadata in fixed headers parseable
+with stdlib ``struct`` from the first bytes (no PIL/ffmpeg needed) —
+PNG signature + IHDR width/height (big-endian), WAV RIFF/fmt byte-rate +
+data size → duration.  Formats whose metadata needs a real codec
+(jpeg/mp4/...) remain DECLARED STUBS (NotImplementedError), since no
+image/audio libraries exist in this container:
 
-* ``decode_media``           — raises NotImplementedError by design when
-  ``fake=False``; with ``fake=True`` produces a deterministic md5-derived
-  "decode" (width/height/duration) so downstream operators are testable.
+* ``decode_media``           — ``fake=True`` (default): deterministic
+  md5-derived "decode" so downstream operators are testable without
+  payloads; ``fake=False`` + ``payload_col``: REAL header parse for
+  .png/.wav via ``decode_media_payloads``; ``fake=False`` without a
+  payload column raises (declared stub).
 * ``extract_features``       — deterministic fake embedding (16 floats from
   md5 bytes), same mapInPandas shape a real CLIP/wav2vec stage would use.
 * ``sample_frames``          — deterministic frame-offset plan for videos.
 
-To productionize: replace ``_fake_decode`` with PIL/ffmpeg calls inside the
-same ``mapInPandas`` iterator — the schema and partitioning don't change.
+To productionize the remaining formats: add the codec call beside
+``_parse_png``/``_parse_wav`` inside the same ``mapInPandas`` iterator —
+the schema and partitioning don't change.
 """
 
 from __future__ import annotations
 
 import hashlib
+import struct
 from collections.abc import Iterator
 
 import numpy as np
@@ -30,8 +39,97 @@ DECODED_SCHEMA = (
     "doc_id string, media_ref string, media_type string, "
     "width int, height int, duration_ms long, ok boolean"
 )
+# real header decode is keyed by media_ref (payload tables are ref-keyed;
+# join back to spans on media_ref for per-document views)
+PAYLOAD_DECODED_SCHEMA = (
+    "media_ref string, media_type string, "
+    "width int, height int, duration_ms long, ok boolean"
+)
 FEATURES_SCHEMA = "doc_id string, media_ref string, features array<float>"
 FRAMES_SCHEMA = "doc_id string, media_ref string, frame_ms array<long>"
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _parse_png(b: bytes) -> tuple[int, int] | None:
+    """(width, height) from the IHDR header, or None if not a valid PNG
+    prefix.  Layout: 8-byte signature, 4-byte chunk length, 'IHDR',
+    width/height as big-endian uint32 at byte offsets 16/20."""
+    if len(b) < 24 or b[:8] != _PNG_SIG or b[12:16] != b"IHDR":
+        return None
+    w, h = struct.unpack(">II", b[16:24])
+    return w, h
+
+
+def _parse_wav(b: bytes) -> int | None:
+    """duration_ms from the canonical RIFF/fmt/data header, or None if not
+    a valid PCM WAV prefix.  byte_rate is little-endian uint32 at offset
+    28, data chunk size at offset 40; duration = data·1000 // byte_rate
+    (integer division — exact in any engine)."""
+    if (
+        len(b) < 44
+        or b[:4] != b"RIFF"
+        or b[8:12] != b"WAVE"
+        or b[12:16] != b"fmt "
+        or b[36:40] != b"data"
+    ):
+        return None
+    byte_rate = struct.unpack("<I", b[28:32])[0]
+    data_size = struct.unpack("<I", b[40:44])[0]
+    if byte_rate <= 0:
+        return None
+    return data_size * 1000 // byte_rate
+
+
+def decode_media_payloads(
+    media: DataFrame, payload_col: str = "payload"
+) -> DataFrame:
+    """REAL dependency-free decode of ``(media_ref, payload)`` rows for the
+    formats whose metadata lives in fixed headers:
+
+    * ``.png`` → (width, height) from IHDR, duration 0;
+    * ``.wav`` → duration_ms from the RIFF header, width/height 0;
+    * corrupt payload of a supported extension → ``ok=false``, NULL metrics
+      (the error channel — never a thrown task);
+    * any OTHER extension → NotImplementedError (declared stub: jpeg/mp4
+      metadata needs a real codec library, absent in this image).
+
+    Arrow-batched mapInPandas, one pass, no shuffle — the same plumbing a
+    PIL/ffmpeg deployment would use."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for ref, payload in zip(pdf["media_ref"], pdf[payload_col]):
+                mt = _media_type(ref)
+                ext = ref.rsplit(".", 1)[-1].lower() if "." in ref else ""
+                b = bytes(payload) if payload is not None else b""
+                if ext == "png":
+                    wh = _parse_png(b)
+                    if wh is None:
+                        rows.append((ref, mt, None, None, None, False))
+                    else:
+                        rows.append((ref, mt, wh[0], wh[1], 0, True))
+                elif ext == "wav":
+                    dur = _parse_wav(b)
+                    if dur is None:
+                        rows.append((ref, mt, None, None, None, False))
+                    else:
+                        rows.append((ref, mt, 0, 0, dur, True))
+                else:
+                    raise NotImplementedError(
+                        f"real media decode for '.{ext}' requires PIL/ffmpeg "
+                        "(not in this image); png/wav parse headers natively"
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_ref", "media_type", "width", "height",
+                         "duration_ms", "ok"],
+            )
+
+    return media.select("media_ref", payload_col).mapInPandas(
+        run, PAYLOAD_DECODED_SCHEMA
+    )
 
 
 def _media_type(ref: str) -> str:
@@ -48,16 +146,25 @@ def _fake_decode(ref: str) -> tuple[int, int, int]:
     return 16 + h[0] * 8, 16 + h[1] * 8, int.from_bytes(h[2:4], "big")
 
 
-def decode_media(media: DataFrame, fake: bool = True) -> DataFrame:
-    """(doc_id, media_ref) → decoded metadata.  fake=False raises (no codec
-    libraries in this image — STUB, marked by design)."""
+def decode_media(
+    media: DataFrame, fake: bool = True, payload_col: str | None = None
+) -> DataFrame:
+    """(doc_id, media_ref) → decoded metadata.
+
+    ``fake=False`` with ``payload_col`` set routes to the REAL header
+    decode (``decode_media_payloads`` — png/wav parsed natively, other
+    extensions a declared stub); ``fake=False`` without payload bytes
+    raises: there is nothing to decode from a bare ref."""
+    if not fake and payload_col is not None:
+        return decode_media_payloads(media, payload_col)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if not fake:
                 raise NotImplementedError(
-                    "real media decode requires PIL/ffmpeg (not in this image); "
-                    "use fake=True for the deterministic stub"
+                    "real decode needs payload bytes: pass payload_col= "
+                    "(png/wav parse natively; other formats need PIL/ffmpeg, "
+                    "not in this image — use fake=True for the stub)"
                 )
             rows = []
             for doc_id, ref in zip(pdf["doc_id"], pdf["media_ref"]):

@@ -102,6 +102,96 @@ def ensure_vault_corpus(
 
 
 # --------------------------------------------------------------------------
+# media payloads (real PNG/WAV headers, dependency-free)
+# --------------------------------------------------------------------------
+
+MEDIA_SCHEMA = pa.schema(
+    [pa.field("media_ref", pa.string()), pa.field("payload", pa.binary())]
+)
+
+
+def media_parquet_path(sf_name: str, base: str | None = None) -> str:
+    return os.path.join(vault_corpus_dir(sf_name, base), "media.parquet")
+
+
+def png_bytes(width: int, height: int) -> bytes:
+    """A minimal REAL PNG: 8-byte signature + IHDR chunk (8-bit RGB, zlib
+    CRC32) + IEND.  Parseable by any PNG reader up to the (absent) pixel
+    data — exactly the header surface ``decode_media`` reads."""
+    import struct
+    import zlib
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    out = b"\x89PNG\r\n\x1a\n"
+    for tag, data in ((b"IHDR", ihdr), (b"IEND", b"")):
+        out += struct.pack(">I", len(data)) + tag + data
+        out += struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+    return out
+
+
+def wav_bytes(sample_rate: int, n_frames: int, channels: int = 1, bits: int = 16) -> bytes:
+    """A minimal REAL WAV: canonical 44-byte RIFF/fmt/data header (PCM),
+    data chunk declared but body omitted — the header carries everything
+    ``decode_media`` derives (byte rate → duration)."""
+    import struct
+
+    block = channels * bits // 8
+    byte_rate = sample_rate * block
+    data_size = n_frames * block
+    return (
+        b"RIFF"
+        + struct.pack("<I", 36 + data_size)
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<IHHIIHH", 16, 1, channels, sample_rate, byte_rate, block, bits)
+        + b"data"
+        + struct.pack("<I", data_size)
+    )
+
+
+def ensure_media_corpus(sf_name: str, base: str | None = None) -> str:
+    """Deterministic media-payload table beside the vault corpus:
+    ``media(media_ref, payload)`` with real PNG headers (even i), real WAV
+    headers (odd i) and deliberately corrupt payloads (every 13th) so the
+    decode error channel has positives.  Size scales with sf."""
+    out_dir = vault_corpus_dir(sf_name, base)
+    path = media_parquet_path(sf_name, base)
+    marker = os.path.join(out_dir, "_MEDIA_GENERATED.json")
+    n_media = max(60, num_files_for_sf(sf_name) // 20)
+    params = {"version": 1, "n_media": n_media}
+    if os.path.exists(marker) and os.path.exists(path):
+        with open(marker) as f:
+            if json.load(f) == params:
+                return path
+    os.makedirs(out_dir, exist_ok=True)
+    refs: list[str] = []
+    payloads: list[bytes] = []
+    for i in range(n_media):
+        if i % 13 == 5:
+            # corrupt: PNG extension, bad signature/IHDR → ok=false row
+            refs.append(f"bad_{i}.png")
+            payloads.append(b"\x89PNGBROKEN" + bytes([i % 256]) * 8)
+        elif i % 2 == 0:
+            refs.append(f"img_{i}.png")
+            payloads.append(png_bytes(16 + (i * 37) % 2048, 16 + (i * 53) % 2048))
+        else:
+            refs.append(f"aud_{i}.wav")
+            payloads.append(
+                wav_bytes(8000 + (i % 8) * 1000, n_frames=200 * ((i % 100) + 1))
+            )
+    pq.write_table(
+        pa.Table.from_pydict(
+            {"media_ref": refs, "payload": payloads}, schema=MEDIA_SCHEMA
+        ),
+        path,
+        compression="zstd",
+    )
+    with open(marker, "w") as f:
+        json.dump(params, f)
+    return path
+
+
+# --------------------------------------------------------------------------
 # generation
 # --------------------------------------------------------------------------
 

@@ -62,7 +62,8 @@ def norm(v):
 
 def rows(cols, data):
     idx = sorted(range(len(cols)), key=lambda i: cols[i])
-    return sorted(tuple(norm(r[i]) for i in idx) for r in data)
+    # key=repr: NULL-robust ordering (None < int comparisons would raise)
+    return sorted((tuple(norm(r[i]) for i in idx) for r in data), key=repr)
 
 
 vault_path = E.ensure_vault_corpus(os.path.basename(os.path.normpath(SF_DIR)))

@@ -165,3 +165,47 @@ def test_dedup_stream_drops_within_horizon(spark, tmp_path):
     q.awaitTermination(120)
     got = {r.doc_id for r in spark.sql("SELECT * FROM dd_stream").collect()}
     assert got == {1, 3}
+
+
+def test_decode_media_real_png_wav(spark):
+    """REAL header decode: PNG IHDR width/height, WAV RIFF duration,
+    corrupt payload -> ok=false error-channel row (never a thrown task)."""
+    from obsidian_parser_spark.operators.multimodal import decode_media
+    from obsidian_parser_spark.sources.corpus import png_bytes, wav_bytes
+
+    rows = [
+        ("a.png", png_bytes(640, 480)),
+        ("b.wav", wav_bytes(16000, n_frames=16000)),  # exactly 1 s
+        ("c.png", b"\x89PNGnope-not-a-real-signature"),
+    ]
+    df = spark.createDataFrame(rows, "media_ref string, payload binary")
+    got = {
+        r.media_ref: r
+        for r in decode_media(df, fake=False, payload_col="payload").collect()
+    }
+    a = got["a.png"]
+    assert (a.media_type, a.width, a.height, a.duration_ms, a.ok) == (
+        "image", 640, 480, 0, True,
+    )
+    b = got["b.wav"]
+    assert (b.media_type, b.width, b.height, b.duration_ms, b.ok) == (
+        "audio", 0, 0, 1000, True,
+    )
+    c = got["c.png"]
+    assert (c.ok, c.width, c.height, c.duration_ms) == (False, None, None, None)
+
+
+def test_decode_media_unsupported_extension_is_declared_stub(spark):
+    import pytest
+
+    from obsidian_parser_spark.operators.multimodal import decode_media
+
+    df = spark.createDataFrame(
+        [("v.mp4", b"\x00\x00\x00\x18ftypmp42")], "media_ref string, payload binary"
+    )
+    with pytest.raises(Exception, match="PIL/ffmpeg"):
+        decode_media(df, fake=False, payload_col="payload").collect()
+    # and a payload-less fake=False still refuses loudly
+    refs = spark.createDataFrame([("x", "a.png")], "doc_id string, media_ref string")
+    with pytest.raises(Exception, match="payload"):
+        decode_media(refs, fake=False).collect()
