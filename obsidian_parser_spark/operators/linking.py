@@ -32,8 +32,11 @@ KIND_SHORT = "short"
 KIND_ALIAS = "alias"
 
 
-def build_alias_dict(notes: DataFrame, use_aliases: bool = True) -> DataFrame:
-    """notes → (alias, kind, canonical) with deterministic first-wins dedup."""
+def alias_candidates(notes: DataFrame, use_aliases: bool = True) -> DataFrame:
+    """notes → UNDEDUPED (alias, kind, canonical, n_segments) candidate
+    rows — the pre-window half of ``build_alias_dict``, exposed so the
+    streaming dict maintenance can append candidates per epoch and apply
+    the (order-independent) first-wins rule over the union at read time."""
     full = notes.select(
         F.col("doc_id").alias("alias"),
         F.lit(KIND_FULL).alias("kind"),
@@ -59,7 +62,15 @@ def build_alias_dict(notes: DataFrame, use_aliases: bool = True) -> DataFrame:
     cand = parts[0]
     for p in parts[1:]:
         cand = cand.unionByName(p)
-    # first-wins: fewest path segments, then lexicographic doc_id
+    return cand
+
+
+def dedup_alias_dict(cand: DataFrame) -> DataFrame:
+    """Candidates → (alias, kind, canonical): deterministic first-wins —
+    fewest path segments, then lexicographic doc_id.  The rule is a pure
+    function of the candidate SET (no arrival order), so it gives the same
+    dictionary whether built in one pass or accumulated across stream
+    epochs; duplicate candidate rows (an epoch replay) are harmless."""
     w = Window.partitionBy("alias", "kind").orderBy(
         F.col("n_segments").asc(), F.col("canonical").asc()
     )
@@ -68,6 +79,11 @@ def build_alias_dict(notes: DataFrame, use_aliases: bool = True) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("alias", "kind", "canonical")
     )
+
+
+def build_alias_dict(notes: DataFrame, use_aliases: bool = True) -> DataFrame:
+    """notes → (alias, kind, canonical) with deterministic first-wins dedup."""
+    return dedup_alias_dict(alias_candidates(notes, use_aliases=use_aliases))
 
 
 def resolve_mentions(

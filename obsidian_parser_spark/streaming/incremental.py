@@ -4,8 +4,11 @@ The reference is batch-only (SURVEY.md §2.5: streaming absent); these are
 engine extensions for continuously-arriving vaults/events:
 
 * ``incremental_graph`` — new span-document files appear in a directory;
-  each micro-batch is tokenized + resolved against a (periodically rebuilt)
-  alias dictionary and written to the edges table via ``foreachBatch``,
+  each micro-batch is tokenized + resolved against the alias dictionary —
+  either a static one the caller provides, or (default) a per-epoch
+  MAINTAINED dictionary upserted inside the batch so notes arriving
+  mid-stream become resolvable targets from the next epoch on — and
+  written to the edges table via ``foreachBatch``,
   partitioned by epoch with dynamic partition overwrite: a crash between
   the write and the checkpoint commit replays the epoch, and the replay
   REPLACES its own partition instead of appending a duplicate — idempotent
@@ -23,7 +26,11 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.linking import resolve_mentions
+from ..operators.linking import (
+    alias_candidates,
+    dedup_alias_dict,
+    resolve_mentions,
+)
 from ..operators.tokenize import mentions_from_notes, tokenize_documents
 from ..sources.schema import DOCUMENTS_SCHEMA, EVENTS_SCHEMA
 
@@ -32,30 +39,64 @@ def incremental_graph(
     spark: SparkSession,
     input_dir: str,
     out_dir: str,
-    alias_dict: DataFrame,
+    alias_dict: DataFrame | None = None,
     include_mdlinks: bool = True,
     use_aliases: bool = True,
+    max_files_per_trigger: int = 8,
 ):
     """Start an availableNow stream: span-document parquet files in
     ``input_dir`` → edges appended under ``out_dir/edges``.
 
-    Returns the StreamingQuery (caller awaits termination).  The alias
-    dictionary is a static broadcast side — for a continuously growing
-    vault, rebuild it on a cadence and restart the query (dictionary
-    changes don't invalidate already-emitted edges)."""
+    Returns the StreamingQuery (caller awaits termination).
+
+    Dictionary modes:
+
+    * ``alias_dict`` given — STATIC broadcast side; a note arriving
+      mid-stream cannot become a link TARGET until the dict is rebuilt
+      and the query restarted.
+    * ``alias_dict=None`` (default) — per-epoch MAINTAINED dictionary:
+      each micro-batch appends its notes' candidate rows (alias, kind,
+      canonical, n_segments) under ``out_dir/alias_dict`` partitioned by
+      epoch (dynamic overwrite ⇒ a replayed epoch replaces its own
+      candidates — idempotent), then resolves against the first-wins
+      dedup of ALL accumulated candidates.  A note arriving in epoch N is
+      resolvable from epoch N+1 on, without restart.  The first-wins rule
+      (fewest segments, then lexicographic id) is a pure function of the
+      candidate SET, so the dictionary is arrival-order-independent —
+      identical to a batch rebuild over the same notes.  Already-emitted
+      epochs are NOT rewritten when the dict grows (their dangling
+      mentions stay dangling until a batch reconcile; same trade as the
+      reference's build-once Index).
+    """
     edges_path = os.path.join(out_dir, "edges")
+    dict_path = os.path.join(out_dir, "alias_dict")
     checkpoint = os.path.join(out_dir, "_checkpoint")
 
     stream = (
         spark.readStream.schema(DOCUMENTS_SCHEMA)
-        .option("maxFilesPerTrigger", 8)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(input_dir)
     )
 
     def process(batch_df: DataFrame, epoch_id: int) -> None:
         notes = tokenize_documents(batch_df, include_mdlinks=include_mdlinks)
+        if alias_dict is None:
+            # 1. upsert this epoch's candidates (idempotent per epoch)
+            (
+                alias_candidates(notes, use_aliases=use_aliases)
+                .withColumn("epoch", F.lit(epoch_id))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("epoch")
+                .parquet(dict_path)
+            )
+            # 2. resolve against the accumulated dictionary (reads the
+            # just-written epoch too — the batch self-resolves)
+            d = dedup_alias_dict(spark.read.parquet(dict_path))
+        else:
+            d = alias_dict
         mentions = mentions_from_notes(notes)
-        edges, _ = resolve_mentions(mentions, alias_dict, use_aliases=use_aliases)
+        edges, _ = resolve_mentions(mentions, d, use_aliases=use_aliases)
         # idempotent per-epoch replace (Iceberg overwritePartitions
         # semantics): a replayed epoch rewrites its own partition
         (

@@ -209,3 +209,67 @@ def test_decode_media_unsupported_extension_is_declared_stub(spark):
     refs = spark.createDataFrame([("x", "a.png")], "doc_id string, media_ref string")
     with pytest.raises(Exception, match="payload"):
         decode_media(refs, fake=False).collect()
+
+
+def test_incremental_dict_maintenance_across_epochs(spark, tmp_path):
+    """alias_dict=None: a note arriving in epoch N becomes a resolvable
+    link TARGET for epoch N+1 mentions in the SAME stream run — the
+    per-epoch dict upsert (VERDICT r2 item 7).  Epoch ordering is forced
+    with maxFilesPerTrigger=1 and distinct file mtimes."""
+    import os as _os
+    import time as _time
+
+    from obsidian_parser_spark.sources.corpus import spans_from_raw
+
+    input_dir = tmp_path / "in"
+    input_dir.mkdir()
+    out_dir = str(tmp_path / "out")
+
+    # the file stream source lists FLAT files — write each doc via a temp
+    # dir and move the single part-file in, with strictly increasing mtimes
+    # (the source's processing order)
+    now = _time.time()
+    docs = [
+        # arrives first: the future link TARGET, itself linking to nothing
+        ("f1.parquet", spans_from_raw("target_note", "plain text")),
+        # arrives second: links to the note from the earlier epoch
+        ("f2.parquet", spans_from_raw("linker", "see [[target_note]]")),
+    ]
+    for i, (name, row) in enumerate(docs):
+        stage = tmp_path / f"stage{i}"
+        spans_df(spark, [row]).coalesce(1).write.parquet(str(stage))
+        part = next(stage.glob("part-*.parquet"))
+        dest = input_dir / name
+        part.rename(dest)
+        _os.utime(dest, (now + i, now + i))
+
+    q = incremental_graph(
+        spark, str(input_dir), out_dir, alias_dict=None, max_files_per_trigger=1
+    )
+    q.awaitTermination(120)
+
+    edges = spark.read.parquet(f"{out_dir}/edges")
+    rows = {(r.subj, r.obj): r.epoch for r in edges.collect()}
+    assert ("linker", "target_note") in rows
+    # the link resolved in a LATER epoch than the target's arrival
+    assert rows[("linker", "target_note")] >= 1
+
+    # the maintained dict equals a batch rebuild over the same notes
+    from obsidian_parser_spark.operators.linking import (
+        build_alias_dict,
+        dedup_alias_dict,
+    )
+
+    all_docs = spark.read.parquet(str(input_dir))
+    want = sorted(
+        map(tuple, build_alias_dict(tokenize_documents(all_docs)).collect())
+    )
+    got = sorted(
+        map(
+            tuple,
+            dedup_alias_dict(
+                spark.read.parquet(f"{out_dir}/alias_dict")
+            ).collect(),
+        )
+    )
+    assert got == want
