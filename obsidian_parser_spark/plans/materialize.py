@@ -73,10 +73,42 @@ def _bucket(col: str, n: int):
 
 
 def _read_manifest(spark: SparkSession, path: str) -> DataFrame | None:
-    try:
-        return spark.read.parquet(path)
-    except Exception:
+    """None ⇔ the manifest genuinely doesn't exist yet.  Any OTHER read
+    failure (e.g. a torn parquet footer from a crashed writer) propagates
+    LOUDLY: swallowing it would silently restart the whole run — the
+    exact cost the manifest exists to avoid.  (The atomic temp+rename
+    commit in ``_append_manifest`` makes a torn file unreachable in the
+    first place; this is defense in depth.)"""
+    if not os.path.isdir(path) or not any(
+        f.endswith(".parquet") for f in os.listdir(path)
+    ):
         return None
+    return spark.read.parquet(path)
+
+
+def _append_manifest(manifest: DataFrame, manifest_path: str) -> None:
+    """Atomic manifest commit: write the increment to a temp directory,
+    then move the completed part files into the manifest dir one atomic
+    rename each.  A crash before the renames leaves only temp garbage
+    (cleaned next run); a crash between renames leaves SOME complete rows
+    — both safe, since a bucket without a ``done`` row simply re-runs via
+    dynamic partition overwrite.  A direct ``mode('append')`` write could
+    instead leave a torn footer inside the live manifest dir, poisoning
+    every later read.  On Iceberg this whole function is the table's
+    transactional append; the temp+rename is the plain-parquet stand-in
+    (POSIX rename is atomic on one filesystem)."""
+    import glob
+    import shutil
+    import uuid
+
+    tmp = f"{manifest_path}_tmp_{uuid.uuid4().hex}"
+    try:
+        manifest.write.mode("overwrite").parquet(tmp)
+        os.makedirs(manifest_path, exist_ok=True)
+        for f in glob.glob(os.path.join(tmp, "part-*.parquet")):
+            os.rename(f, os.path.join(manifest_path, os.path.basename(f)))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 def materialize_graph(
@@ -217,7 +249,7 @@ def materialize_graph(
             MANIFEST_SCHEMA,
         )
         manifest = manifest.unionByName(empty)
-    manifest.write.mode("append").parquet(manifest_path)
+    _append_manifest(manifest, manifest_path)
 
     notes.unpersist()
     edges_b.unpersist()

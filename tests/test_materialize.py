@@ -97,3 +97,39 @@ def test_partial_resume_missing_dict_fails_loudly(spark, tmp_path):
     assert sorted(r2.buckets_processed) == [2, 3]
     nodes, _ = read_graph(spark, out)
     assert nodes.count() == docs.count()
+
+
+def test_torn_manifest_fails_loudly(spark, tmp_path):
+    """A corrupt (torn-footer) file inside the manifest dir must raise on
+    resume, not be swallowed into a silent full restart."""
+    import os
+
+    import pytest
+
+    path = ensure_vault_corpus("sf0.0002", base=str(tmp_path / "corpus"))
+    docs = spark.read.parquet(path)
+    out = str(tmp_path / "graph")
+    r1 = materialize_graph(spark, docs, out, run_id="r1", n_buckets=2)
+
+    # simulate a writer crash: a half-written parquet in the live dir
+    with open(os.path.join(r1.manifest_path, "part-torn.parquet"), "wb") as f:
+        f.write(b"PAR1\x00\x00this is not a real footer")
+    with pytest.raises(Exception):
+        materialize_graph(spark, docs, out, run_id="r1", n_buckets=2)
+
+
+def test_manifest_append_is_atomic_and_accumulates(spark, tmp_path):
+    """Two runs append through the temp+rename commit: all rows of both
+    runs present, no temp dirs left behind."""
+    import os
+
+    path = ensure_vault_corpus("sf0.0002", base=str(tmp_path / "corpus"))
+    docs = spark.read.parquet(path)
+    out = str(tmp_path / "graph")
+    materialize_graph(spark, docs, out, run_id="a", n_buckets=2)
+    materialize_graph(spark, docs, out, run_id="b", n_buckets=2)
+    m = spark.read.parquet(os.path.join(out, "manifest"))
+    assert {r.run_id for r in m.select("run_id").distinct().collect()} == {"a", "b"}
+    assert m.count() == 4  # 2 buckets × 2 runs
+    leftovers = [d for d in os.listdir(out) if "_tmp_" in d]
+    assert leftovers == []
