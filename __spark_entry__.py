@@ -577,6 +577,31 @@ def _q_kg_decode(spark, sf_dir):
     )
 
 
+def _q_kg_media_decoded(spark, sf_dir):
+    """Decoded media joined BACK onto the interleaved spans: per document,
+    the count / total pixels / max width of its successfully-decoded image
+    embeds — the end-to-end multimodal path (span media_ref → payload
+    table → real header decode → per-doc aggregation).  Join is a plain
+    equi-join on media_ref; at catalog scale both sides shuffle-partition
+    on the ref (no broadcast assumption)."""
+    from obsidian_parser_spark.operators.multimodal import decode_media
+
+    refs = media_refs(spark.read.parquet(_vault_path(sf_dir)))
+    media = spark.read.parquet(ensure_media_corpus(_sf_name(sf_dir)))
+    dec = decode_media(media, fake=False, payload_col="payload").filter("ok")
+    return (
+        refs.join(dec, "media_ref")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_decoded"),
+            F.sum(F.col("width").cast("long") * F.col("height").cast("long"))
+            .cast("long")
+            .alias("total_px"),
+            F.max("width").cast("int").alias("max_width"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -645,6 +670,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_chunks": _q_ts_chunks,
         "ts_stratified": _q_ts_stratified,
         "kg_decode": _q_kg_decode,
+        "kg_media_decoded": _q_kg_media_decoded,
     }
 
 
@@ -855,11 +881,13 @@ def _hits_ctes(n_iter: int = 10, scale: int = 1_000_000) -> str:
     return ",\n".join(parts)
 
 
-def _media_decode_oracle(mpath: str) -> str:
-    """Re-parse the PNG/WAV binary headers in pure SQL: hex() the payload,
-    then positional substr — big-endian uint32 is one 8-hex-digit cast,
-    little-endian is four byte-pair casts with place values.  TRY_CAST
-    keeps truncated/corrupt payloads NULL instead of erroring."""
+def _media_decode_ctes(mpath: str) -> str:
+    """CTE chain re-parsing the PNG/WAV binary headers in pure SQL: hex()
+    the payload, then positional substr — big-endian uint32 is one
+    8-hex-digit cast, little-endian is four byte-pair casts with place
+    values.  TRY_CAST keeps truncated/corrupt payloads NULL instead of
+    erroring.  Final CTE ``dec`` = one row per media_ref with decoded
+    metadata (corrupt → -1 sentinels, ok=false)."""
 
     def be4(o: int) -> str:  # big-endian uint32 at 1-based byte offset o
         return f"TRY_CAST('0x' || substr(h, {(o - 1) * 2 + 1}, 8) AS BIGINT)"
@@ -872,8 +900,7 @@ def _media_decode_oracle(mpath: str) -> str:
         ]
         return "(" + " + ".join(terms) + ")"
 
-    return f"""
-WITH m AS (
+    return f"""m AS (
   SELECT media_ref, hex(payload) AS h, octet_length(payload) AS n
   FROM read_parquet('{mpath}')
 ),
@@ -893,20 +920,26 @@ wav AS (
                           AND {le4(29)} > 0, FALSE) AS ok,
          {le4(29)} AS brate, {le4(41)} AS dsize
   FROM m WHERE lower(media_ref) LIKE '%.wav'
-)
-SELECT media_ref, media_type,
-       (CASE WHEN ok THEN w ELSE -1 END)::INTEGER AS width,
-       (CASE WHEN ok THEN ht ELSE -1 END)::INTEGER AS height,
-       (CASE WHEN ok THEN 0 ELSE -1 END)::BIGINT AS duration_ms,
-       ok
-FROM png
-UNION ALL
-SELECT media_ref, media_type,
-       (CASE WHEN ok THEN 0 ELSE -1 END)::INTEGER AS width,
-       (CASE WHEN ok THEN 0 ELSE -1 END)::INTEGER AS height,
-       (CASE WHEN ok THEN (dsize * 1000) // brate ELSE -1 END)::BIGINT AS duration_ms,
-       ok
-FROM wav"""
+),
+dec AS (
+  SELECT media_ref, media_type,
+         (CASE WHEN ok THEN w ELSE -1 END)::INTEGER AS width,
+         (CASE WHEN ok THEN ht ELSE -1 END)::INTEGER AS height,
+         (CASE WHEN ok THEN 0 ELSE -1 END)::BIGINT AS duration_ms,
+         ok
+  FROM png
+  UNION ALL
+  SELECT media_ref, media_type,
+         (CASE WHEN ok THEN 0 ELSE -1 END)::INTEGER AS width,
+         (CASE WHEN ok THEN 0 ELSE -1 END)::INTEGER AS height,
+         (CASE WHEN ok THEN (dsize * 1000) // brate ELSE -1 END)::BIGINT AS duration_ms,
+         ok
+  FROM wav
+)"""
+
+
+def _media_decode_oracle(mpath: str) -> str:
+    return f"WITH {_media_decode_ctes(mpath)}\nSELECT * FROM dec"
 
 
 def _kg_oracles(path: str) -> dict[str, str]:
@@ -914,6 +947,16 @@ def _kg_oracles(path: str) -> dict[str, str]:
     mpath = os.path.join(os.path.dirname(path), "media.parquet")
     return {
         "kg_decode": _media_decode_oracle(mpath),
+        "kg_media_decoded": c
+        + ",\n"
+        + _media_decode_ctes(mpath)
+        + """
+SELECT f.doc_id,
+       count(*)::BIGINT AS n_decoded,
+       sum(d.width::BIGINT * d.height)::BIGINT AS total_px,
+       max(d.width)::INTEGER AS max_width
+FROM flat f JOIN dec d ON f.media_ref = d.media_ref
+WHERE d.ok GROUP BY f.doc_id""",
         "kg_edges": c + "SELECT subj, pred, obj FROM edges",
         "kg_backlinks": c
         + """SELECT obj AS id, count(*)::BIGINT AS backlinks

@@ -202,9 +202,16 @@ def main() -> None:
             repeat=2,
         )
 
-        vault_text = reconstruct_text(docs).select(
-            F.col("doc_id").alias("doc_id"), F.col("content").alias("text")
+        # reconstruct once, cache, and time the materialization as its own
+        # stage — the dd/ts stages below then measure OPERATOR cost, not a
+        # repeated per-query text reconstruction (mirrors the materialize
+        # plan, which writes the reconstructed text exactly once)
+        vault_text = (
+            reconstruct_text(docs)
+            .select(F.col("doc_id").alias("doc_id"), F.col("content").alias("text"))
+            .persist()
         )
+        timed("ts_reconstruct", lambda: vault_text.count())
         # aggregates over the computed columns — a bare count() would let
         # Catalyst prune the actual work
         timed(

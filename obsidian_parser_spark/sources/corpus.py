@@ -158,7 +158,7 @@ def ensure_media_corpus(sf_name: str, base: str | None = None) -> str:
     path = media_parquet_path(sf_name, base)
     marker = os.path.join(out_dir, "_MEDIA_GENERATED.json")
     n_media = max(60, num_files_for_sf(sf_name) // 20)
-    params = {"version": 1, "n_media": n_media}
+    params = {"version": 2, "n_media": n_media}
     if os.path.exists(marker) and os.path.exists(path):
         with open(marker) as f:
             if json.load(f) == params:
@@ -172,7 +172,10 @@ def ensure_media_corpus(sf_name: str, base: str | None = None) -> str:
             refs.append(f"bad_{i}.png")
             payloads.append(b"\x89PNGBROKEN" + bytes([i % 256]) * 8)
         elif i % 2 == 0:
-            refs.append(f"img_{i}.png")
+            # odd-numbered refs: overlap the vault documents' embed refs
+            # (corpus embeds reference img_{t}.png for odd t), so joining
+            # decoded metadata back onto spans is non-trivially exercised
+            refs.append(f"img_{i + 1}.png")
             payloads.append(png_bytes(16 + (i * 37) % 2048, 16 + (i * 53) % 2048))
         else:
             refs.append(f"aud_{i}.wav")

@@ -61,8 +61,12 @@ class Vault:
         max_depth: int | None = None,
         filter_entry: str | None = None,
         options: GraphBuildOptions | None = None,
+        listing: str = "walk",
     ) -> "Vault":
-        """File-mode open (VaultBuilder semantics, vault_open/mod.rs:60-151)."""
+        """File-mode open (VaultBuilder semantics, vault_open/mod.rs:60-151).
+
+        ``listing``: 'walk' (driver listing), 'walk_distributed' (executor
+        fan-out for 10^8-file vaults), or 'spark' (native file source)."""
         raw = read_vault_files(
             spark,
             path,
@@ -72,6 +76,7 @@ class Vault:
             min_depth=min_depth,
             max_depth=max_depth,
             path_filter=filter_entry,
+            listing=listing,
         )
         return cls(build_graph(raw, options, raw_text=True))
 
