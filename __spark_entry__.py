@@ -554,6 +554,23 @@ def _q_ts_stratified(spark, sf_dir):
     )
 
 
+def _q_ts_pack(spark, sf_dir):
+    """Token-budget sequence packing: 200/50 char chunks greedily packed
+    into 120-token sequences within 8 md5 shards (bounded windows — never
+    a global sort); per-pack audit (n_chunks, n_docs, pack_tokens)."""
+    from obsidian_parser_spark.operators.packing import pack_chunks, pack_stats
+
+    ch = TS.chunk_documents(_documents(spark, sf_dir), chunk_chars=200, overlap=50)
+    packed = pack_chunks(ch, budget_tokens=120, n_shards=8)
+    return pack_stats(packed).select(
+        "shard",
+        "pack_id",
+        F.col("n_chunks").cast("long").alias("n_chunks"),
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("pack_tokens").cast("long").alias("pack_tokens"),
+    )
+
+
 def _q_kg_decode(spark, sf_dir):
     """REAL dependency-free media decode over the deterministic payload
     table media(media_ref, payload): PNG width/height parsed from the IHDR
@@ -671,6 +688,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_stratified": _q_ts_stratified,
         "kg_decode": _q_kg_decode,
         "kg_media_decoded": _q_kg_media_decoded,
+        "ts_pack": _q_ts_pack,
     }
 
 
@@ -1237,8 +1255,8 @@ SELECT a, b, hamming FROM pairs WHERE hamming <= 3"""
 
 def _datapipe_oracles() -> dict[str, str]:
     tok = r"list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')"
-    # sampling.hash_bucket mirror: first 16 bits of md5(id || salt) mod 100
-    def _bkt(salt: str = "") -> str:
+    # sampling.hash_bucket mirror: first 16 bits of md5(id || salt) mod m
+    def _bkt(salt: str = "", mod: int = 100) -> str:
         nib = (
             "(strpos('0123456789abcdef', "
             f"substr(md5(CAST(doc_id AS VARCHAR) || '{salt}'), {{i}}, 1)) - 1)"
@@ -1246,11 +1264,12 @@ def _datapipe_oracles() -> dict[str, str]:
         return (
             "(" + " + ".join(
                 f"{nib.format(i=i + 1)} * {16 ** (3 - i)}" for i in range(4)
-            ) + ") % 100"
+            ) + f") % {mod}"
         )
 
     bkt = _bkt()  # unsalted: the train/valid/test split
     bkt_strata = _bkt("strata")  # stratified family (decorrelated from both)
+    bkt_pack = _bkt("pack", 8)  # packing shards (ts_pack)
     shingles = (
         f"CASE WHEN len({tok}) >= 3 "
         f"THEN [array_to_string({tok}[i:i+2], ' ') for i in range(1, len({tok}) - 1)] "
@@ -1499,6 +1518,31 @@ SELECT CASE WHEN bkt < 80 THEN 'train'
             WHEN bkt < 90 THEN 'valid' ELSE 'test' END AS split,
        count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS total_chars
 FROM b GROUP BY 1""",
+        "ts_pack": rf"""
+WITH d AS (
+  SELECT doc_id, text,
+         CASE WHEN length(text) = 0 THEN 0
+              ELSE (length(text) + 149) // 150 END AS nc
+  FROM documents
+),
+ch AS (SELECT doc_id, unnest(range(0, nc)) AS chunk_id, text FROM d),
+cw AS (SELECT doc_id, chunk_id::BIGINT AS chunk_id,
+              substr(text, (chunk_id * 150 + 1)::INT, 200) AS chunk
+       FROM ch),
+tk AS (SELECT doc_id, chunk_id, ({bkt_pack})::BIGINT AS shard,
+              len(list_filter(string_split_regex(chunk, '\s+'),
+                              x -> x <> ''))::BIGINT AS n_tokens
+       FROM cw),
+cum AS (SELECT shard, doc_id, n_tokens,
+               coalesce(sum(n_tokens) OVER (
+                 PARTITION BY shard ORDER BY doc_id, chunk_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior
+        FROM tk)
+SELECT shard, (prior // 120)::BIGINT AS pack_id,
+       count(*)::BIGINT AS n_chunks,
+       count(DISTINCT doc_id)::BIGINT AS n_docs,
+       sum(n_tokens)::BIGINT AS pack_tokens
+FROM cum GROUP BY shard, pack_id""",
         "ts_stratified": f"""
 WITH b AS (SELECT lang, n_chars, {bkt_strata} AS bkt FROM documents)
 SELECT lang, count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS total_chars

@@ -1,0 +1,83 @@
+"""Token-budget sequence packing for training pipelines.
+
+Pre-training consumes fixed-length sequences; feeding one short document
+per sequence wastes most of the context window, so pipelines PACK chunks
+back-to-back into a token budget (the standard "sequence packing" /
+"document packing" step).  This operator assigns every chunk a
+``(shard, pack_id)`` deterministically:
+
+* ``shard`` — md5 hash bucket of the document id (same reproducible
+  bucket family as ``sampling.hash_bucket``, salt ``'pack'``).  Packing
+  runs WITHIN a shard, so the window partition is bounded by the shard
+  size — never a global ordered window, which would serialize 10^12 rows
+  through one partition (the 100 TB kill switch for naive cumsum
+  packing).  Shards map 1:1 onto output training files.
+* ``pack_id`` — greedy in-order fill: chunks are ordered by
+  (doc_id, chunk_id) inside the shard and a running token total assigns
+  ``floor(preceding_tokens / budget)``.  Chunks are never split; a pack
+  may overrun the budget by at most one chunk (the standard approximation
+  — exact bin packing needs sequential state and destroys determinism
+  and parallelism).  Document chunks stay adjacent and ordered, so
+  packs preserve intra-document continuity.
+
+Every output is a pure function of (doc_id, chunk_id, chunk token count)
+— reproducible in any engine (DuckDB oracle: ``ts_pack``), stable across
+cluster sizes and re-runs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .sampling import hash_bucket
+
+
+def pack_chunks(
+    chunks: DataFrame,
+    budget_tokens: int,
+    n_shards: int = 100,
+    id_col: str = "doc_id",
+    chunk_ord_col: str = "chunk_id",
+    text_col: str = "chunk_text",
+) -> DataFrame:
+    """chunks(doc_id, chunk_id, chunk_text) → + (n_tokens, shard, pack_id).
+
+    ``n_tokens`` is the whitespace token count of the chunk (consistent
+    with ``textstats.token_counts``' ws family).  One shuffle on ``shard``
+    (the window partition); everything else is codegen.
+    """
+    if budget_tokens <= 0:
+        raise ValueError("budget_tokens must be positive")
+    n_tok = F.size(
+        F.expr(f"filter(split({text_col}, '\\\\s+'), t -> t != '')")
+    ).cast("long")
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(F.col(id_col).asc(), F.col(chunk_ord_col).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        chunks.withColumn(
+            "shard", hash_bucket(id_col, buckets=n_shards, salt="pack")
+        )
+        .withColumn("n_tokens", n_tok)
+        .withColumn(
+            "pack_id",
+            F.floor(
+                F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+                / F.lit(budget_tokens)
+            ).cast("long"),
+        )
+    )
+
+
+def pack_stats(packed: DataFrame) -> DataFrame:
+    """Per-pack audit: (shard, pack_id, n_chunks, n_docs, pack_tokens) —
+    the fill-efficiency view (mean pack_tokens / budget = packing
+    efficiency)."""
+    return packed.groupBy("shard", "pack_id").agg(
+        F.count("*").alias("n_chunks"),
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.sum("n_tokens").alias("pack_tokens"),
+    )

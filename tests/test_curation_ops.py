@@ -439,3 +439,54 @@ def test_sample_then_split_composition_not_aliased(spark):
         .collect()
     }
     assert splits.get("valid", 0) > 0 and splits.get("test", 0) > 0
+
+
+def test_pack_chunks_greedy_invariants(spark):
+    """Sequence packing: pack assignment equals the python greedy-cumsum
+    mirror (md5 shard, in-order prior-token fill), packs never split a
+    chunk, and chunk order is preserved within a pack."""
+    from obsidian_parser_spark.operators.packing import pack_chunks, pack_stats
+
+    rows = [
+        (d, c, " ".join(f"w{d}_{c}_{k}" for k in range((d * 7 + c * 3) % 11 + 1)))
+        for d in range(40)
+        for c in range((d % 4) + 1)
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, chunk_id int, chunk_text string")
+    budget, shards = 10, 4
+    got = pack_chunks(df, budget_tokens=budget, n_shards=shards).collect()
+
+    def shard_of(d):
+        return int(hashlib.md5((str(d) + "pack").encode()).hexdigest()[:4], 16) % shards
+
+    # python mirror: per shard, order by (doc_id, chunk_id), cumsum prior
+    by_shard = {}
+    for d, c, t in sorted(rows):
+        by_shard.setdefault(shard_of(d), []).append((d, c, len(t.split())))
+    want = {}
+    for sh, lst in by_shard.items():
+        prior = 0
+        for d, c, n in lst:
+            want[(d, c)] = (sh, prior // budget, n)
+            prior += n
+    assert {(r.doc_id, r.chunk_id): (r.shard, r.pack_id, r.n_tokens) for r in got} == want
+
+    stats = pack_stats(
+        pack_chunks(df, budget_tokens=budget, n_shards=shards)
+    ).collect()
+    # greedy bound: a pack overruns the budget by less than one chunk,
+    # and every non-final pack in a shard is at least budget-full when
+    # combined with its overflow chunk (prior-fill rule)
+    max_chunk = max(n for _, _, n in {k: v for k, v in want.items()}.values() or [(0, 0, 1)])
+    for r in stats:
+        assert r.pack_tokens < budget + max(budget, max_chunk) + max_chunk
+
+
+def test_pack_chunks_rejects_bad_budget(spark):
+    import pytest
+
+    from obsidian_parser_spark.operators.packing import pack_chunks
+
+    df = spark.createDataFrame([(1, 0, "x")], "doc_id int, chunk_id int, chunk_text string")
+    with pytest.raises(ValueError):
+        pack_chunks(df, budget_tokens=0)
