@@ -40,20 +40,25 @@ def pack_chunks(
     id_col: str = "doc_id",
     chunk_ord_col: str = "chunk_id",
     text_col: str = "chunk_text",
+    group_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """chunks(doc_id, chunk_id, chunk_text) → + (n_tokens, shard, pack_id).
 
     ``n_tokens`` is the whitespace token count of the chunk (consistent
-    with ``textstats.token_counts``' ws family).  One shuffle on ``shard``
-    (the window partition); everything else is codegen.
-    """
+    with ``textstats.token_counts``' ws family).  One shuffle on the
+    window partition (``group_cols`` + shard); everything else is codegen.
+
+    ``group_cols``: extra partition columns the packs must not straddle —
+    e.g. ``('split',)`` so a training sequence never mixes train and
+    valid/test chunks (a pack is a model input; crossing the split
+    boundary would leak eval data into training sequences)."""
     if budget_tokens <= 0:
         raise ValueError("budget_tokens must be positive")
     n_tok = F.size(
         F.expr(f"filter(split({text_col}, '\\\\s+'), t -> t != '')")
     ).cast("long")
     w = (
-        Window.partitionBy("shard")
+        Window.partitionBy(*group_cols, "shard")
         .orderBy(F.col(id_col).asc(), F.col(chunk_ord_col).asc())
         .rowsBetween(Window.unboundedPreceding, -1)
     )

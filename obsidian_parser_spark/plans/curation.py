@@ -61,6 +61,12 @@ class CurationOptions:
     scrub_pii: bool = True
     chunk_chars: int = 2048
     chunk_overlap: int = 128
+    # sequence packing of the surviving chunks (operators/packing.py):
+    # None = off; an int = token budget per training sequence — adds
+    # (shard, n_tokens, pack_id) to the chunk frame so the shard/pack
+    # assignment ships with the data
+    pack_budget_tokens: int | None = None
+    pack_shards: int = 100
     train_pct: int = 80
     valid_pct: int = 10
     # cache the (doc_id, text) projection: the gates are independent
@@ -150,6 +156,15 @@ def curate(documents: DataFrame, opts: CurationOptions | None = None) -> Curatio
     chunks = hash_split(
         chunks, train_pct=opts.train_pct, valid_pct=opts.valid_pct
     ).select("doc_id", "split", "chunk_id", "chunk_text")
+    if opts.pack_budget_tokens is not None:
+        from ..operators.packing import pack_chunks
+
+        chunks = pack_chunks(
+            chunks,
+            budget_tokens=opts.pack_budget_tokens,
+            n_shards=opts.pack_shards,
+            group_cols=("split",),  # a pack never straddles the split
+        )
 
     return CurationResult(docs=docs, chunks=chunks, metrics=metrics, input=d)
 
