@@ -594,6 +594,52 @@ def _q_kg_decode(spark, sf_dir):
     )
 
 
+def _q_kg_pixels(spark, sf_dir):
+    """REAL pixel decode: zlib-inflate each PNG payload's IDAT, strip the
+    per-row filter bytes, and sum every channel EXACTLY (integer sums).
+    The oracle recomputes the sums from the corpus' deterministic two-tone
+    color rule + the header-parsed dimensions WITHOUT inflating — a wrong
+    stride/filter/offset in the decoder produces a wrong integer and
+    fails the hash.  Corrupt payloads -> ok=false (-1 sentinels)."""
+    from obsidian_parser_spark.operators.multimodal import image_channel_stats
+
+    media = spark.read.parquet(ensure_media_corpus(_sf_name(sf_dir))).filter(
+        F.col("media_ref").endswith(".png")
+    )
+    d = image_channel_stats(media)
+    neg = F.lit(-1)
+    return d.select(
+        "media_ref",
+        F.coalesce("width", neg).cast("int").alias("width"),
+        F.coalesce("height", neg).cast("int").alias("height"),
+        F.coalesce("n_px", neg).cast("long").alias("n_px"),
+        F.coalesce("sum_r", neg).cast("long").alias("sum_r"),
+        F.coalesce("sum_g", neg).cast("long").alias("sum_g"),
+        F.coalesce("sum_b", neg).cast("long").alias("sum_b"),
+        "ok",
+    )
+
+
+def _q_kg_audio(spark, sf_dir):
+    """REAL PCM decode: 16-bit LE samples read straight off each WAV
+    payload's data chunk and summed exactly; the oracle recomputes the sum
+    from the constant-amplitude generation rule + header-parsed sizes."""
+    from obsidian_parser_spark.operators.multimodal import audio_sample_stats
+
+    media = spark.read.parquet(ensure_media_corpus(_sf_name(sf_dir))).filter(
+        F.col("media_ref").endswith(".wav")
+    )
+    d = audio_sample_stats(media)
+    neg = F.lit(-1)
+    return d.select(
+        "media_ref",
+        F.coalesce("n_samples", neg).cast("long").alias("n_samples"),
+        F.coalesce("sum_amp", neg).cast("long").alias("sum_amp"),
+        F.coalesce("sample_rate", neg).cast("int").alias("sample_rate"),
+        "ok",
+    )
+
+
 def _q_kg_media_decoded(spark, sf_dir):
     """Decoded media joined BACK onto the interleaved spans: per document,
     the count / total pixels / max width of its successfully-decoded image
@@ -689,6 +735,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_decode": _q_kg_decode,
         "kg_media_decoded": _q_kg_media_decoded,
         "ts_pack": _q_ts_pack,
+        "kg_pixels": _q_kg_pixels,
+        "kg_audio": _q_kg_audio,
     }
 
 
@@ -899,6 +947,21 @@ def _hits_ctes(n_iter: int = 10, scale: int = 1_000_000) -> str:
     return ",\n".join(parts)
 
 
+def _hex_be4(o: int) -> str:
+    """SQL: big-endian uint32 at 1-based byte offset ``o`` of hex string h."""
+    return f"TRY_CAST('0x' || substr(h, {(o - 1) * 2 + 1}, 8) AS BIGINT)"
+
+
+def _hex_le4(o: int) -> str:
+    """SQL: little-endian uint32 at 1-based byte offset ``o`` of h."""
+    terms = [
+        f"TRY_CAST('0x' || substr(h, {(o - 1 + k) * 2 + 1}, 2) AS BIGINT)"
+        f" * {256 ** k}"
+        for k in range(4)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
 def _media_decode_ctes(mpath: str) -> str:
     """CTE chain re-parsing the PNG/WAV binary headers in pure SQL: hex()
     the payload, then positional substr — big-endian uint32 is one
@@ -906,17 +969,7 @@ def _media_decode_ctes(mpath: str) -> str:
     values.  TRY_CAST keeps truncated/corrupt payloads NULL instead of
     erroring.  Final CTE ``dec`` = one row per media_ref with decoded
     metadata (corrupt → -1 sentinels, ok=false)."""
-
-    def be4(o: int) -> str:  # big-endian uint32 at 1-based byte offset o
-        return f"TRY_CAST('0x' || substr(h, {(o - 1) * 2 + 1}, 8) AS BIGINT)"
-
-    def le4(o: int) -> str:  # little-endian uint32 at 1-based byte offset o
-        terms = [
-            f"TRY_CAST('0x' || substr(h, {(o - 1 + k) * 2 + 1}, 2) AS BIGINT)"
-            f" * {256 ** k}"
-            for k in range(4)
-        ]
-        return "(" + " + ".join(terms) + ")"
+    be4, le4 = _hex_be4, _hex_le4
 
     return f"""m AS (
   SELECT media_ref, hex(payload) AS h, octet_length(payload) AS n
@@ -960,11 +1013,84 @@ def _media_decode_oracle(mpath: str) -> str:
     return f"WITH {_media_decode_ctes(mpath)}\nSELECT * FROM dec"
 
 
+def _media_pixels_oracle(mpath: str) -> str:
+    """EXACT channel sums WITHOUT decompressing anything: the corpus'
+    two-tone color rule is a pure function of the ref number j, and the
+    dimensions come from the header hex — so sum_r = w·(⌊h/2⌋·ct_r +
+    ⌈h/2⌉·cb_r) etc.  The engine, by contrast, inflates the IDAT and sums
+    real pixel bytes; equality proves the byte-level pixel decode."""
+    be4 = _hex_be4
+    jx = r"TRY_CAST(regexp_extract(media_ref, 'img_(\d+)\.png', 1) AS BIGINT)"
+    return f"""
+WITH m AS (
+  SELECT media_ref, hex(payload) AS h, octet_length(payload) AS n
+  FROM read_parquet('{mpath}') WHERE lower(media_ref) LIKE '%.png'
+),
+hdr AS (
+  SELECT media_ref, {jx} AS j, {be4(17)} AS w, {be4(21)} AS ht,
+         coalesce(n >= 29 AND substr(h, 1, 16) = '89504E470D0A1A0A'
+                          AND substr(h, 25, 8) = '49484452'
+                          AND substr(h, 49, 2) = '08'  -- bitdepth 8
+                          AND substr(h, 51, 2) = '02'  -- colortype RGB
+                          AND substr(h, 57, 2) = '00', FALSE) AS ok
+  FROM m
+),
+rule AS (
+  SELECT media_ref, j, w, ht, ok, ht // 2 AS top, ht - ht // 2 AS bot,
+         j % 256 AS ctr, (j * 7) % 256 AS ctg, (j * 13) % 256 AS ctb,
+         (j * 3) % 256 AS cbr, (j * 5) % 256 AS cbg, (j * 11) % 256 AS cbb
+  FROM hdr
+)
+SELECT media_ref,
+       (CASE WHEN ok THEN w ELSE -1 END)::INTEGER AS width,
+       (CASE WHEN ok THEN ht ELSE -1 END)::INTEGER AS height,
+       (CASE WHEN ok THEN w * ht ELSE -1 END)::BIGINT AS n_px,
+       (CASE WHEN ok THEN w * (top * ctr + bot * cbr) ELSE -1 END)::BIGINT AS sum_r,
+       (CASE WHEN ok THEN w * (top * ctg + bot * cbg) ELSE -1 END)::BIGINT AS sum_g,
+       (CASE WHEN ok THEN w * (top * ctb + bot * cbb) ELSE -1 END)::BIGINT AS sum_b,
+       ok
+FROM rule"""
+
+
+def _media_audio_oracle(mpath: str) -> str:
+    """EXACT PCM sample sum from the constant-amplitude rule (value a pure
+    function of the ref number) × header-parsed sample count; the engine
+    sums real int16 samples off the data chunk."""
+    le4 = _hex_le4
+    ix = r"TRY_CAST(regexp_extract(media_ref, 'aud_(\d+)\.wav', 1) AS BIGINT)"
+    return f"""
+WITH m AS (
+  SELECT media_ref, hex(payload) AS h, octet_length(payload) AS n
+  FROM read_parquet('{mpath}') WHERE lower(media_ref) LIKE '%.wav'
+),
+hdr AS (
+  SELECT media_ref, {ix} AS i, {le4(25)} AS rate, {le4(41)} AS dsize,
+         coalesce(n >= 44 AND substr(h, 1, 8) = '52494646'
+                          AND substr(h, 17, 8) = '57415645'
+                          AND substr(h, 25, 8) = '666D7420'
+                          AND substr(h, 73, 8) = '64617461'
+                          AND {le4(29)} > 0
+                          AND substr(h, 69, 4) = '1000'  -- 16-bit LE
+                          AND {le4(41)} % 2 = 0
+                          AND n >= 44 + {le4(41)}, FALSE) AS ok
+  FROM m
+)
+SELECT media_ref,
+       (CASE WHEN ok THEN dsize // 2 ELSE -1 END)::BIGINT AS n_samples,
+       (CASE WHEN ok THEN (dsize // 2) * ((i * 37) % 65536 - 32768)
+             ELSE -1 END)::BIGINT AS sum_amp,
+       (CASE WHEN ok THEN rate ELSE -1 END)::INTEGER AS sample_rate,
+       ok
+FROM hdr"""
+
+
 def _kg_oracles(path: str) -> dict[str, str]:
     c = _kg_cte(path)
     mpath = os.path.join(os.path.dirname(path), "media.parquet")
     return {
         "kg_decode": _media_decode_oracle(mpath),
+        "kg_pixels": _media_pixels_oracle(mpath),
+        "kg_audio": _media_audio_oracle(mpath),
         "kg_media_decoded": c
         + ",\n"
         + _media_decode_ctes(mpath)

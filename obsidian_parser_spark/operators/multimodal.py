@@ -183,6 +183,142 @@ def decode_media(
     return media.select("doc_id", "media_ref").mapInPandas(run, DECODED_SCHEMA)
 
 
+PIXELS_SCHEMA = (
+    "media_ref string, width int, height int, n_px long, "
+    "sum_r long, sum_g long, sum_b long, ok boolean"
+)
+SAMPLES_SCHEMA = (
+    "media_ref string, n_samples long, sum_amp long, sample_rate int, ok boolean"
+)
+
+
+def _decode_png_pixels(b: bytes) -> tuple[int, int, int, int, int] | None:
+    """REAL pixel decode for the 8-bit RGB / filter-0 / non-interlaced PNG
+    subset, stdlib-only: walk the chunk stream, concatenate IDAT, zlib
+    inflate, strip per-row filter bytes → (width, height, sum_r, sum_g,
+    sum_b).  None for anything outside the subset or corrupt — the error
+    channel, not an exception.  (Filters 1-4 and other color types need a
+    per-row reconstruction pass; this decoder covers the subset the
+    corpus writes and FAILS CLOSED on everything else.)"""
+    import zlib
+
+    wh = _parse_png(b)
+    if wh is None:
+        return None
+    width, height = wh
+    # IHDR data: bitdepth=8, colortype=2 (RGB), interlace=0
+    if len(b) < 29 or b[24] != 8 or b[25] != 2 or b[28] != 0:
+        return None
+    idat = bytearray()
+    pos = 8
+    while pos + 8 <= len(b):
+        (ln,) = struct.unpack(">I", b[pos : pos + 4])
+        tag = b[pos + 4 : pos + 8]
+        data = b[pos + 8 : pos + 8 + ln]
+        if len(data) < ln:
+            return None  # truncated chunk
+        if tag == b"IDAT":
+            idat += data
+        elif tag == b"IEND":
+            break
+        pos += 12 + ln  # len + tag + data + crc
+    if not idat:
+        return None
+    try:
+        raster = zlib.decompress(bytes(idat))
+    except zlib.error:
+        return None
+    stride = 1 + 3 * width
+    if len(raster) != stride * height:
+        return None
+    arr = np.frombuffer(raster, dtype=np.uint8).reshape(height, stride)
+    if (arr[:, 0] != 0).any():
+        return None  # filter types other than None: outside the subset
+    px = arr[:, 1:].reshape(height, width, 3).astype(np.int64)
+    s = px.sum(axis=(0, 1))
+    return width, height, int(s[0]), int(s[1]), int(s[2])
+
+
+def image_channel_stats(
+    media: DataFrame, payload_col: str = "payload"
+) -> DataFrame:
+    """(media_ref, payload) → REAL per-channel pixel sums for PNG
+    payloads: (width, height, n_px, sum_r, sum_g, sum_b, ok) — integer
+    sums, so an independent engine can verify them EXACTLY (the driver
+    oracle recomputes them from the corpus' deterministic color rule
+    without inflating anything).  Non-png extensions raise (declared
+    stub); corrupt/unsupported payloads → ok=false row."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for ref, payload in zip(pdf["media_ref"], pdf[payload_col]):
+                ext = ref.rsplit(".", 1)[-1].lower() if "." in ref else ""
+                if ext != "png":
+                    raise NotImplementedError(
+                        f"pixel decode for '.{ext}' requires a codec library "
+                        "(not in this image); png decodes natively"
+                    )
+                out = _decode_png_pixels(
+                    bytes(payload) if payload is not None else b""
+                )
+                if out is None:
+                    rows.append((ref, None, None, None, None, None, None, False))
+                else:
+                    w, h, sr, sg, sb = out
+                    rows.append((ref, w, h, w * h, sr, sg, sb, True))
+            yield pd.DataFrame(
+                rows,
+                columns=["media_ref", "width", "height", "n_px",
+                         "sum_r", "sum_g", "sum_b", "ok"],
+            )
+
+    return media.select("media_ref", payload_col).mapInPandas(run, PIXELS_SCHEMA)
+
+
+def audio_sample_stats(
+    media: DataFrame, payload_col: str = "payload"
+) -> DataFrame:
+    """(media_ref, payload) → REAL PCM sample statistics for WAV payloads:
+    (n_samples, sum_amp, sample_rate, ok) — 16-bit LE samples read off the
+    data chunk with numpy, summed exactly.  A wrong offset, stride, or
+    endianness gives a wrong integer sum, so the oracle cross-check
+    verifies the byte-level parse, not just the header."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for ref, payload in zip(pdf["media_ref"], pdf[payload_col]):
+                ext = ref.rsplit(".", 1)[-1].lower() if "." in ref else ""
+                if ext != "wav":
+                    raise NotImplementedError(
+                        f"sample decode for '.{ext}' requires a codec library "
+                        "(not in this image); wav decodes natively"
+                    )
+                b = bytes(payload) if payload is not None else b""
+                if _parse_wav(b) is None:
+                    rows.append((ref, None, None, None, False))
+                    continue
+                bits = struct.unpack("<H", b[34:36])[0]
+                data_size = struct.unpack("<I", b[40:44])[0]
+                rate = struct.unpack("<I", b[24:28])[0]
+                body = b[44 : 44 + data_size]
+                if bits != 16 or len(body) != data_size or data_size % 2:
+                    rows.append((ref, None, None, None, False))
+                    continue
+                samples = np.frombuffer(body, dtype="<i2")
+                rows.append(
+                    (ref, len(samples), int(samples.astype(np.int64).sum()),
+                     rate, True)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_ref", "n_samples", "sum_amp", "sample_rate", "ok"],
+            )
+
+    return media.select("media_ref", payload_col).mapInPandas(run, SAMPLES_SCHEMA)
+
+
 def extract_features(media: DataFrame, dim: int = 16) -> DataFrame:
     """Deterministic fake feature extractor — the Arrow batch shape of a
     real embedding model stage."""

@@ -114,31 +114,58 @@ def media_parquet_path(sf_name: str, base: str | None = None) -> str:
     return os.path.join(vault_corpus_dir(sf_name, base), "media.parquet")
 
 
-def png_bytes(width: int, height: int) -> bytes:
-    """A minimal REAL PNG: 8-byte signature + IHDR chunk (8-bit RGB, zlib
-    CRC32) + IEND.  Parseable by any PNG reader up to the (absent) pixel
-    data — exactly the header surface ``decode_media`` reads."""
+def png_bytes(
+    width: int,
+    height: int,
+    c_top: tuple[int, int, int] | None = None,
+    c_bottom: tuple[int, int, int] | None = None,
+) -> bytes:
+    """A REAL PNG: signature + IHDR (8-bit RGB, zlib CRC32) [+ IDAT + IEND].
+
+    With ``c_top``/``c_bottom`` the image carries actual PIXELS: a
+    two-tone RGB raster (top ``height//2`` rows = c_top, rest = c_bottom),
+    filter type 0 per scanline, one zlib-compressed IDAT — decodable by
+    any PNG reader, and by ``multimodal.image_channel_stats``' stdlib
+    decoder.  Without colors only the header surface exists (enough for
+    ``decode_media``)."""
     import struct
     import zlib
 
     ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    chunks = [(b"IHDR", ihdr)]
+    if c_top is not None and c_bottom is not None:
+        top_rows = height // 2
+        raster = b"".join(
+            b"\x00" + bytes(c_top if r < top_rows else c_bottom) * width
+            for r in range(height)
+        )
+        chunks.append((b"IDAT", zlib.compress(raster)))
+    chunks.append((b"IEND", b""))
     out = b"\x89PNG\r\n\x1a\n"
-    for tag, data in ((b"IHDR", ihdr), (b"IEND", b"")):
+    for tag, data in chunks:
         out += struct.pack(">I", len(data)) + tag + data
         out += struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
     return out
 
 
-def wav_bytes(sample_rate: int, n_frames: int, channels: int = 1, bits: int = 16) -> bytes:
-    """A minimal REAL WAV: canonical 44-byte RIFF/fmt/data header (PCM),
-    data chunk declared but body omitted — the header carries everything
-    ``decode_media`` derives (byte rate → duration)."""
+def wav_bytes(
+    sample_rate: int,
+    n_frames: int,
+    channels: int = 1,
+    bits: int = 16,
+    sample_value: int | None = None,
+) -> bytes:
+    """A REAL WAV: canonical 44-byte RIFF/fmt/data header (PCM).  With
+    ``sample_value`` the data chunk carries actual 16-bit LE PCM samples
+    (constant amplitude) — parseable by any WAV reader and by
+    ``multimodal.audio_sample_stats``; without it the body is omitted
+    (the header carries everything ``decode_media`` derives)."""
     import struct
 
     block = channels * bits // 8
     byte_rate = sample_rate * block
     data_size = n_frames * block
-    return (
+    out = (
         b"RIFF"
         + struct.pack("<I", 36 + data_size)
         + b"WAVE"
@@ -147,6 +174,9 @@ def wav_bytes(sample_rate: int, n_frames: int, channels: int = 1, bits: int = 16
         + b"data"
         + struct.pack("<I", data_size)
     )
+    if sample_value is not None:
+        out += struct.pack("<h", sample_value) * (n_frames * channels)
+    return out
 
 
 def ensure_media_corpus(sf_name: str, base: str | None = None) -> str:
@@ -158,7 +188,7 @@ def ensure_media_corpus(sf_name: str, base: str | None = None) -> str:
     path = media_parquet_path(sf_name, base)
     marker = os.path.join(out_dir, "_MEDIA_GENERATED.json")
     n_media = max(60, num_files_for_sf(sf_name) // 20)
-    params = {"version": 2, "n_media": n_media}
+    params = {"version": 3, "n_media": n_media}
     if os.path.exists(marker) and os.path.exists(path):
         with open(marker) as f:
             if json.load(f) == params:
@@ -174,13 +204,29 @@ def ensure_media_corpus(sf_name: str, base: str | None = None) -> str:
         elif i % 2 == 0:
             # odd-numbered refs: overlap the vault documents' embed refs
             # (corpus embeds reference img_{t}.png for odd t), so joining
-            # decoded metadata back onto spans is non-trivially exercised
-            refs.append(f"img_{i + 1}.png")
-            payloads.append(png_bytes(16 + (i * 37) % 2048, 16 + (i * 53) % 2048))
+            # decoded metadata back onto spans is non-trivially exercised.
+            # Colors/dims are pure functions of the REF NUMBER j so an SQL
+            # oracle can recompute exact channel sums without inflating.
+            j = i + 1
+            refs.append(f"img_{j}.png")
+            payloads.append(
+                png_bytes(
+                    4 + (j * 37) % 60,
+                    4 + (j * 53) % 60,
+                    c_top=(j % 256, (j * 7) % 256, (j * 13) % 256),
+                    c_bottom=((j * 3) % 256, (j * 5) % 256, (j * 11) % 256),
+                )
+            )
         else:
+            # constant-amplitude PCM, value a pure function of the ref
+            # number — the SQL oracle recomputes the exact sample sum
             refs.append(f"aud_{i}.wav")
             payloads.append(
-                wav_bytes(8000 + (i % 8) * 1000, n_frames=200 * ((i % 100) + 1))
+                wav_bytes(
+                    8000 + (i % 8) * 1000,
+                    n_frames=50 * ((i % 100) + 1),
+                    sample_value=(i * 37) % 65536 - 32768,
+                )
             )
     pq.write_table(
         pa.Table.from_pydict(

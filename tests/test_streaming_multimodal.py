@@ -273,3 +273,68 @@ def test_incremental_dict_maintenance_across_epochs(spark, tmp_path):
         )
     )
     assert got == want
+
+
+def test_image_channel_stats_real_pixels(spark):
+    """Pixel decoder vs numpy ground truth on a NON-uniform raster —
+    every pixel distinct, so any stride/offset/filter slip changes the
+    sums; plus subset-violations (corrupt, wrong colortype) → ok=false."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from obsidian_parser_spark.operators.multimodal import image_channel_stats
+
+    def png_raw(px):  # px: ndarray (h, w, 3) uint8, filter-0 rows
+        h, w, _ = px.shape
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+        raster = b"".join(b"\x00" + px[r].tobytes() for r in range(h))
+        out = b"\x89PNG\r\n\x1a\n"
+        for tag, data in ((b"IHDR", ihdr), (b"IDAT", zlib.compress(raster)), (b"IEND", b"")):
+            out += struct.pack(">I", len(data)) + tag + data
+            out += struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        return out
+
+    rng = np.random.default_rng(7)
+    px = rng.integers(0, 256, size=(5, 7, 3), dtype=np.uint8)
+    gray = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0)  # colortype 0
+    bad_ct = (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", 13) + b"IHDR" + gray + struct.pack(">I", 0)
+    )
+    df = spark.createDataFrame(
+        [("a.png", png_raw(px)), ("b.png", b"junk"), ("c.png", bad_ct)],
+        "media_ref string, payload binary",
+    )
+    got = {r.media_ref: r for r in image_channel_stats(df).collect()}
+    a = got["a.png"]
+    want = px.astype(np.int64).sum(axis=(0, 1))
+    assert (a.width, a.height, a.n_px) == (7, 5, 35)
+    assert (a.sum_r, a.sum_g, a.sum_b) == tuple(int(x) for x in want)
+    assert a.ok
+    assert not got["b.png"].ok and got["b.png"].sum_r is None
+    assert not got["c.png"].ok  # grayscale: outside the declared subset
+
+
+def test_audio_sample_stats_real_pcm(spark):
+    """PCM decoder vs a hand-packed varying waveform (negative values
+    exercise the signed int16 little-endian read)."""
+    import struct
+
+    from obsidian_parser_spark.operators.multimodal import audio_sample_stats
+    from obsidian_parser_spark.sources.corpus import wav_bytes
+
+    samples = [0, 1, -1, 32767, -32768, 1234, -4321]
+    hdr = wav_bytes(8000, n_frames=len(samples))  # header only, right sizes
+    body = b"".join(struct.pack("<h", s) for s in samples)
+    df = spark.createDataFrame(
+        [("x.wav", hdr + body), ("y.wav", b"RIFFjunk")],
+        "media_ref string, payload binary",
+    )
+    got = {r.media_ref: r for r in audio_sample_stats(df).collect()}
+    x = got["x.wav"]
+    assert (x.n_samples, x.sum_amp, x.sample_rate, x.ok) == (
+        len(samples), sum(samples), 8000, True,
+    )
+    assert not got["y.wav"].ok
