@@ -594,6 +594,17 @@ def _q_kg_decode(spark, sf_dir):
     )
 
 
+def _q_kg_distances(spark, sf_dir):
+    """Directed BFS levels from note_1 over the link graph (6 rounds of
+    frontier expansion, per-round checkpointed like the CC fixpoint);
+    the oracle unrolls the same rounds as SQL CTEs."""
+    from obsidian_parser_spark.operators.components import bfs_distances
+
+    g = _graph(spark, sf_dir)
+    d = bfs_distances(A.link_edges(g.edges), root="note_1", max_depth=6)
+    return d.select("id", F.col("dist").cast("long").alias("dist"))
+
+
 def _q_kg_pixels(spark, sf_dir):
     """REAL pixel decode: zlib-inflate each PNG payload's IDAT, strip the
     per-row filter bytes, and sum every channel EXACTLY (integer sums).
@@ -737,6 +748,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_pack": _q_ts_pack,
         "kg_pixels": _q_kg_pixels,
         "kg_audio": _q_kg_audio,
+        "kg_distances": _q_kg_distances,
     }
 
 
@@ -1084,6 +1096,25 @@ SELECT media_ref,
 FROM hdr"""
 
 
+def _bfs_ctes(root: str, depth: int) -> str:
+    """Unrolled BFS rounds mirroring operators/components.bfs_distances:
+    frontier t = dist-(t-1) nodes; new nodes get dist t."""
+    parts = [f"b0 AS (SELECT '{root}' AS id, 0::BIGINT AS dist)"]
+    for t in range(1, depth + 1):
+        parts.append(
+            f"""n{t} AS (SELECT DISTINCT e.obj AS id FROM link_edges e
+  JOIN b{t - 1} f ON e.subj = f.id AND f.dist = {t - 1})"""
+        )
+        parts.append(
+            f"""b{t} AS MATERIALIZED (SELECT id, dist FROM b{t - 1}
+  UNION ALL
+  SELECT id, {t}::BIGINT FROM n{t}
+  WHERE id NOT IN (SELECT id FROM b{t - 1}))"""
+        )
+    parts.append(f"bfs_final AS (SELECT id, dist FROM b{depth})")
+    return ",\n".join(parts)
+
+
 def _kg_oracles(path: str) -> dict[str, str]:
     c = _kg_cte(path)
     mpath = os.path.join(os.path.dirname(path), "media.parquet")
@@ -1091,6 +1122,10 @@ def _kg_oracles(path: str) -> dict[str, str]:
         "kg_decode": _media_decode_oracle(mpath),
         "kg_pixels": _media_pixels_oracle(mpath),
         "kg_audio": _media_audio_oracle(mpath),
+        "kg_distances": c
+        + ",\n"
+        + _bfs_ctes("note_1", 6)
+        + "\nSELECT id, dist FROM bfs_final",
         "kg_media_decoded": c
         + ",\n"
         + _media_decode_ctes(mpath)

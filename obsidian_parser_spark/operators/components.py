@@ -151,3 +151,45 @@ def connected_components(
 def component_count(cc: DataFrame) -> DataFrame:
     """A7: number of connected components (examples/analyzer.rs:85-88)."""
     return cc.agg(F.countDistinct("component").alias("n_components"))
+
+
+def bfs_distances(
+    edges: DataFrame,
+    root: str,
+    max_depth: int = 10,
+) -> DataFrame:
+    """Directed BFS levels from ``root``: → (id, dist) for every node
+    reachable in ≤ ``max_depth`` hops (dist 0 = the root itself);
+    unreachable nodes are absent.  The standard KG reachability/
+    neighborhood query (``edges`` needs (subj, obj); pass
+    ``analytics.link_edges(...)`` for the link graph).
+
+    Scale shape: classic frontier expansion — per round ONE equi-join of
+    the (small) frontier onto the edge list plus an anti-join against the
+    visited set, both key-partitioned; the visited set is re-checkpointed
+    per round (``cut_lineage`` — reliable store when configured) exactly
+    like the CC/PageRank fixpoints, so round N's plan never contains
+    rounds 0..N-1.  Rounds stop early on an empty frontier (one cheap
+    count on a frame already materialized by the checkpoint); results are
+    independent of the stop rule — later rounds of an empty frontier are
+    empty.  A 10^7-degree hub lands in the frontier once and fans out via
+    the partial-agg distinct, never through a single reducer."""
+    spark = edges.sparkSession
+    e = edges.select(F.col("subj").alias("src"), F.col("obj").alias("dst")).distinct()
+    visited = cut_lineage(
+        spark.createDataFrame([(root, 0)], "id string, dist int")
+    )
+    frontier = visited
+    for d in range(1, max_depth + 1):
+        nxt = (
+            e.join(frontier.select(F.col("id").alias("src")), "src")
+            .select(F.col("dst").alias("id"))
+            .distinct()
+            .join(visited.select("id"), "id", "left_anti")
+            .withColumn("dist", F.lit(d).cast("int"))
+        )
+        visited = cut_lineage(visited.unionByName(nxt))
+        frontier = nxt
+        if frontier.limit(1).count() == 0:
+            break
+    return visited

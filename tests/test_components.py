@@ -117,3 +117,40 @@ def test_cc_reliable_checkpoint_mode(spark, tmp_path):
         # restore local mode for the session-scoped fixture
         spark.sparkContext._jsc.sc().setCheckpointDir(None)
         assert not has_reliable_checkpoint(spark.range(1))
+
+
+def test_bfs_distances_vs_python(spark):
+    from collections import deque
+
+    from obsidian_parser_spark.operators.components import bfs_distances
+
+    edges = [
+        ("r", "a"), ("r", "b"), ("a", "c"), ("b", "c"), ("c", "d"),
+        ("d", "r"),  # cycle back
+        ("x", "y"),  # unreachable island
+        ("e", "r"),  # points AT root: direction respected, e unreachable
+    ]
+    edf = spark.createDataFrame(edges, "subj string, obj string")
+
+    def py_bfs(root, depth):
+        adj = {}
+        for u, v in edges:
+            adj.setdefault(u, []).append(v)
+        dist = {root: 0}
+        q = deque([root])
+        while q:
+            u = q.popleft()
+            if dist[u] >= depth:
+                continue
+            for v in adj.get(u, []):
+                if v not in dist:
+                    dist[v] = dist[u] + 1
+                    q.append(v)
+        return dist
+
+    got = {r.id: r.dist for r in bfs_distances(edf, "r", max_depth=10).collect()}
+    assert got == py_bfs("r", 10)
+    assert "x" not in got and "e" not in got
+    # depth cap honored
+    capped = {r.id: r.dist for r in bfs_distances(edf, "r", max_depth=1).collect()}
+    assert capped == {"r": 0, "a": 1, "b": 1}
