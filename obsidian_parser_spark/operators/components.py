@@ -175,13 +175,19 @@ def bfs_distances(
     empty.  A 10^7-degree hub lands in the frontier once and fans out via
     the partial-agg distinct, never through a single reducer."""
     spark = edges.sparkSession
-    e = edges.select(F.col("subj").alias("src"), F.col("obj").alias("dst")).distinct()
+    # materialize the distinct edge list ONCE — it is re-joined every round
+    e = cut_lineage(
+        edges.select(F.col("subj").alias("src"), F.col("obj").alias("dst")).distinct()
+    )
     visited = cut_lineage(
         spark.createDataFrame([(root, 0)], "id string, dist int")
     )
     frontier = visited
     for d in range(1, max_depth + 1):
-        nxt = (
+        # the frontier is checkpointed BEFORE the union/count, so the
+        # empty-frontier probe and next round read a materialized frame
+        # instead of re-deriving the whole round chain (lineage cut)
+        nxt = cut_lineage(
             e.join(frontier.select(F.col("id").alias("src")), "src")
             .select(F.col("dst").alias("id"))
             .distinct()

@@ -68,20 +68,24 @@ def pack_chunks(
         )
         .withColumn("n_tokens", n_tok)
         .withColumn(
-            "pack_id",
-            F.floor(
-                F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
-                / F.lit(budget_tokens)
-            ).cast("long"),
+            "_prior", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
         )
+        # integral DIV, not floor(double /): a double quotient loses
+        # integer precision past 2^53 cumulative tokens and could disagree
+        # with the oracle's exact `//` — same reasoning as the HITS DIV
+        .withColumn("pack_id", F.expr(f"_prior DIV {budget_tokens}"))
+        .drop("_prior")
     )
 
 
-def pack_stats(packed: DataFrame) -> DataFrame:
-    """Per-pack audit: (shard, pack_id, n_chunks, n_docs, pack_tokens) —
-    the fill-efficiency view (mean pack_tokens / budget = packing
-    efficiency)."""
-    return packed.groupBy("shard", "pack_id").agg(
+def pack_stats(packed: DataFrame, group_cols: tuple[str, ...] = ()) -> DataFrame:
+    """Per-pack audit: (*group_cols, shard, pack_id, n_chunks, n_docs,
+    pack_tokens) — the fill-efficiency view (mean pack_tokens / budget =
+    packing efficiency).  Pass the SAME ``group_cols`` the chunks were
+    packed with (pack_id is only unique per (group, shard) — grouping
+    without them would merge e.g. the train and test packs that share a
+    (shard, pack_id))."""
+    return packed.groupBy(*group_cols, "shard", "pack_id").agg(
         F.count("*").alias("n_chunks"),
         F.countDistinct("doc_id").alias("n_docs"),
         F.sum("n_tokens").alias("pack_tokens"),

@@ -72,18 +72,35 @@ def _bucket(col: str, n: int):
     return F.pmod(F.xxhash64(F.col(col)), F.lit(n)).cast("int")
 
 
+def _is_local_path(path: str) -> bool:
+    """True for plain local paths (no URI scheme, or file://)."""
+    return "://" not in path or path.startswith("file://")
+
+
 def _read_manifest(spark: SparkSession, path: str) -> DataFrame | None:
     """None ⇔ the manifest genuinely doesn't exist yet.  Any OTHER read
     failure (e.g. a torn parquet footer from a crashed writer) propagates
     LOUDLY: swallowing it would silently restart the whole run — the
     exact cost the manifest exists to avoid.  (The atomic temp+rename
     commit in ``_append_manifest`` makes a torn file unreachable in the
-    first place; this is defense in depth.)"""
-    if not os.path.isdir(path) or not any(
-        f.endswith(".parquet") for f in os.listdir(path)
-    ):
-        return None
-    return spark.read.parquet(path)
+    first place; this is defense in depth.)
+
+    Local paths are probed with the os module; URI paths (hdfs://,
+    s3a://, ...) go through the Spark reader, mapping only the
+    PATH_NOT_FOUND error class to None."""
+    if _is_local_path(path):
+        local = path.removeprefix("file://")
+        if not os.path.isdir(local) or not any(
+            f.endswith(".parquet") for f in os.listdir(local)
+        ):
+            return None
+        return spark.read.parquet(path)
+    try:
+        return spark.read.parquet(path)
+    except Exception as exc:  # torn manifests must still raise
+        if "PATH_NOT_FOUND" in str(exc):
+            return None
+        raise
 
 
 def _append_manifest(manifest: DataFrame, manifest_path: str) -> None:
@@ -96,17 +113,26 @@ def _append_manifest(manifest: DataFrame, manifest_path: str) -> None:
     instead leave a torn footer inside the live manifest dir, poisoning
     every later read.  On Iceberg this whole function is the table's
     transactional append; the temp+rename is the plain-parquet stand-in
-    (POSIX rename is atomic on one filesystem)."""
+    (POSIX rename is atomic on one filesystem).
+
+    Object-store/HDFS manifest paths fall back to the plain Spark append
+    — os-level renames don't exist there; S3A/ABFS committers make the
+    per-file commit atomic-enough, and the Iceberg table is the real
+    cluster answer (iceberg_ddl())."""
+    if not _is_local_path(manifest_path):
+        manifest.write.mode("append").parquet(manifest_path)
+        return
     import glob
     import shutil
     import uuid
 
-    tmp = f"{manifest_path}_tmp_{uuid.uuid4().hex}"
+    local = manifest_path.removeprefix("file://")
+    tmp = f"{local}_tmp_{uuid.uuid4().hex}"
     try:
         manifest.write.mode("overwrite").parquet(tmp)
-        os.makedirs(manifest_path, exist_ok=True)
+        os.makedirs(local, exist_ok=True)
         for f in glob.glob(os.path.join(tmp, "part-*.parquet")):
-            os.rename(f, os.path.join(manifest_path, os.path.basename(f)))
+            os.rename(f, os.path.join(local, os.path.basename(f)))
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 

@@ -79,9 +79,11 @@ def _walk_subtree(
     follow_links: bool,
     ancestors: frozenset[tuple[int, int]],
 ) -> list[str]:
-    """Recursive ``.md`` listing of one directory subtree; returns
-    ``prefix``-relative paths.  Hidden entries INCLUDED — filtered later as
-    DataFrame predicates so one code path serves every listing mode.
+    """Iterative ``.md`` listing of one directory subtree (explicit stack
+    — Python recursion would die at ~1000 nested dirs; walkdir and
+    os.walk are iterative); returns ``prefix``-relative paths.  Hidden
+    entries INCLUDED — filtered later as DataFrame predicates so one code
+    path serves every listing mode.
 
     Symlink semantics = walkdir's (module docstring): unfollowed symlinks
     are neither descended nor yielded; followed symlinked dirs are skipped
@@ -91,34 +93,41 @@ def _walk_subtree(
     above the subtree (root, top-level dir) so a symlink pointing back
     above the seed is still caught."""
     out: list[str] = []
-    try:
-        names = sorted(os.listdir(dirpath))
-    except OSError:
-        return out
-    for name in names:
-        p = os.path.join(dirpath, name)
-        is_link = os.path.islink(p)
-        if os.path.isdir(p):  # stat follows the link for the type check
-            if is_link and not follow_links:
-                continue
-            try:
-                iid = _ident(p)
-            except OSError:
-                continue
-            if is_link and iid in ancestors:
-                continue  # walkdir loop Err → filter_map drops it
-            out.extend(
-                _walk_subtree(
-                    p, f"{prefix}{name}/", follow_links, ancestors | {iid}
-                )
-            )
-        else:
-            if is_link and not follow_links:
-                continue  # unfollowed symlink is not is_file()
-            if not os.path.isfile(p):
-                continue  # broken symlink / special file
-            if name.lower().endswith(".md"):
-                out.append(prefix + name)
+    stack: list[tuple[str, str, frozenset[tuple[int, int]]]] = [
+        (dirpath, prefix, ancestors)
+    ]
+    while stack:
+        # pop from the END of a reversed-sorted sibling push → children
+        # are visited in sorted order, depth-first (same order as the
+        # recursive formulation; only the traversal order of SIBLING
+        # subtrees affects `out`, which callers treat as a set)
+        d, pre, anc = stack.pop()
+        try:
+            names = sorted(os.listdir(d))
+        except OSError:
+            continue
+        subdirs: list[tuple[str, str, frozenset[tuple[int, int]]]] = []
+        for name in names:
+            p = os.path.join(d, name)
+            is_link = os.path.islink(p)
+            if os.path.isdir(p):  # stat follows the link for the type check
+                if is_link and not follow_links:
+                    continue
+                try:
+                    iid = _ident(p)
+                except OSError:
+                    continue
+                if is_link and iid in anc:
+                    continue  # walkdir loop Err → filter_map drops it
+                subdirs.append((p, f"{pre}{name}/", anc | {iid}))
+            else:
+                if is_link and not follow_links:
+                    continue  # unfollowed symlink is not is_file()
+                if not os.path.isfile(p):
+                    continue  # broken symlink / special file
+                if name.lower().endswith(".md"):
+                    out.append(pre + name)
+        stack.extend(reversed(subdirs))
     return out
 
 
@@ -172,6 +181,10 @@ def read_vault_files(
         paths_df = _distributed_listing(spark, root, follow_links, follow_root_links)
         if paths_df is None:
             return spark.createDataFrame([], "doc_id string, raw_text string")
+        # rebalance before the content read: without this, one giant
+        # top-level directory's rels stay in ONE listing partition and a
+        # single task would open every file under it
+        paths_df = paths_df.repartition(spark.sparkContext.defaultParallelism)
     elif listing == "spark":
         if include_hidden:
             raise ValueError(

@@ -240,3 +240,31 @@ def test_distributed_listing_matches_driver_walk(
         assert _ids(spark, root, listing="walk_distributed", follow_links=follow) == _ids(
             spark, root, listing="walk", follow_links=follow
         )
+
+
+def test_walk_survives_pathological_depth(tmp_path):
+    """The listing is iterative (explicit stack): a deeply nested vault
+    lists fine even under a recursion limit far below its depth — a
+    per-level recursive walk would raise RecursionError."""
+    import sys
+
+    from obsidian_parser_spark.sources.files import _walk_md_files
+
+    depth = 600
+    p = tmp_path / "deep"
+    cur = str(p)
+    os.mkdir(cur)  # os.makedirs is itself recursive — build iteratively
+    for _ in range(depth):
+        cur = os.path.join(cur, "d")
+        os.mkdir(cur)
+    (p / "top.md").write_text("x")
+    with open(os.path.join(cur, "leaf.md"), "w") as f:
+        f.write("y")
+    old = sys.getrecursionlimit()
+    sys.setrecursionlimit(200)  # << depth: recursion per level would die
+    try:
+        rels = _walk_md_files(str(p))
+    finally:
+        sys.setrecursionlimit(old)
+    assert "top.md" in rels
+    assert any(r.endswith("/leaf.md") and r.count("/") == depth for r in rels)
