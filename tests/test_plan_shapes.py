@@ -161,3 +161,18 @@ def test_pagerank_contribution_sum_is_partial(spark):
     # the per-target contribution sum must map-side combine (hub skew)
     assert plan.count("HashAggregate") >= 2
     assert "partial_sum" in plan
+
+
+def test_pack_chunks_plan_jvm_only(spark):
+    """Sequence packing stays whole-JVM: token count, shard hash, and the
+    windowed prior-sum are all codegen — no Python anywhere."""
+    from obsidian_parser_spark.operators.packing import pack_chunks
+
+    df = spark.createDataFrame(
+        [(1, 0, "a b c")], "doc_id int, chunk_id int, chunk_text string"
+    )
+    plan = _plan(pack_chunks(df, budget_tokens=8))
+    assert "MapInPandas" not in plan
+    for marker in PY_MARKERS:
+        assert marker not in plan, marker
+    assert "Window" in plan
