@@ -3,13 +3,16 @@
 Media enters as ``kind='media'``/``kind='embed'`` spans carrying an opaque
 ``media_ref``, plus (for payload-bearing tables) a ``binary`` column.
 The Spark-side plumbing — schema, batch shape, partitioning, Arrow
-transfer — is real and tested, and for PNG and WAV the DECODE itself is
-real too: both formats carry their metadata in fixed headers parseable
+transfer — is real and tested, and for PNG, GIF and WAV the DECODE itself
+is real too: all three carry their metadata in fixed headers parseable
 with stdlib ``struct`` from the first bytes (no PIL/ffmpeg needed) —
-PNG signature + IHDR width/height (big-endian), WAV RIFF/fmt byte-rate +
-data size → duration.  Formats whose metadata needs a real codec
-(jpeg/mp4/...) remain DECLARED STUBS (NotImplementedError), since no
-image/audio libraries exist in this container:
+PNG signature + IHDR width/height (big-endian), GIF logical screen
+descriptor width/height (little-endian) + positional block walk for frame
+counts, WAV RIFF/fmt byte-rate + data size → duration.  Formats whose
+metadata needs a real codec (jpeg/mp4/...) remain DECLARED STUBS behind
+``strict=True`` (default: an ``ok=false`` error-channel row — one stray
+.jpg in a 10^12-row table must not kill the job), since no image/audio
+libraries exist in this container:
 
 * ``decode_media``           — ``fake=True`` (default): deterministic
   md5-derived "decode" so downstream operators are testable without
@@ -45,6 +48,9 @@ PAYLOAD_DECODED_SCHEMA = (
     "media_ref string, media_type string, "
     "width int, height int, duration_ms long, ok boolean"
 )
+GIF_FRAMES_SCHEMA = (
+    "media_ref string, width int, height int, n_frames int, ok boolean"
+)
 FEATURES_SCHEMA = "doc_id string, media_ref string, features array<float>"
 FRAMES_SCHEMA = "doc_id string, media_ref string, frame_ms array<long>"
 
@@ -59,6 +65,53 @@ def _parse_png(b: bytes) -> tuple[int, int] | None:
         return None
     w, h = struct.unpack(">II", b[16:24])
     return w, h
+
+
+def _parse_gif(b: bytes) -> tuple[int, int] | None:
+    """(width, height) from the GIF logical screen descriptor, or None if
+    not a valid GIF87a/GIF89a prefix.  Layout: 6-byte signature, width and
+    height as little-endian uint16 at byte offsets 6/8 — fixed-header
+    metadata, stdlib-parseable like PNG/WAV."""
+    if len(b) < 10 or b[:6] not in (b"GIF87a", b"GIF89a"):
+        return None
+    w, h = struct.unpack("<HH", b[6:10])
+    return w, h
+
+
+def _gif_frame_count(b: bytes) -> int | None:
+    """Number of image descriptors (frames) by walking the block stream —
+    no LZW decompression needed: extensions (0x21) and image data are
+    length-prefixed sub-blocks that can be skipped positionally.  None on
+    a malformed stream (truncated block, unknown introducer)."""
+    if _parse_gif(b) is None:
+        return None
+    pos = 10
+    packed = b[10]
+    # global color table: 3 * 2^(N+1) bytes when flag bit 7 is set
+    pos = 13 + (3 << ((packed & 0x07) + 1) if packed & 0x80 else 0)
+    frames = 0
+    while pos < len(b):
+        introducer = b[pos]
+        if introducer == 0x3B:  # trailer
+            return frames
+        if introducer == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while pos < len(b) and b[pos] != 0:
+                pos += 1 + b[pos]
+            pos += 1
+        elif introducer == 0x2C:  # image descriptor
+            if pos + 10 > len(b):
+                return None
+            lpacked = b[pos + 9]
+            pos += 10 + (3 << ((lpacked & 0x07) + 1) if lpacked & 0x80 else 0)
+            pos += 1  # LZW minimum code size byte
+            while pos < len(b) and b[pos] != 0:
+                pos += 1 + b[pos]
+            pos += 1
+            frames += 1
+        else:
+            return None
+    return None  # ran off the end without a trailer
 
 
 def _parse_wav(b: bytes) -> int | None:
@@ -82,17 +135,21 @@ def _parse_wav(b: bytes) -> int | None:
 
 
 def decode_media_payloads(
-    media: DataFrame, payload_col: str = "payload"
+    media: DataFrame, payload_col: str = "payload", strict: bool = False
 ) -> DataFrame:
     """REAL dependency-free decode of ``(media_ref, payload)`` rows for the
     formats whose metadata lives in fixed headers:
 
     * ``.png`` → (width, height) from IHDR, duration 0;
+    * ``.gif`` → (width, height) from the logical screen descriptor,
+      duration 0;
     * ``.wav`` → duration_ms from the RIFF header, width/height 0;
     * corrupt payload of a supported extension → ``ok=false``, NULL metrics
       (the error channel — never a thrown task);
-    * any OTHER extension → NotImplementedError (declared stub: jpeg/mp4
-      metadata needs a real codec library, absent in this image).
+    * any OTHER extension → ``ok=false`` row by default (one stray .jpg in
+      a 10^12-row table must not kill the job); ``strict=True`` restores
+      the loud NotImplementedError (declared stub: jpeg/mp4 metadata needs
+      a real codec library, absent in this image).
 
     Arrow-batched mapInPandas, one pass, no shuffle — the same plumbing a
     PIL/ffmpeg deployment would use."""
@@ -110,17 +167,25 @@ def decode_media_payloads(
                         rows.append((ref, mt, None, None, None, False))
                     else:
                         rows.append((ref, mt, wh[0], wh[1], 0, True))
+                elif ext == "gif":
+                    wh = _parse_gif(b)
+                    if wh is None:
+                        rows.append((ref, mt, None, None, None, False))
+                    else:
+                        rows.append((ref, mt, wh[0], wh[1], 0, True))
                 elif ext == "wav":
                     dur = _parse_wav(b)
                     if dur is None:
                         rows.append((ref, mt, None, None, None, False))
                     else:
                         rows.append((ref, mt, 0, 0, dur, True))
-                else:
+                elif strict:
                     raise NotImplementedError(
                         f"real media decode for '.{ext}' requires PIL/ffmpeg "
-                        "(not in this image); png/wav parse headers natively"
+                        "(not in this image); png/gif/wav parse headers natively"
                     )
+                else:
+                    rows.append((ref, mt, None, None, None, False))
             yield pd.DataFrame(
                 rows,
                 columns=["media_ref", "media_type", "width", "height",
@@ -129,6 +194,34 @@ def decode_media_payloads(
 
     return media.select("media_ref", payload_col).mapInPandas(
         run, PAYLOAD_DECODED_SCHEMA
+    )
+
+
+def gif_frame_stats(media: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """(media_ref, payload) → REAL GIF block-stream walk: (width, height,
+    n_frames, ok) — image descriptors counted positionally off the
+    length-prefixed sub-block structure (no LZW inflate needed), so an
+    independent engine can recompute n_frames from the generation rule and
+    verify the walk EXACTLY.  Non-gif extensions and malformed streams →
+    ok=false rows (error channel)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for ref, payload in zip(pdf["media_ref"], pdf[payload_col]):
+                b = bytes(payload) if payload is not None else b""
+                wh = _parse_gif(b) if ref.lower().endswith(".gif") else None
+                nf = _gif_frame_count(b) if wh is not None else None
+                if wh is None or nf is None:
+                    rows.append((ref, None, None, None, False))
+                else:
+                    rows.append((ref, wh[0], wh[1], nf, True))
+            yield pd.DataFrame(
+                rows, columns=["media_ref", "width", "height", "n_frames", "ok"]
+            )
+
+    return media.select("media_ref", payload_col).mapInPandas(
+        run, GIF_FRAMES_SCHEMA
     )
 
 
@@ -147,16 +240,20 @@ def _fake_decode(ref: str) -> tuple[int, int, int]:
 
 
 def decode_media(
-    media: DataFrame, fake: bool = True, payload_col: str | None = None
+    media: DataFrame,
+    fake: bool = True,
+    payload_col: str | None = None,
+    strict: bool = False,
 ) -> DataFrame:
     """(doc_id, media_ref) → decoded metadata.
 
     ``fake=False`` with ``payload_col`` set routes to the REAL header
-    decode (``decode_media_payloads`` — png/wav parsed natively, other
-    extensions a declared stub); ``fake=False`` without payload bytes
-    raises: there is nothing to decode from a bare ref."""
+    decode (``decode_media_payloads`` — png/gif/wav parsed natively, other
+    extensions ok=false rows, or the declared codec stub under
+    ``strict=True``); ``fake=False`` without payload bytes raises: there
+    is nothing to decode from a bare ref."""
     if not fake and payload_col is not None:
-        return decode_media_payloads(media, payload_col)
+        return decode_media_payloads(media, payload_col, strict=strict)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -240,14 +337,16 @@ def _decode_png_pixels(b: bytes) -> tuple[int, int, int, int, int] | None:
 
 
 def image_channel_stats(
-    media: DataFrame, payload_col: str = "payload"
+    media: DataFrame, payload_col: str = "payload", strict: bool = False
 ) -> DataFrame:
     """(media_ref, payload) → REAL per-channel pixel sums for PNG
     payloads: (width, height, n_px, sum_r, sum_g, sum_b, ok) — integer
     sums, so an independent engine can verify them EXACTLY (the driver
     oracle recomputes them from the corpus' deterministic color rule
-    without inflating anything).  Non-png extensions raise (declared
-    stub); corrupt/unsupported payloads → ok=false row."""
+    without inflating anything).  Non-png extensions → ok=false rows
+    (error channel; a stray .jpg must not kill the job) unless
+    ``strict=True``, which raises the declared codec stub.
+    Corrupt/unsupported payloads → ok=false row."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -255,10 +354,13 @@ def image_channel_stats(
             for ref, payload in zip(pdf["media_ref"], pdf[payload_col]):
                 ext = ref.rsplit(".", 1)[-1].lower() if "." in ref else ""
                 if ext != "png":
-                    raise NotImplementedError(
-                        f"pixel decode for '.{ext}' requires a codec library "
-                        "(not in this image); png decodes natively"
-                    )
+                    if strict:
+                        raise NotImplementedError(
+                            f"pixel decode for '.{ext}' requires a codec "
+                            "library (not in this image); png decodes natively"
+                        )
+                    rows.append((ref, None, None, None, None, None, None, False))
+                    continue
                 out = _decode_png_pixels(
                     bytes(payload) if payload is not None else b""
                 )
@@ -277,13 +379,15 @@ def image_channel_stats(
 
 
 def audio_sample_stats(
-    media: DataFrame, payload_col: str = "payload"
+    media: DataFrame, payload_col: str = "payload", strict: bool = False
 ) -> DataFrame:
     """(media_ref, payload) → REAL PCM sample statistics for WAV payloads:
     (n_samples, sum_amp, sample_rate, ok) — 16-bit LE samples read off the
     data chunk with numpy, summed exactly.  A wrong offset, stride, or
     endianness gives a wrong integer sum, so the oracle cross-check
-    verifies the byte-level parse, not just the header."""
+    verifies the byte-level parse, not just the header.  Non-wav
+    extensions → ok=false rows unless ``strict=True`` (declared codec
+    stub)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -291,10 +395,13 @@ def audio_sample_stats(
             for ref, payload in zip(pdf["media_ref"], pdf[payload_col]):
                 ext = ref.rsplit(".", 1)[-1].lower() if "." in ref else ""
                 if ext != "wav":
-                    raise NotImplementedError(
-                        f"sample decode for '.{ext}' requires a codec library "
-                        "(not in this image); wav decodes natively"
-                    )
+                    if strict:
+                        raise NotImplementedError(
+                            f"sample decode for '.{ext}' requires a codec "
+                            "library (not in this image); wav decodes natively"
+                        )
+                    rows.append((ref, None, None, None, False))
+                    continue
                 b = bytes(payload) if payload is not None else b""
                 if _parse_wav(b) is None:
                     rows.append((ref, None, None, None, False))

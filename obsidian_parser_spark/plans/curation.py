@@ -66,7 +66,7 @@ class CurationOptions:
     # (shard, n_tokens, pack_id) to the chunk frame so the shard/pack
     # assignment ships with the data
     pack_budget_tokens: int | None = None
-    pack_shards: int = 100
+    pack_shards: int | None = None  # None = auto-size from token volume
     train_pct: int = 80
     valid_pct: int = 10
     # cache the (doc_id, text) projection: the gates are independent

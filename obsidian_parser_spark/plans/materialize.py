@@ -72,9 +72,23 @@ def _bucket(col: str, n: int):
     return F.pmod(F.xxhash64(F.col(col)), F.lit(n)).cast("int")
 
 
-def _is_local_path(path: str) -> bool:
-    """True for plain local paths (no URI scheme, or file://)."""
-    return "://" not in path or path.startswith("file://")
+def _is_local_path(spark: SparkSession, path: str) -> bool:
+    """True only when ``path`` resolves to the DRIVER-LOCAL filesystem.
+
+    A scheme-less path does NOT imply local: Spark resolves it against
+    ``fs.defaultFS``, so on a cluster with HDFS/S3 defaults the write
+    lands remotely while ``os.rename``/``os.path`` on the driver would be
+    probing a different (local) filesystem — the manifest increment would
+    silently never commit.  The os fast path is taken only for explicit
+    ``file://`` URIs or scheme-less paths under a ``file:`` default FS."""
+    if path.startswith("file://"):
+        return True
+    if "://" in path:
+        return False
+    default_fs = (
+        spark.sparkContext._jsc.hadoopConfiguration().get("fs.defaultFS", "file:///")
+    )
+    return default_fs.startswith("file:")
 
 
 def _read_manifest(spark: SparkSession, path: str) -> DataFrame | None:
@@ -85,10 +99,10 @@ def _read_manifest(spark: SparkSession, path: str) -> DataFrame | None:
     commit in ``_append_manifest`` makes a torn file unreachable in the
     first place; this is defense in depth.)
 
-    Local paths are probed with the os module; URI paths (hdfs://,
-    s3a://, ...) go through the Spark reader, mapping only the
-    PATH_NOT_FOUND error class to None."""
-    if _is_local_path(path):
+    Local paths are probed with the os module; remote paths (hdfs://,
+    s3a://, or scheme-less under a remote fs.defaultFS) go through the
+    Spark reader, mapping only the PATH_NOT_FOUND error class to None."""
+    if _is_local_path(spark, path):
         local = path.removeprefix("file://")
         if not os.path.isdir(local) or not any(
             f.endswith(".parquet") for f in os.listdir(local)
@@ -115,11 +129,12 @@ def _append_manifest(manifest: DataFrame, manifest_path: str) -> None:
     transactional append; the temp+rename is the plain-parquet stand-in
     (POSIX rename is atomic on one filesystem).
 
-    Object-store/HDFS manifest paths fall back to the plain Spark append
-    — os-level renames don't exist there; S3A/ABFS committers make the
-    per-file commit atomic-enough, and the Iceberg table is the real
-    cluster answer (iceberg_ddl())."""
-    if not _is_local_path(manifest_path):
+    Object-store/HDFS manifest paths (explicit scheme OR scheme-less under
+    a remote fs.defaultFS) fall back to the plain Spark append — os-level
+    renames don't exist there; S3A/ABFS committers make the per-file
+    commit atomic-enough, and the Iceberg table is the real cluster
+    answer (iceberg_ddl())."""
+    if not _is_local_path(manifest.sparkSession, manifest_path):
         manifest.write.mode("append").parquet(manifest_path)
         return
     import glob

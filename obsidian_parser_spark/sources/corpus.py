@@ -179,16 +179,38 @@ def wav_bytes(
     return out
 
 
+def gif_bytes(width: int, height: int, n_frames: int = 1) -> bytes:
+    """A REAL GIF89a: signature + logical screen descriptor (width/height
+    little-endian uint16) + a 4-entry global color table + ``n_frames``
+    image descriptors each carrying a minimal LZW data stream in
+    length-prefixed sub-blocks + trailer — structurally valid, parseable
+    by any GIF reader and by ``multimodal._gif_frame_count``'s positional
+    block walk."""
+    import struct
+
+    out = b"GIF89a" + struct.pack("<HH", width, height)
+    out += bytes([0x81, 0, 0])  # GCT flag + size bits=1 (4 entries), bg, aspect
+    out += bytes(12)  # 4-entry global color table (3 bytes each)
+    for f in range(n_frames):
+        out += b"\x2c" + struct.pack("<HHHH", 0, 0, width, height) + b"\x00"
+        out += bytes([2])  # LZW minimum code size
+        data = bytes([(f + k) % 256 for k in range(5)])
+        out += bytes([len(data)]) + data + b"\x00"  # one sub-block + terminator
+    return out + b"\x3b"
+
+
 def ensure_media_corpus(sf_name: str, base: str | None = None) -> str:
     """Deterministic media-payload table beside the vault corpus:
     ``media(media_ref, payload)`` with real PNG headers (even i), real WAV
     headers (odd i) and deliberately corrupt payloads (every 13th) so the
-    decode error channel has positives.  Size scales with sf."""
+    decode error channel has positives, plus appended real multi-frame
+    GIFs (dims/frame-count pure functions of the ref number, every 7th
+    corrupt) — the third natively-decodable format.  Size scales with sf."""
     out_dir = vault_corpus_dir(sf_name, base)
     path = media_parquet_path(sf_name, base)
     marker = os.path.join(out_dir, "_MEDIA_GENERATED.json")
     n_media = max(60, num_files_for_sf(sf_name) // 20)
-    params = {"version": 3, "n_media": n_media}
+    params = {"version": 4, "n_media": n_media}
     if os.path.exists(marker) and os.path.exists(path):
         with open(marker) as f:
             if json.load(f) == params:
@@ -226,6 +248,19 @@ def ensure_media_corpus(sf_name: str, base: str | None = None) -> str:
                     8000 + (i % 8) * 1000,
                     n_frames=50 * ((i % 100) + 1),
                     sample_value=(i * 37) % 65536 - 32768,
+                )
+            )
+    # appended GIF rows (refs disjoint from the png/wav families, so the
+    # png/wav-filtered oracles are byte-stable vs corpus version 3)
+    for g in range(max(20, n_media // 3)):
+        if g % 7 == 3:
+            refs.append(f"bad_anim_{g}.gif")
+            payloads.append(b"GIFXXa" + bytes([g % 256]) * 8)
+        else:
+            refs.append(f"anim_{g}.gif")
+            payloads.append(
+                gif_bytes(
+                    2 + (g * 31) % 100, 2 + (g * 17) % 100, n_frames=1 + g % 9
                 )
             )
     pq.write_table(

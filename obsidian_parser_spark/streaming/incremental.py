@@ -79,6 +79,14 @@ def incremental_graph(
     )
 
     def process(batch_df: DataFrame, epoch_id: int) -> None:
+        # An empty micro-batch (e.g. the first trigger before any file
+        # lands) must be a no-op: writing an EMPTY dynamic-overwrite would
+        # create dict_path with zero data files, and the immediate
+        # read-back would die with UNABLE_TO_INFER_SCHEMA.  Nothing to
+        # resolve and nothing to upsert — skipping is also replay-safe
+        # (a replayed empty epoch skips again).
+        if batch_df.isEmpty():
+            return
         notes = tokenize_documents(batch_df, include_mdlinks=include_mdlinks)
         if alias_dict is None:
             # 1. upsert this epoch's candidates (idempotent per epoch)

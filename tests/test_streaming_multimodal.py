@@ -195,7 +195,10 @@ def test_decode_media_real_png_wav(spark):
     assert (c.ok, c.width, c.height, c.duration_ms) == (False, None, None, None)
 
 
-def test_decode_media_unsupported_extension_is_declared_stub(spark):
+def test_decode_media_unsupported_extension_error_channel_and_strict(spark):
+    """A stray .mp4 in the payload table must NOT kill the job: the
+    default emits an ok=false error-channel row (consistent with corrupt
+    payloads); strict=True restores the loud declared codec stub."""
     import pytest
 
     from obsidian_parser_spark.operators.multimodal import decode_media
@@ -203,12 +206,94 @@ def test_decode_media_unsupported_extension_is_declared_stub(spark):
     df = spark.createDataFrame(
         [("v.mp4", b"\x00\x00\x00\x18ftypmp42")], "media_ref string, payload binary"
     )
+    rows = decode_media(df, fake=False, payload_col="payload").collect()
+    assert [(r.media_ref, r.media_type, r.width, r.ok) for r in rows] == [
+        ("v.mp4", "video", None, False)
+    ]
     with pytest.raises(Exception, match="PIL/ffmpeg"):
-        decode_media(df, fake=False, payload_col="payload").collect()
+        decode_media(df, fake=False, payload_col="payload", strict=True).collect()
     # and a payload-less fake=False still refuses loudly
     refs = spark.createDataFrame([("x", "a.png")], "doc_id string, media_ref string")
     with pytest.raises(Exception, match="payload"):
         decode_media(refs, fake=False).collect()
+
+
+def test_gif_decode_and_frame_walk(spark):
+    """GIF: dims off the logical screen descriptor; frame count by the
+    positional block walk (extensions skipped, each image descriptor's
+    local color table + LZW sub-blocks skipped).  Independent python
+    mirror: the generator's n_frames argument.  Corrupt/truncated/non-gif
+    → ok=false rows, never thrown tasks."""
+    from obsidian_parser_spark.operators.multimodal import (
+        decode_media_payloads,
+        gif_frame_stats,
+    )
+    from obsidian_parser_spark.sources.corpus import gif_bytes
+
+    multi = gif_bytes(33, 21, n_frames=5)
+    # graphic-control extension in front of the first image descriptor
+    # must be skipped (header = 6 sig + 4 dims + 3 LSD + 12 GCT = 25 bytes)
+    gce = multi[:25] + b"\x21\xf9\x04\x00\x00\x00\x00\x00" + multi[25:]
+    df = spark.createDataFrame(
+        [
+            ("one.gif", gif_bytes(7, 9, n_frames=1)),
+            ("multi.gif", multi),
+            ("ext.gif", gce),
+            ("trunc.gif", multi[: len(multi) // 2]),
+            ("junk.gif", b"GIFXXa" + b"\x00" * 10),
+            ("not.png", b"\x89PNG\r\n\x1a\x0a" + b"\x00" * 20),
+        ],
+        "media_ref string, payload binary",
+    )
+    got = {r.media_ref: r for r in gif_frame_stats(df).collect()}
+    assert (got["one.gif"].width, got["one.gif"].height, got["one.gif"].n_frames,
+            got["one.gif"].ok) == (7, 9, 1, True)
+    assert (got["multi.gif"].width, got["multi.gif"].n_frames) == (33, 5)
+    assert got["ext.gif"].n_frames == 5  # extension block skipped, not counted
+    assert not got["trunc.gif"].ok  # ran off the end without a trailer
+    assert not got["junk.gif"].ok
+    assert not got["not.png"].ok  # wrong extension → error channel
+
+    # and the header decode path classifies gif as image with real dims
+    dec = {r.media_ref: r for r in decode_media_payloads(df).collect()}
+    assert (dec["one.gif"].media_type, dec["one.gif"].width,
+            dec["one.gif"].height, dec["one.gif"].duration_ms,
+            dec["one.gif"].ok) == ("image", 7, 9, 0, True)
+    assert not dec["junk.gif"].ok
+
+
+def test_incremental_stream_empty_first_batch_is_noop(spark, tmp_path):
+    """An EMPTY first micro-batch (schema-only parquet before any data
+    lands) must not crash the maintained-dict stream: previously the
+    empty epoch-0 dynamic overwrite created alias_dict with zero data
+    files and the immediate read-back died with UNABLE_TO_INFER_SCHEMA.
+    Data arriving in a later run still resolves normally."""
+    from obsidian_parser_spark.sources.corpus import spans_from_raw
+    from obsidian_parser_spark.sources.schema import DOCUMENTS_SCHEMA
+
+    input_dir = tmp_path / "in"
+    input_dir.mkdir()
+    out_dir = str(tmp_path / "out")
+
+    empty = spark.createDataFrame([], DOCUMENTS_SCHEMA)
+    stage = tmp_path / "stage_empty"
+    empty.coalesce(1).write.parquet(str(stage))
+    next(stage.glob("part-*.parquet")).rename(input_dir / "f0.parquet")
+
+    q = incremental_graph(spark, str(input_dir), out_dir, alias_dict=None)
+    q.awaitTermination(120)
+    # no edges table yet and, critically, no schema-less dict wreckage
+
+    row = spans_from_raw("a", "see [[b]]")
+    row2 = spans_from_raw("b", "plain")
+    stage2 = tmp_path / "stage_data"
+    spans_df(spark, [row, row2]).coalesce(1).write.parquet(str(stage2))
+    next(stage2.glob("part-*.parquet")).rename(input_dir / "f1.parquet")
+
+    q2 = incremental_graph(spark, str(input_dir), out_dir, alias_dict=None)
+    q2.awaitTermination(120)
+    edges = spark.read.parquet(f"{out_dir}/edges")
+    assert {(r.subj, r.obj) for r in edges.collect()} == {("a", "b")}
 
 
 def test_incremental_dict_maintenance_across_epochs(spark, tmp_path):
