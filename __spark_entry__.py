@@ -917,6 +917,53 @@ def _q_kg_resume(spark, sf_dir):
     return spark.read.parquet(result_pq)
 
 
+def _q_ev_stream_windowed(spark, sf_dir):
+    """Watermarked tumbling-window aggregation REPLAYED as a real stream
+    (availableNow file source → append mode → parquet sink, recoverable
+    checkpoint): append mode emits EXACTLY the watermark-closed windows,
+    and the oracle recomputes that closure set in SQL — a window [ws,
+    ws+1h) is emitted iff its end ≤ the final watermark (max event time,
+    ms-truncated, minus the 2 h delay).  Counts are exact integers; the
+    double value sums stay with the batch ev_windowed row (cents-rounded
+    there).  Idempotent via marker; checkpoint state and watermark persist
+    across re-runs."""
+    import json
+    import shutil
+
+    from obsidian_parser_spark.streaming.incremental import windowed_event_counts
+
+    src = os.path.join(sf_dir, "events.parquet")
+    base = os.path.join(os.path.dirname(_vault_path(sf_dir)), "ev_stream")
+    marker = os.path.join(base, "_DONE.json")
+    out = os.path.join(base, "win")
+    params = {"version": 1, "src": src}
+    done = False
+    if os.path.exists(marker):
+        with open(marker) as f:
+            done = json.load(f) == params
+    if not done:
+        shutil.rmtree(base, ignore_errors=True)
+        in_dir = os.path.join(base, "in")
+        os.makedirs(in_dir)
+        shutil.copy(src, os.path.join(in_dir, "events.parquet"))
+        q = windowed_event_counts(
+            spark,
+            in_dir,
+            checkpoint=os.path.join(base, "ckpt"),
+            output_path=out,
+        )
+        if not q.awaitTermination(600):
+            q.stop()
+            raise RuntimeError("windowed stream did not finish within 600s")
+        with open(marker, "w") as f:
+            json.dump(params, f)
+    return spark.read.parquet(out).select(
+        F.unix_micros(F.col("window.start")).alias("window_start_us"),
+        "event_type",
+        F.col("n_events").cast("long").alias("n_events"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: backlink counts over the sf0.001 vault corpus."""
     sf_dir = "/root/testdata/sf0.001"
@@ -990,6 +1037,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_recall": _q_ann_recall,
         "kg_stream_edges": _q_kg_stream_edges,
         "kg_resume": _q_kg_resume,
+        "ev_stream_windowed": _q_ev_stream_windowed,
     }
 
 
@@ -2294,6 +2342,16 @@ SELECT t.method, coalesce(h.n_hits, 0)::BIGINT AS n_hits,
        t.n_returned::BIGINT AS n_returned, tr.n_truth::BIGINT AS n_truth,
        round(coalesce(h.n_hits, 0) / tr.n_truth, 4) AS recall
 FROM tot t LEFT JOIN hit h USING (method), tr"""
+    # append-mode closure rule: Spark's watermark is the ms-truncated max
+    # event time minus the delay; a window is emitted iff its END ≤ that
+    out["ev_stream_windowed"] = f"""
+WITH e AS (SELECT epoch_us(ts) AS ts_us, event_type FROM events),
+wm AS (SELECT (max(ts_us) // 1000) - 7200000 AS w_ms FROM e),
+w AS (SELECT (ts_us // {EV.WINDOW_US}) * {EV.WINDOW_US} AS ws, event_type FROM e)
+SELECT ws AS window_start_us, event_type, count(*)::BIGINT AS n_events
+FROM w, wm
+WHERE (ws + {EV.WINDOW_US}) // 1000 <= w_ms
+GROUP BY ws, event_type"""
     return out
 
 

@@ -21,6 +21,22 @@ import time
 from pyspark.sql import functions as F
 
 
+def _spin_calib() -> float:
+    """Host-speed probe: seconds for a fixed single-thread spin loop (same
+    workload as bench_scaling's hardware control).  Reported alongside the
+    timings so a cross-round comparison can tell 'code got slower' from
+    'the VM was in a CPU-steal window' (documented swings: 3-4× for
+    minutes at a stretch).  Min of two runs; ~0.5-2 s when quiet."""
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        n = 0
+        for i in range(30_000_000):
+            n += i * i
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -254,6 +270,7 @@ def main() -> None:
         sum(v for k, v in timings.items() if k != "py_worker_warmup"), 3
     )
     build_t = timings.get("kg_tokenize", 0.0) + timings.get("kg_build_edges", 0.0)
+    calib = _spin_calib()
     result = {
         "metric": "kg_pipeline_total",
         "value": total,
@@ -266,6 +283,7 @@ def main() -> None:
         if build_t
         else None,
         "cpus": cpus,
+        "calib_spin_sec": calib,
     }
     print(json.dumps(result))
     spark.stop()
