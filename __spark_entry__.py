@@ -964,6 +964,96 @@ def _q_ev_stream_windowed(spark, sf_dir):
     )
 
 
+def _q_kg_triangles(spark, sf_dir):
+    """Triangle counts per node over the undirected link graph via
+    degree-ordered orientation (oriented out-degree ≤ O(sqrt(m)), so the
+    wedge self-join is hub-safe); the oracle enumerates each triangle once
+    in its canonical a<b<c form — a completely different scheme, so an
+    orientation/wedge bug on either side breaks the hash."""
+    from obsidian_parser_spark.operators import graph_metrics as GM
+
+    g = _graph(spark, sf_dir)
+    t = GM.triangle_counts(A.link_edges(g.edges))
+    return t.select("id", F.col("n_triangles").cast("long").alias("n_triangles"))
+
+
+def _q_kg_kcore(spark, sf_dir):
+    """3-core of the undirected link graph (iterative peel to the unique
+    fixpoint, per-round checkpointed); returns each surviving node with
+    its in-core degree.  The oracle unrolls the peel rounds as CTEs — the
+    fixpoint is order-independent, so Spark's early-exit and the oracle's
+    fixed unroll meet at the same subgraph."""
+    from obsidian_parser_spark.operators import graph_metrics as GM
+
+    g = _graph(spark, sf_dir)
+    c = GM.k_core(A.link_edges(g.edges), k=3)
+    return c.select("id", F.col("core_degree").cast("long").alias("core_degree"))
+
+
+def _q_kg_communities(spark, sf_dir):
+    """Label-propagation communities: EXACTLY 4 synchronous rounds with a
+    deterministic update (most-frequent neighbor label, ties to the
+    smallest), labels initialized to the node id — a pure function of the
+    edge set, bit-identical across engines/cluster sizes, which is what
+    lets the oracle unroll the same 4 rounds in SQL."""
+    from obsidian_parser_spark.operators import graph_metrics as GM
+
+    g = _graph(spark, sf_dir)
+    return GM.label_propagation(A.link_edges(g.edges), n_rounds=4)
+
+
+def _q_ev_asof(spark, sf_dir):
+    """As-of join: each purchase matched to the same user's most recent
+    view at-or-before it (left-outer; NULL when no prior view).  Spark
+    side: union-scan + one window pass (single shuffle on user_id — never
+    the quadratic join-then-argmax).  Oracle: DuckDB's NATIVE ASOF LEFT
+    JOIN — a genuinely independent implementation of the operator."""
+    e = _events(spark, sf_dir).select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        "event_type",
+    )
+    left = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts_us"
+    )
+    right = e.filter(F.col("event_type") == "view").select(
+        "user_id", "event_id", "ts_us"
+    )
+    m = EV.asof_join(left, right, key="user_id", ts="ts_us", payload=("event_id",))
+    return m.select(
+        "event_id",
+        "user_id",
+        "ts_us",
+        F.col("matched_event_id").cast("long").alias("matched_event_id"),
+        F.col("matched_ts_us").cast("long").alias("matched_ts_us"),
+        (F.col("ts_us") - F.col("matched_ts_us")).alias("gap_us"),
+    )
+
+
+def _q_ev_range(spark, sf_dir):
+    """Range join: per session interval [first, last event], count ALL
+    events (any user) inside it + their cents.  Spark side: time-bucket
+    blocking (explode interval into 1-h buckets, equi-join on the bucket,
+    exact BETWEEN residual) — each match produced exactly once, never the
+    cross product the oracle's naive BETWEEN join runs at driver scale."""
+    ev = _events(spark, sf_dir)
+    intervals = EV.sessionize(ev, include_end=True).select(
+        "user_id",
+        "session_idx",
+        F.col("session_start_us").alias("start_us"),
+        F.col("session_end_us").alias("end_us"),
+    )
+    pts = ev.select(
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    r = EV.interval_overlap_counts(intervals, pts)
+    return r.select(
+        "user_id", "session_idx", "n_overlap_events", "overlap_cents"
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: backlink counts over the sf0.001 vault corpus."""
     sf_dir = "/root/testdata/sf0.001"
@@ -1038,6 +1128,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_stream_edges": _q_kg_stream_edges,
         "kg_resume": _q_kg_resume,
         "ev_stream_windowed": _q_ev_stream_windowed,
+        "kg_triangles": _q_kg_triangles,
+        "kg_kcore": _q_kg_kcore,
+        "kg_communities": _q_kg_communities,
+        "ev_asof": _q_ev_asof,
+        "ev_range": _q_ev_range,
     }
 
 
@@ -1450,6 +1545,90 @@ def _bfs_ctes(root: str, depth: int) -> str:
     return ",\n".join(parts)
 
 
+def _triangle_ctes() -> str:
+    """Triangles over caller-supplied ``link_edges``: canonical a<b<c
+    enumeration (e1=(a,b), e2=(b,c), e3=(a,c) with und's u<v invariant) —
+    independent of the engine's degree-ordered orientation scheme."""
+    return """
+und AS MATERIALIZED (
+  SELECT DISTINCT least(subj, obj) AS u, greatest(subj, obj) AS v
+  FROM link_edges WHERE subj <> obj
+),
+tri AS MATERIALIZED (
+  SELECT e1.u AS ta, e1.v AS tb, e2.v AS tc
+  FROM und e1
+  JOIN und e2 ON e2.u = e1.v
+  JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v
+),
+corners AS (
+  SELECT ta AS id FROM tri
+  UNION ALL SELECT tb FROM tri
+  UNION ALL SELECT tc FROM tri
+)"""
+
+
+def _kcore_ctes(k: int, n_rounds: int) -> str:
+    """Unrolled k-core peel over ``link_edges``: per round, drop nodes
+    with undirected degree < k and restrict the edge set to kept×kept.
+    The fixpoint is unique (peel order doesn't matter), so ``n_rounds``
+    only needs to be ≥ the convergence depth at the compared scale —
+    validated by a rounds-vs-rounds+1 equality test.  AS MATERIALIZED is
+    load-bearing (each round references the previous twice)."""
+    parts = [
+        "ke0 AS MATERIALIZED (SELECT DISTINCT least(subj, obj) AS u,"
+        " greatest(subj, obj) AS v FROM link_edges WHERE subj <> obj)"
+    ]
+    for t in range(1, n_rounds + 1):
+        parts.append(
+            f"""kk{t} AS MATERIALIZED (
+  SELECT u AS id FROM (SELECT u, v FROM ke{t - 1}
+                       UNION ALL SELECT v, u FROM ke{t - 1})
+  GROUP BY u HAVING count(*) >= {k})"""
+        )
+        parts.append(
+            f"""ke{t} AS MATERIALIZED (
+  SELECT e.u, e.v FROM ke{t - 1} e
+  JOIN kk{t} a ON a.id = e.u
+  JOIN kk{t} b ON b.id = e.v)"""
+        )
+    parts.append(
+        f"kcore AS (SELECT u AS id, count(*) AS core_degree"
+        f" FROM (SELECT u, v FROM ke{n_rounds}"
+        f" UNION ALL SELECT v, u FROM ke{n_rounds}) GROUP BY u)"
+    )
+    return ",\n".join(parts)
+
+
+def _lpa_ctes(n_rounds: int) -> str:
+    """Unrolled synchronous label propagation over ``link_edges``: per
+    round every node adopts its neighbors' most frequent label (ties to
+    the smallest) — the exact deterministic update the engine runs, so
+    the round-``n_rounds`` snapshot is bit-identical."""
+    parts = [
+        "lund AS MATERIALIZED (SELECT DISTINCT least(subj, obj) AS u,"
+        " greatest(subj, obj) AS v FROM link_edges WHERE subj <> obj)",
+        "lsym AS MATERIALIZED (SELECT u, v FROM lund"
+        " UNION ALL SELECT v, u FROM lund)",
+        "lp0 AS MATERIALIZED (SELECT DISTINCT u AS id, u AS lbl FROM lsym)",
+    ]
+    for t in range(1, n_rounds + 1):
+        parts.append(
+            f"""lp{t} AS MATERIALIZED (
+  SELECT p.id, coalesce(w.nlbl, p.lbl) AS lbl
+  FROM lp{t - 1} p
+  LEFT JOIN (
+    SELECT id, nlbl FROM (
+      SELECT e.u AS id, l.lbl AS nlbl,
+             row_number() OVER (PARTITION BY e.u
+                                ORDER BY count(*) DESC, l.lbl ASC) AS rn
+      FROM lsym e JOIN lp{t - 1} l ON l.id = e.v
+      GROUP BY e.u, l.lbl)
+    WHERE rn = 1) w ON w.id = p.id)"""
+        )
+    parts.append(f"lpa AS (SELECT id, lbl AS community FROM lp{n_rounds})")
+    return ",\n".join(parts)
+
+
 def _kg_oracles(path: str) -> dict[str, str]:
     c = _kg_cte(path)
     mpath = os.path.join(os.path.dirname(path), "media.parquet")
@@ -1513,6 +1692,18 @@ SELECT 8::INTEGER AS n_buckets, 2::INTEGER AS n_resumed, 6::INTEGER AS n_skipped
         + ",\n"
         + _bfs_ctes("note_1", 6)
         + "\nSELECT id, dist FROM bfs_final",
+        "kg_triangles": c
+        + ",\n"
+        + _triangle_ctes()
+        + "\nSELECT id, count(*)::BIGINT AS n_triangles FROM corners GROUP BY id",
+        "kg_kcore": c
+        + ",\n"
+        + _kcore_ctes(3, 16)
+        + "\nSELECT id, core_degree::BIGINT AS core_degree FROM kcore",
+        "kg_communities": c
+        + ",\n"
+        + _lpa_ctes(4)
+        + "\nSELECT id, community FROM lpa",
         "kg_media_decoded": c
         + ",\n"
         + _media_decode_ctes(mpath)
@@ -2060,6 +2251,49 @@ SELECT user_id,
        count(*)::BIGINT AS n_events
 FROM events GROUP BY user_id
 ORDER BY value_cents DESC, user_id LIMIT 10""",
+        # DuckDB's NATIVE ASOF JOIN — an independent implementation of the
+        # operator the engine builds as a union-scan window pass
+        "ev_asof": """
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type FROM events
+),
+p AS (SELECT user_id, event_id, ts_us FROM e WHERE event_type = 'purchase'),
+v AS (SELECT user_id, event_id, ts_us FROM e WHERE event_type = 'view')
+SELECT p.event_id, p.user_id, p.ts_us::BIGINT AS ts_us,
+       v.event_id AS matched_event_id,
+       v.ts_us::BIGINT AS matched_ts_us,
+       (p.ts_us - v.ts_us)::BIGINT AS gap_us
+FROM p ASOF LEFT JOIN v
+  ON p.user_id = v.user_id AND p.ts_us >= v.ts_us""",
+        # naive BETWEEN join — fine at driver scale; the engine's bucketed
+        # blocking must produce the identical match set
+        "ev_range": f"""
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+m AS (
+  SELECT *, lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev_us
+  FROM e
+),
+s AS (
+  SELECT *, sum(CASE WHEN prev_us IS NULL
+                      OR ts_us - prev_us > {EV.SESSION_GAP_US} THEN 1 ELSE 0 END)
+            OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                  ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM m
+),
+iv AS (
+  SELECT user_id, session_idx::BIGINT AS session_idx,
+         min(ts_us) AS start_us, max(ts_us) AS end_us
+  FROM s GROUP BY user_id, session_idx
+)
+SELECT iv.user_id, iv.session_idx,
+       count(*)::BIGINT AS n_overlap_events,
+       sum(e.cents)::BIGINT AS overlap_cents
+FROM iv JOIN e ON e.ts_us BETWEEN iv.start_us AND iv.end_us
+GROUP BY iv.user_id, iv.session_idx""",
         "ts_split": f"""
 WITH b AS (SELECT n_chars, {bkt} AS bkt FROM documents)
 SELECT CASE WHEN bkt < 80 THEN 'train'

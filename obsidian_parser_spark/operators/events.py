@@ -14,10 +14,11 @@ SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 min
 WINDOW_US = 3_600 * 1_000_000  # 1 h tumbling
 
 
-def sessionize(events: DataFrame) -> DataFrame:
+def sessionize(events: DataFrame, include_end: bool = False) -> DataFrame:
     """Gaps-and-islands sessionization: a new session starts after a
     >30-min silence per user.  → (user_id, session_idx, session_start_us,
-    n_events, value_cents)."""
+    n_events, value_cents); ``include_end`` appends ``session_end_us``
+    (the interval form consumed by ``interval_overlap_counts``)."""
     e = events.select(
         "user_id",
         "event_id",
@@ -38,11 +39,14 @@ def sessionize(events: DataFrame) -> DataFrame:
             wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
         ),
     )
-    return sess.groupBy("user_id", "session_idx").agg(
+    aggs = [
         F.min("ts_us").alias("session_start_us"),
         F.count("*").alias("n_events"),
         F.sum("cents").alias("value_cents"),
-    )
+    ]
+    if include_end:
+        aggs.append(F.max("ts_us").alias("session_end_us"))
+    return sess.groupBy("user_id", "session_idx").agg(*aggs)
 
 
 def windowed_counts(events: DataFrame) -> DataFrame:
@@ -88,4 +92,118 @@ def props_json_stats(events: DataFrame) -> DataFrame:
             F.sum("k").alias("sum_k"),
             F.max("k").alias("max_k"),
         )
+    )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    ts: str = "ts_us",
+    payload: tuple[str, ...] = ("event_id",),
+    prefix: str = "matched_",
+) -> DataFrame:
+    """As-of join: attach to each ``left`` row the most recent ``right``
+    row (per ``key``) whose ``ts`` is at-or-before the left row's — the
+    point-in-time lookup Spark has no built-in operator for (DuckDB: the
+    native ``ASOF JOIN``, which is exactly what the driver oracle uses).
+
+    Implementation is the union-scan scheme, not a join: tag both sides,
+    union them, and run ONE window pass per key ordered by (ts, side,
+    tie-break) with ``last(payload, ignorenulls=True)`` carrying the
+    latest right payload forward onto every left row.  Scale shape: a
+    single shuffle on ``key`` + an in-partition sort — compared with the
+    join-then-filter-then-argmax formulation this never materializes the
+    quadratic (left × earlier-rights) intermediate, and partial windows
+    stream through each partition.  Right rows at a left row's exact ts
+    sort BEFORE it (at-or-before semantics, matching ASOF's ``>=``); ties
+    inside the right side break by the first payload column (largest
+    wins), so the output is deterministic even with duplicate (key, ts)
+    right rows.  Unmatched left rows keep NULL payloads (left-outer ASOF).
+
+    Returns ``left``'s columns plus ``<prefix><payload_i>`` and
+    ``<prefix><ts>``.
+    """
+    r_types = dict(right.dtypes)
+    l_types = dict(left.dtypes)
+    carried = list(payload) + [ts]
+    left_only = [c for c in left.columns if c not in (key, ts)]
+    l = left.select(
+        F.col(key),
+        F.col(ts),
+        *[F.col(c) for c in left_only],
+        F.lit(1).alias("_is_l"),
+        *[F.lit(None).cast(r_types[c]).alias(f"_r_{c}") for c in carried],
+    )
+    r = right.select(
+        F.col(key),
+        F.col(ts),
+        *[F.lit(None).cast(l_types[c]).alias(c) for c in left_only],
+        F.lit(0).alias("_is_l"),
+        *[F.col(c).alias(f"_r_{c}") for c in carried],
+    )
+    u = l.unionByName(r)
+    order = [F.col(ts).asc(), F.col("_is_l").asc()]
+    if payload:
+        order.append(F.col(f"_r_{payload[0]}").asc_nulls_first())
+    w = (
+        Window.partitionBy(key)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = u.select(
+        F.col(key),
+        F.col(ts),
+        *[F.col(c) for c in left_only],
+        F.col("_is_l"),
+        *[
+            F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"{prefix}{c}")
+            for c in carried
+        ],
+    )
+    return filled.filter(F.col("_is_l") == 1).drop("_is_l")
+
+
+def interval_overlap_counts(
+    intervals: DataFrame,
+    points: DataFrame,
+    bucket_us: int = WINDOW_US,
+) -> DataFrame:
+    """Range join: aggregate ``points`` (ts_us, cents) falling inside each
+    interval [start_us, end_us] — per interval → (interval keys…,
+    n_overlap_events, overlap_cents).
+
+    Spark has no native range-join operator; the naive formulation is a
+    cross join + BETWEEN filter (quadratic — the oracle does exactly that,
+    which is fine for DuckDB at driver scale).  The scale path here is
+    time-bucket blocking: each interval explodes into the ``bucket_us``
+    buckets it spans, each point keys by its own bucket, and the match is
+    a plain equi-join on the bucket + an exact BETWEEN residual filter.
+    Every (interval, point) match is produced exactly once (a point's
+    bucket is in the interval's span list iff the point can be inside it),
+    so no dedup pass is needed.  Pick ``bucket_us`` near the median
+    interval length: the per-interval bucket list stays O(1) and each
+    bucket's population is bounded, so the join never degenerates toward
+    the cross product it replaces.
+
+    ``intervals`` needs (user_id, session_idx, start_us, end_us);
+    ``points`` needs (ts_us, cents)."""
+    iv = intervals.withColumn(
+        "_b",
+        F.explode(
+            F.sequence(
+                (F.col("start_us") / bucket_us).cast("long"),
+                (F.col("end_us") / bucket_us).cast("long"),
+            )
+        ),
+    )
+    pt = points.select(
+        (F.col("ts_us") / bucket_us).cast("long").alias("_b"), "ts_us", "cents"
+    )
+    hits = iv.join(pt, "_b").filter(
+        F.col("ts_us").between(F.col("start_us"), F.col("end_us"))
+    )
+    return hits.groupBy("user_id", "session_idx", "start_us", "end_us").agg(
+        F.count(F.lit(1)).alias("n_overlap_events"),
+        F.sum("cents").alias("overlap_cents"),
     )

@@ -1,0 +1,184 @@
+"""Structural graph metrics over the resolved edge table: triangles,
+k-core, label-propagation communities.
+
+The reference's analyzer stops at degree-level statistics (count_components
+/ knowledge_hub / orphans, examples/analyzer.rs:60-96); these operators are
+the next rung of graph analysis a KG user runs over the same edge table,
+built so every step is a key-partitioned DataFrame plan that survives a
+10^12-edge graph:
+
+* ``triangle_counts`` — degree-ordered orientation (the MapReduce-classic
+  "compact-forward" scheme): every edge is directed from its lower-(degree,
+  id) endpoint to the higher one, which bounds oriented out-degree by
+  O(sqrt(m)), so the wedge self-join never explodes on a hub — the
+  10^7-degree note contributes wedges only through its (few) higher-ranked
+  neighbors.
+* ``k_core`` — iterative peel: drop nodes with undirected degree < k,
+  re-derive degrees, repeat to fixpoint.  Each round is one map-side-
+  combined groupBy + two semi-joins, checkpointed like the CC fixpoint
+  (``checkpointing.cut_lineage`` — durable on a cluster).
+* ``label_propagation`` — synchronous LPA over a FIXED round count with a
+  fully deterministic update (most-frequent neighbor label, ties to the
+  smallest label), so two engines (and two cluster sizes) produce
+  bit-identical communities.  Per round: one shuffle to count (node,
+  label) pairs + one partial-agg argmax — hub fan-in is absorbed by the
+  map-side combine.
+
+All three take the (subj, obj) edge frame (direction ignored — the
+reference analyzer's graphs are undirected for these, examples/
+analyzer.rs:85-88) and self-loops are dropped.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..checkpointing import cut_lineage
+
+
+def _undirected(edges: DataFrame) -> DataFrame:
+    """Distinct undirected edge set as (u < v) pairs, self-loops dropped."""
+    return (
+        edges.select(
+            F.least("subj", "obj").alias("u"), F.greatest("subj", "obj").alias("v")
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _symmetric(und: DataFrame) -> DataFrame:
+    # unionByName, not positional unionAll: a USING-join upstream (e.g. the
+    # k-core semi-joins) reorders columns to (v, u), and a positional union
+    # would silently "symmetrize" each edge onto itself
+    return und.select("u", "v").unionByName(
+        und.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+
+
+def triangle_counts(edges: DataFrame) -> DataFrame:
+    """→ (id, n_triangles) for every node in ≥ 1 triangle.
+
+    Orientation: edge {a, b} points a→b iff (deg(a), a) < (deg(b), b).
+    Wedges (b, c) around a are enumerated only from a's ORIENTED
+    out-neighbors (≤ O(sqrt(m)) of them), then closed by a semi-join
+    against the oriented edge set — each triangle is found exactly once,
+    at its lowest-ranked corner.  Both the wedge join and the closing join
+    are plain equi-joins on edge keys; AQE skew-split handles residual
+    imbalance.  The edge frame is checkpointed once (it is referenced
+    three times)."""
+    und = _undirected(edges)
+    deg = _symmetric(und).groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    # attach degrees to both endpoints, then orient by (degree, id)
+    du = deg.select(F.col("u").alias("_u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("u").alias("_v"), F.col("d").alias("dv"))
+    with_deg = (
+        und.join(du, und.u == du._u)
+        .join(dv, und.v == dv._v)
+        .select("u", "v", "du", "dv")
+    )
+    lower_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = cut_lineage(
+        with_deg.select(
+            F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("a"),
+            F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("b"),
+            F.when(lower_first, F.col("dv")).otherwise(F.col("du")).alias("rb"),
+        )
+    )
+    e1 = oriented.select(F.col("a"), F.col("b").alias("x"), F.col("rb").alias("rx"))
+    e2 = oriented.select(F.col("a"), F.col("b").alias("y"), F.col("rb").alias("ry"))
+    # wedge (x, y) with rank(x) < rank(y): both are out-neighbors of a
+    wedges = (
+        e1.join(e2, "a")
+        .filter(
+            (F.col("rx") < F.col("ry"))
+            | ((F.col("rx") == F.col("ry")) & (F.col("x") < F.col("y")))
+        )
+        .select("a", "x", "y")
+    )
+    closing = oriented.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    tris = wedges.join(closing, ["x", "y"])  # (a, x, y) is a triangle
+    corners = (
+        tris.select(F.col("a").alias("id"))
+        .unionAll(tris.select(F.col("x").alias("id")))
+        .unionAll(tris.select(F.col("y").alias("id")))
+    )
+    return corners.groupBy("id").agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
+def k_core(edges: DataFrame, k: int = 3, max_iter: int = 50) -> DataFrame:
+    """→ (id, core_degree): the k-core subgraph's nodes with their final
+    undirected degree (every returned degree ≥ k).
+
+    Peeling fixpoint: each round computes undirected degrees (one
+    map-side-combined groupBy), keeps nodes with degree ≥ k, and restricts
+    the edge set to kept×kept via two semi-joins.  The fixpoint is unique
+    (independent of peel order), so early exit on a stable edge count is
+    safe.  Each round's edge frame is checkpointed (durable on a cluster);
+    round N's plan never contains rounds 0..N-1."""
+    e = cut_lineage(_undirected(edges))
+    prev = -1
+    for _ in range(max_iter):
+        keep = (
+            _symmetric(e)
+            .groupBy("u")
+            .agg(F.count(F.lit(1)).alias("d"))
+            .filter(F.col("d") >= k)
+            .select(F.col("u").alias("id"))
+        )
+        e = cut_lineage(
+            e.join(keep.select(F.col("id").alias("u")), "u", "left_semi")
+            .join(keep.select(F.col("id").alias("v")), "v", "left_semi")
+            .select("u", "v")  # USING-joins reorder columns; re-pin (u, v)
+        )
+        cur = e.count()
+        if cur == prev:
+            break
+        prev = cur
+    return (
+        _symmetric(e)
+        .groupBy("u")
+        .agg(F.count(F.lit(1)).alias("core_degree"))
+        .select(F.col("u").alias("id"), "core_degree")
+    )
+
+
+def label_propagation(edges: DataFrame, n_rounds: int = 4) -> DataFrame:
+    """→ (id, community) after EXACTLY ``n_rounds`` synchronous label-
+    propagation rounds (labels start as the node id; per round every node
+    adopts the most frequent label among its neighbors, ties broken by the
+    smallest label; isolated endpoints keep their own).
+
+    A fixed round count (not run-to-convergence) keeps the output a pure
+    deterministic function of the edge set — bit-identical across engines
+    and cluster sizes, which is what lets the DuckDB oracle unroll the
+    same rounds as CTEs.  Per round: (node, neighbor-label) counts via one
+    shuffled groupBy, then argmax per node as ``min(struct(-count,
+    label))`` — a partial-aggregable expression, so hub fan-in combines
+    map-side."""
+    und = _undirected(edges)
+    sym = cut_lineage(_symmetric(und))
+    labels = cut_lineage(
+        sym.select(F.col("u").alias("id")).distinct().withColumn(
+            "lbl", F.col("id")
+        )
+    )
+    for _ in range(n_rounds):
+        nb = sym.join(
+            labels.select(F.col("id").alias("v"), F.col("lbl").alias("nlbl")), "v"
+        )
+        cnt = nb.groupBy("u", "nlbl").agg(F.count(F.lit(1)).alias("c"))
+        winners = cnt.groupBy("u").agg(
+            F.min(F.struct((-F.col("c")).alias("nc"), F.col("nlbl").alias("l"))).alias(
+                "w"
+            )
+        ).select(F.col("u").alias("id"), F.col("w.l").alias("new_lbl"))
+        labels = cut_lineage(
+            labels.join(winners, "id", "left").select(
+                "id", F.coalesce("new_lbl", "lbl").alias("lbl")
+            )
+        )
+    return labels.select("id", F.col("lbl").alias("community"))

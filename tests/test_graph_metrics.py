@@ -1,0 +1,183 @@
+"""Structural graph metrics (triangles / k-core / LPA communities) and the
+events as-of + range joins, against hand-computed and pure-python oracles."""
+
+import itertools
+from collections import Counter, defaultdict
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(
+        [(a, b) for a, b in pairs], "subj string, obj string"
+    )
+
+
+# a graph with known structure:
+#   K4 on a,b,c,d            -> 4 triangles, all of it a 3-core
+#   triangle e,f,g           -> 1 triangle, a 2-core but not 3-core
+#   pendant path g-h-i       -> no triangles, peeled by k>=2
+#   hub z linked to a..g     -> extra triangles via shared hub edges? no:
+#     z-x edges only (star) add no triangles unless both endpoints linked
+GRAPH = (
+    [(x, y) for x, y in itertools.combinations("abcd", 2)]
+    + [("e", "f"), ("f", "g"), ("g", "e")]
+    + [("g", "h"), ("h", "i")]
+    + [("z", n) for n in "abcdefg"]
+)
+
+
+def _py_triangles(pairs):
+    adj = defaultdict(set)
+    for a, b in pairs:
+        if a != b:
+            adj[a].add(b)
+            adj[b].add(a)
+    cnt = Counter()
+    for a, b, c in itertools.combinations(sorted(adj), 3):
+        if b in adj[a] and c in adj[a] and c in adj[b]:
+            cnt[a] += 1
+            cnt[b] += 1
+            cnt[c] += 1
+    return dict(cnt)
+
+
+def _py_kcore(pairs, k):
+    adj = defaultdict(set)
+    for a, b in pairs:
+        if a != b:
+            adj[a].add(b)
+            adj[b].add(a)
+    while True:
+        bad = [n for n in adj if len(adj[n]) < k]
+        if not bad:
+            break
+        for n in bad:
+            for m in adj[n]:
+                adj[m].discard(n)
+            del adj[n]
+    return {n: len(v) for n, v in adj.items() if v}
+
+
+def test_triangle_counts_known_graph(spark):
+    from obsidian_parser_spark.operators.graph_metrics import triangle_counts
+
+    got = {
+        r["id"]: r["n_triangles"]
+        for r in triangle_counts(_edges(spark, GRAPH)).collect()
+    }
+    assert got == _py_triangles(GRAPH)
+
+
+def test_triangle_counts_direction_and_dups_ignored(spark):
+    from obsidian_parser_spark.operators.graph_metrics import triangle_counts
+
+    tri = [("a", "b"), ("b", "c"), ("c", "a")]
+    noisy = tri + [(b, a) for a, b in tri] + tri + [("a", "a")]
+    got = {
+        r["id"]: r["n_triangles"]
+        for r in triangle_counts(_edges(spark, noisy)).collect()
+    }
+    assert got == {"a": 1, "b": 1, "c": 1}
+
+
+@pytest.mark.parametrize("k", [2, 3])
+def test_k_core_matches_python_peel(spark, k):
+    from obsidian_parser_spark.operators.graph_metrics import k_core
+
+    got = {
+        r["id"]: r["core_degree"]
+        for r in k_core(_edges(spark, GRAPH), k=k).collect()
+    }
+    assert got == _py_kcore(GRAPH, k)
+
+
+def test_k_core_empty_when_overpruned(spark):
+    from obsidian_parser_spark.operators.graph_metrics import k_core
+
+    path = [("a", "b"), ("b", "c"), ("c", "d")]
+    assert k_core(_edges(spark, path), k=2).count() == 0
+
+
+def test_label_propagation_two_cliques(spark):
+    from obsidian_parser_spark.operators.graph_metrics import label_propagation
+
+    # two K4s joined by one bridge edge: LPA must settle each clique on its
+    # own min label, bridge notwithstanding (3-vs-1 neighbor majority)
+    g = (
+        [(x, y) for x, y in itertools.combinations(["a1", "a2", "a3", "a4"], 2)]
+        + [(x, y) for x, y in itertools.combinations(["b1", "b2", "b3", "b4"], 2)]
+        + [("a4", "b1")]
+    )
+    got = {
+        r["id"]: r["community"]
+        for r in label_propagation(_edges(spark, g), n_rounds=4).collect()
+    }
+    assert {got[n] for n in ("a1", "a2", "a3", "a4")} == {"a1"}
+    assert {got[n] for n in ("b1", "b2", "b3", "b4")} == {"b1"}
+
+
+def test_label_propagation_deterministic(spark):
+    from obsidian_parser_spark.operators.graph_metrics import label_propagation
+
+    a = sorted(map(tuple, label_propagation(_edges(spark, GRAPH), 3).collect()))
+    b = sorted(map(tuple, label_propagation(_edges(spark, GRAPH), 3).collect()))
+    assert a == b
+
+
+# --- events: as-of + range joins -----------------------------------------
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(
+        rows, "user_id long, event_id long, ts_us long"
+    )
+
+
+def test_asof_join_basic_and_ties(spark):
+    from obsidian_parser_spark.operators.events import asof_join
+
+    left = _ev(spark, [(1, 10, 100), (1, 11, 205), (1, 12, 50), (2, 20, 400)])
+    right = _ev(spark, [(1, 90, 100), (1, 91, 200), (3, 92, 10)])
+    got = {
+        r["event_id"]: (r["matched_event_id"], r["matched_ts_us"])
+        for r in asof_join(left, right).collect()
+    }
+    assert got == {
+        10: (90, 100),  # at-or-before: equal ts matches
+        11: (91, 200),
+        12: (None, None),  # nothing at-or-before
+        20: (None, None),  # user has no right rows
+    }
+
+
+def test_asof_join_duplicate_ts_right_rows_deterministic(spark):
+    from obsidian_parser_spark.operators.events import asof_join
+
+    left = _ev(spark, [(1, 10, 500)])
+    right = _ev(spark, [(1, 90, 300), (1, 95, 300), (1, 91, 300)])
+    (row,) = asof_join(left, right).collect()
+    assert row["matched_event_id"] == 95  # largest payload id at the tie ts
+
+
+def test_interval_overlap_counts_matches_naive(spark):
+    from obsidian_parser_spark.operators.events import interval_overlap_counts
+
+    intervals = spark.createDataFrame(
+        [(1, 1, 100, 250), (1, 2, 300, 300), (2, 1, 0, 1000)],
+        "user_id long, session_idx long, start_us long, end_us long",
+    )
+    pts_rows = [(50, 1), (100, 2), (250, 4), (251, 8), (300, 16), (1000, 32)]
+    pts = spark.createDataFrame(pts_rows, "ts_us long, cents long")
+    # tiny bucket forces multi-bucket interval spans (the dedup-free claim)
+    got = {
+        (r["user_id"], r["session_idx"]): (r["n_overlap_events"], r["overlap_cents"])
+        for r in interval_overlap_counts(intervals, pts, bucket_us=100).collect()
+    }
+    naive = {}
+    for u, s, lo, hi in [(1, 1, 100, 250), (1, 2, 300, 300), (2, 1, 0, 1000)]:
+        inside = [(t, c) for t, c in pts_rows if lo <= t <= hi]
+        if inside:
+            naive[(u, s)] = (len(inside), sum(c for _, c in inside))
+    assert got == naive

@@ -95,3 +95,23 @@ def test_cc_oracle_worst_case_chain():
 def test_entry_smoke(spark):
     df = E.entry(spark)
     assert df.count() > 0
+
+
+def test_kcore_oracle_rounds_converged(con):
+    """The kg_kcore oracle unrolls a FIXED 16 peel rounds while the engine
+    peels to the (unique) fixpoint — valid only if 16 rounds have already
+    converged at the compared scale.  Pin that: rounds 16 and 17 must
+    produce the identical core."""
+    path = E.ensure_vault_corpus(os.path.basename(SF_DIR))
+    c = E._kg_cte(path)
+    outs = []
+    for rounds in (16, 17):
+        sql = (
+            c
+            + ",\n"
+            + E._kcore_ctes(3, rounds)
+            + "\nSELECT id, core_degree FROM kcore ORDER BY id"
+        )
+        outs.append(con.execute(sql).fetchall())
+    assert outs[0] == outs[1]
+    assert len(outs[0]) > 0  # non-vacuous at this scale

@@ -176,3 +176,40 @@ def test_pack_chunks_plan_jvm_only(spark):
     for marker in PY_MARKERS:
         assert marker not in plan, marker
     assert "Window" in plan
+
+
+def test_graph_metrics_plans_jvm_only_no_cartesian(spark):
+    """Triangles / k-core / LPA / as-of / range join: all pure JVM, and no
+    plan degenerates to a cartesian product (the scale guarantees their
+    docstrings claim)."""
+    from obsidian_parser_spark.operators import graph_metrics as GM
+    from obsidian_parser_spark.operators.events import (
+        asof_join,
+        interval_overlap_counts,
+    )
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d")],
+        "subj string, obj string",
+    )
+    ev = spark.createDataFrame(
+        [(1, 10, 100), (1, 11, 200)], "user_id long, event_id long, ts_us long"
+    )
+    iv = spark.createDataFrame(
+        [(1, 1, 0, 250)],
+        "user_id long, session_idx long, start_us long, end_us long",
+    )
+    pts = spark.createDataFrame([(100, 5)], "ts_us long, cents long")
+    frames = [
+        GM.triangle_counts(edges),
+        GM.k_core(edges, k=2, max_iter=2),
+        GM.label_propagation(edges, n_rounds=1),
+        asof_join(ev, ev),
+        interval_overlap_counts(iv, pts),
+    ]
+    for df in frames:
+        plan = _plan(df)
+        for marker in PY_MARKERS:
+            assert marker not in plan, marker
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
