@@ -1992,6 +1992,29 @@ pairs AS (
 SELECT a, b, hamming FROM pairs WHERE hamming <= 3"""
 
 
+def _session_ctes() -> str:
+    """Gaps-and-islands sessionization CTEs over ``events`` — e(user_id,
+    event_id, ts_us, cents) → s(…, session_idx).  The single source of
+    truth shared by the ev_sessionize and ev_range oracles, so the gap
+    rule / ordering can never drift between them."""
+    return f"""e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+m AS (
+  SELECT *, lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev_us
+  FROM e
+),
+s AS (
+  SELECT *, sum(CASE WHEN prev_us IS NULL
+                      OR ts_us - prev_us > {EV.SESSION_GAP_US} THEN 1 ELSE 0 END)
+            OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                  ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM m
+)"""
+
+
 def _datapipe_oracles() -> dict[str, str]:
     tok = r"list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')"
     # sampling.hash_bucket mirror: first 16 bits of md5(id || salt) mod m
@@ -2218,23 +2241,9 @@ SELECT doc_id,
                       list_transform({tok}, x -> (len(x) * 7 + ascii(x))::BIGINT)),
          (acc, v) -> (acc * 31 + v) % 1000000007) AS fingerprint
 FROM documents""",
-        "ev_sessionize": f"""
-WITH e AS (
-  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
-         CAST(round(value * 100) AS BIGINT) AS cents
-  FROM events
-),
-m AS (
-  SELECT *, lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev_us
-  FROM e
-),
-s AS (
-  SELECT *, sum(CASE WHEN prev_us IS NULL
-                      OR ts_us - prev_us > {EV.SESSION_GAP_US} THEN 1 ELSE 0 END)
-            OVER (PARTITION BY user_id ORDER BY ts_us, event_id
-                  ROWS UNBOUNDED PRECEDING) AS session_idx
-  FROM m
-)
+        "ev_sessionize": "WITH "
+        + _session_ctes()
+        + """
 SELECT user_id, session_idx::BIGINT AS session_idx,
        min(ts_us)::BIGINT AS session_start_us,
        count(*)::BIGINT AS n_events, sum(cents)::BIGINT AS value_cents
@@ -2252,13 +2261,19 @@ SELECT user_id,
 FROM events GROUP BY user_id
 ORDER BY value_cents DESC, user_id LIMIT 10""",
         # DuckDB's NATIVE ASOF JOIN — an independent implementation of the
-        # operator the engine builds as a union-scan window pass
+        # operator the engine builds as a union-scan window pass.  The right
+        # side is pre-collapsed to one row per (user_id, ts_us) keeping the
+        # LARGEST event_id: ASOF picks an arbitrary row among equal
+        # timestamps, while the engine's documented tie-break is
+        # largest-payload-id — the pre-aggregation makes both well-defined
+        # and identical even when the data carries ts collisions
         "ev_asof": """
 WITH e AS (
   SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type FROM events
 ),
 p AS (SELECT user_id, event_id, ts_us FROM e WHERE event_type = 'purchase'),
-v AS (SELECT user_id, event_id, ts_us FROM e WHERE event_type = 'view')
+v AS (SELECT user_id, ts_us, max(event_id) AS event_id
+      FROM e WHERE event_type = 'view' GROUP BY user_id, ts_us)
 SELECT p.event_id, p.user_id, p.ts_us::BIGINT AS ts_us,
        v.event_id AS matched_event_id,
        v.ts_us::BIGINT AS matched_ts_us,
@@ -2266,24 +2281,11 @@ SELECT p.event_id, p.user_id, p.ts_us::BIGINT AS ts_us,
 FROM p ASOF LEFT JOIN v
   ON p.user_id = v.user_id AND p.ts_us >= v.ts_us""",
         # naive BETWEEN join — fine at driver scale; the engine's bucketed
-        # blocking must produce the identical match set
-        "ev_range": f"""
-WITH e AS (
-  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
-         CAST(round(value * 100) AS BIGINT) AS cents
-  FROM events
-),
-m AS (
-  SELECT *, lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev_us
-  FROM e
-),
-s AS (
-  SELECT *, sum(CASE WHEN prev_us IS NULL
-                      OR ts_us - prev_us > {EV.SESSION_GAP_US} THEN 1 ELSE 0 END)
-            OVER (PARTITION BY user_id ORDER BY ts_us, event_id
-                  ROWS UNBOUNDED PRECEDING) AS session_idx
-  FROM m
-),
+        # blocking must produce the identical match set.  Sessionization
+        # CTEs shared with ev_sessionize (single source of truth)
+        "ev_range": "WITH "
+        + _session_ctes()
+        + """,
 iv AS (
   SELECT user_id, session_idx::BIGINT AS session_idx,
          min(ts_us) AS start_us, max(ts_us) AS end_us

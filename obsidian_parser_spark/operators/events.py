@@ -128,24 +128,31 @@ def asof_join(
     l_types = dict(left.dtypes)
     carried = list(payload) + [ts]
     left_only = [c for c in left.columns if c not in (key, ts)]
+    # the right payload rides as ONE struct, not per-column: last(ignorenulls)
+    # over independent columns could mix fields from DIFFERENT right rows
+    # when a payload field is NULL — the struct keeps each row's fields
+    # together (a right row's struct is non-null even with null fields)
+    r_struct_ddl = (
+        "struct<" + ",".join(f"{c}:{r_types[c]}" for c in carried) + ">"
+    )
     l = left.select(
         F.col(key),
         F.col(ts),
         *[F.col(c) for c in left_only],
         F.lit(1).alias("_is_l"),
-        *[F.lit(None).cast(r_types[c]).alias(f"_r_{c}") for c in carried],
+        F.lit(None).cast(r_struct_ddl).alias("_r"),
     )
     r = right.select(
         F.col(key),
         F.col(ts),
         *[F.lit(None).cast(l_types[c]).alias(c) for c in left_only],
         F.lit(0).alias("_is_l"),
-        *[F.col(c).alias(f"_r_{c}") for c in carried],
+        F.struct(*[F.col(c).alias(c) for c in carried]).alias("_r"),
     )
     u = l.unionByName(r)
     order = [F.col(ts).asc(), F.col("_is_l").asc()]
     if payload:
-        order.append(F.col(f"_r_{payload[0]}").asc_nulls_first())
+        order.append(F.col(f"_r.{payload[0]}").asc_nulls_first())
     w = (
         Window.partitionBy(key)
         .orderBy(*order)
@@ -156,12 +163,14 @@ def asof_join(
         F.col(ts),
         *[F.col(c) for c in left_only],
         F.col("_is_l"),
-        *[
-            F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"{prefix}{c}")
-            for c in carried
-        ],
+        F.last("_r", ignorenulls=True).over(w).alias("_m"),
     )
-    return filled.filter(F.col("_is_l") == 1).drop("_is_l")
+    return filled.filter(F.col("_is_l") == 1).select(
+        F.col(key),
+        F.col(ts),
+        *[F.col(c) for c in left_only],
+        *[F.col(f"_m.{c}").alias(f"{prefix}{c}") for c in carried],
+    )
 
 
 def interval_overlap_counts(
@@ -186,8 +195,9 @@ def interval_overlap_counts(
     bucket's population is bounded, so the join never degenerates toward
     the cross product it replaces.
 
-    ``intervals`` needs (user_id, session_idx, start_us, end_us);
-    ``points`` needs (ts_us, cents)."""
+    ``intervals`` needs (start_us, end_us) plus any identifying columns
+    (all non-bound columns become the group keys); ``points`` needs
+    (ts_us, cents)."""
     iv = intervals.withColumn(
         "_b",
         F.explode(
@@ -203,7 +213,8 @@ def interval_overlap_counts(
     hits = iv.join(pt, "_b").filter(
         F.col("ts_us").between(F.col("start_us"), F.col("end_us"))
     )
-    return hits.groupBy("user_id", "session_idx", "start_us", "end_us").agg(
+    keys = [c for c in intervals.columns if c not in ("start_us", "end_us")]
+    return hits.groupBy(*keys, "start_us", "end_us").agg(
         F.count(F.lit(1)).alias("n_overlap_events"),
         F.sum("cents").alias("overlap_cents"),
     )

@@ -66,9 +66,11 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     against the oriented edge set — each triangle is found exactly once,
     at its lowest-ranked corner.  Both the wedge join and the closing join
     are plain equi-joins on edge keys; AQE skew-split handles residual
-    imbalance.  The edge frame is checkpointed once (it is referenced
-    three times)."""
-    und = _undirected(edges)
+    imbalance.  Both multiply-referenced frames are checkpointed: ``und``
+    (degree agg + two degree-attach joins) and ``oriented`` (both wedge
+    sides + the closing join) — without the cuts each reference re-runs
+    the full edge scan + distinct shuffle inside one job."""
+    und = cut_lineage(_undirected(edges))
     deg = _symmetric(und).groupBy("u").agg(F.count(F.lit(1)).alias("d"))
     # attach degrees to both endpoints, then orient by (degree, id)
     du = deg.select(F.col("u").alias("_u"), F.col("d").alias("du"))
@@ -118,9 +120,15 @@ def k_core(edges: DataFrame, k: int = 3, max_iter: int = 50) -> DataFrame:
     the edge set to kept×kept via two semi-joins.  The fixpoint is unique
     (independent of peel order), so early exit on a stable edge count is
     safe.  Each round's edge frame is checkpointed (durable on a cluster);
-    round N's plan never contains rounds 0..N-1."""
+    round N's plan never contains rounds 0..N-1.
+
+    Raises RuntimeError when ``max_iter`` rounds don't reach the fixpoint
+    (a long induced path peels one layer per round from its ends) — a
+    truncated peel is never silently returned as the core, since it could
+    contain nodes below the documented degree-≥-k invariant."""
     e = cut_lineage(_undirected(edges))
     prev = -1
+    converged = False
     for _ in range(max_iter):
         keep = (
             _symmetric(e)
@@ -136,8 +144,14 @@ def k_core(edges: DataFrame, k: int = 3, max_iter: int = 50) -> DataFrame:
         )
         cur = e.count()
         if cur == prev:
+            converged = True
             break
         prev = cur
+    if not converged:
+        raise RuntimeError(
+            f"k_core did not converge within max_iter={max_iter} rounds "
+            f"(edge count still changing: {prev} -> {cur}); raise max_iter"
+        )
     return (
         _symmetric(e)
         .groupBy("u")

@@ -14,12 +14,13 @@ def _edges(spark, pairs):
     )
 
 
-# a graph with known structure:
-#   K4 on a,b,c,d            -> 4 triangles, all of it a 3-core
-#   triangle e,f,g           -> 1 triangle, a 2-core but not 3-core
+# a graph with known structure (counts asserted against the pure-python
+# oracle below, not by hand):
+#   K4 on a,b,c,d            -> 4 triangles among themselves
+#   triangle e,f,g           -> 1 triangle
 #   pendant path g-h-i       -> no triangles, peeled by k>=2
-#   hub z linked to a..g     -> extra triangles via shared hub edges? no:
-#     z-x edges only (star) add no triangles unless both endpoints linked
+#   hub z linked to a..g     -> z closes a triangle with EVERY linked pair
+#     that is itself an edge: 6 in the K4 + 3 in efg = 9 more triangles
 GRAPH = (
     [(x, y) for x, y in itertools.combinations("abcd", 2)]
     + [("e", "f"), ("f", "g"), ("g", "e")]
@@ -100,6 +101,17 @@ def test_k_core_empty_when_overpruned(spark):
     assert k_core(_edges(spark, path), k=2).count() == 0
 
 
+def test_k_core_raises_instead_of_returning_truncated_peel(spark):
+    from obsidian_parser_spark.operators.graph_metrics import k_core
+
+    # a path peels one layer per round from its ends: max_iter=1 cannot
+    # reach the (empty) 2-core fixpoint, and the operator must say so
+    # loudly rather than return nodes below the degree->=k invariant
+    path = [(c1, c2) for c1, c2 in zip("abcdef", "bcdefg")]
+    with pytest.raises(RuntimeError, match="did not converge"):
+        k_core(_edges(spark, path), k=2, max_iter=1)
+
+
 def test_label_propagation_two_cliques(spark):
     from obsidian_parser_spark.operators.graph_metrics import label_propagation
 
@@ -159,6 +171,21 @@ def test_asof_join_duplicate_ts_right_rows_deterministic(spark):
     right = _ev(spark, [(1, 90, 300), (1, 95, 300), (1, 91, 300)])
     (row,) = asof_join(left, right).collect()
     assert row["matched_event_id"] == 95  # largest payload id at the tie ts
+
+
+def test_asof_join_null_payload_fields_stay_row_consistent(spark):
+    from obsidian_parser_spark.operators.events import asof_join
+
+    # the matched payload must come from ONE right row: a NULL payload
+    # field in the latest right row must NOT be backfilled from an older
+    # right row (the per-column last(ignorenulls) hazard)
+    left = _ev(spark, [(1, 10, 300)])
+    right = spark.createDataFrame(
+        [(1, 90, 100), (1, None, 200)], "user_id long, event_id long, ts_us long"
+    )
+    (row,) = asof_join(left, right).collect()
+    assert row["matched_ts_us"] == 200
+    assert row["matched_event_id"] is None  # not 90 from the older row
 
 
 def test_interval_overlap_counts_matches_naive(spark):
