@@ -654,6 +654,33 @@ def _q_kg_pixels(spark, sf_dir):
     )
 
 
+def _q_kg_bmp(spark, sf_dir):
+    """REAL BMP pixel decode — the fourth natively-decoded format: read
+    the UNCOMPRESSED 24-bit BGR raster straight off the pixel-array
+    offset (no inflate at all), drop per-row alignment padding, sum every
+    channel exactly.  The oracle recomputes the sums from the corpus'
+    two-tone color rule + header-parsed dims — a wrong row stride,
+    padding handling, or BGR→RGB mapping produces wrong integers and
+    fails the hash.  Corrupt payloads -> ok=false (-1 sentinels)."""
+    from obsidian_parser_spark.operators.multimodal import image_channel_stats
+
+    media = spark.read.parquet(ensure_media_corpus(_sf_name(sf_dir))).filter(
+        F.col("media_ref").endswith(".bmp")
+    )
+    d = image_channel_stats(media)
+    neg = F.lit(-1)
+    return d.select(
+        "media_ref",
+        F.coalesce("width", neg).cast("int").alias("width"),
+        F.coalesce("height", neg).cast("int").alias("height"),
+        F.coalesce("n_px", neg).cast("long").alias("n_px"),
+        F.coalesce("sum_r", neg).cast("long").alias("sum_r"),
+        F.coalesce("sum_g", neg).cast("long").alias("sum_g"),
+        F.coalesce("sum_b", neg).cast("long").alias("sum_b"),
+        "ok",
+    )
+
+
 def _q_kg_audio(spark, sf_dir):
     """REAL PCM decode: 16-bit LE samples read straight off each WAV
     payload's data chunk and summed exactly; the oracle recomputes the sum
@@ -964,6 +991,34 @@ def _q_ev_stream_windowed(spark, sf_dir):
     )
 
 
+_PPR_SEEDS = ("note_1", "note_2", "note_3")
+
+
+def _q_kg_ppr(spark, sf_dir):
+    """Personalized PageRank from a 3-note seed set (teleport mass returns
+    only to the seeds): the "related to these notes" ranking, integer
+    fixed-point like kg_pagerank so the oracle's unrolled CTEs are
+    bit-identical; unreachable nodes settle to exactly 0."""
+    from obsidian_parser_spark.operators.pagerank import personalized_pagerank
+
+    g = _graph(spark, sf_dir)
+    p = personalized_pagerank(
+        g.nodes, A.link_edges(g.edges), seeds=_PPR_SEEDS, n_iter=10
+    )
+    return p.select("id", F.col("pr").cast("long").alias("pr"))
+
+
+def _q_kg_assortativity(spark, sf_dir):
+    """Degree-assortativity sufficient statistics as ONE exact-integer
+    row (n_edge_ends, sum_d, sum_dd, sum_d2) over both orientations of
+    the undirected link graph — Pearson's r follows by a scalar formula,
+    kept caller-side so the hard signal stays integer-exact."""
+    from obsidian_parser_spark.operators.graph_metrics import degree_correlation
+
+    g = _graph(spark, sf_dir)
+    return degree_correlation(A.link_edges(g.edges))
+
+
 def _q_kg_triangles(spark, sf_dir):
     """Triangle counts per node over the undirected link graph via
     degree-ordered orientation (oriented out-degree ≤ O(sqrt(m)), so the
@@ -1133,6 +1188,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_communities": _q_kg_communities,
         "ev_asof": _q_ev_asof,
         "ev_range": _q_ev_range,
+        "kg_bmp": _q_kg_bmp,
+        "kg_ppr": _q_kg_ppr,
+        "kg_assortativity": _q_kg_assortativity,
     }
 
 
@@ -1271,23 +1329,41 @@ def _label_prop_rounds(n_rounds: int) -> str:
     return ",\n".join(parts)
 
 
-def _pagerank_ctes(n_iter: int = 10, damping: int = 85, scale: int = 1_000_000) -> str:
+def _pagerank_ctes(
+    n_iter: int = 10,
+    damping: int = 85,
+    scale: int = 1_000_000,
+    seeds: tuple[str, ...] | None = None,
+) -> str:
     """Unrolled integer fixed-point PageRank iterations mirroring
     operators/pagerank.py: every intermediate is an integer (DIV at the
     per-edge contribution and the damping step), so the ranks are
-    byte-identical across engines — no float summation order to drift."""
+    byte-identical across engines — no float summation order to drift.
+    With ``seeds``, the PERSONALIZED variant: initial mass and the
+    per-round base term go only to the seed set (mirrors
+    ``personalized_pagerank``)."""
     base = (100 - damping) * scale // 100
+    if seeds is None:
+        p0 = f"SELECT doc_id AS id, {scale}::BIGINT AS pr FROM notes"
+        base_term = str(base)
+    else:
+        in_list = ", ".join("'" + s.replace("'", "''") + "'" for s in seeds)
+        p0 = (
+            f"SELECT doc_id AS id, (CASE WHEN doc_id IN ({in_list})"
+            f" THEN {scale} ELSE 0 END)::BIGINT AS pr FROM notes"
+        )
+        base_term = f"(CASE WHEN n.id IN ({in_list}) THEN {base} ELSE 0 END)"
     parts = [
         "w AS MATERIALIZED (SELECT subj AS u, obj AS v, count(*) AS w"
         " FROM link_edges GROUP BY subj, obj)",
         "od AS (SELECT u, sum(w) AS od FROM w GROUP BY u)",
         "wj AS MATERIALIZED (SELECT w.u, w.v, w.w, od.od FROM w JOIN od USING (u))",
-        f"p0 AS (SELECT doc_id AS id, {scale}::BIGINT AS pr FROM notes)",
+        f"p0 AS ({p0})",
     ]
     for t in range(1, n_iter + 1):
         parts.append(
             f"""p{t} AS MATERIALIZED (
-  SELECT n.id, ({base} + ({damping} * coalesce(s.m, 0)) // 100)::BIGINT AS pr
+  SELECT n.id, ({base_term} + ({damping} * coalesce(s.m, 0)) // 100)::BIGINT AS pr
   FROM p{t - 1} n
   LEFT JOIN (SELECT wj.v, sum((p.pr * wj.w) // wj.od) AS m
              FROM wj JOIN p{t - 1} p ON p.id = wj.u GROUP BY wj.v) s
@@ -1392,6 +1468,17 @@ gif AS (
          {le2(7)} AS w, {le2(9)} AS ht
   FROM m WHERE lower(media_ref) LIKE '%.gif'
 ),
+bmp AS (
+  SELECT media_ref, 'image' AS media_type,
+         coalesce(n >= 54 AND substr(h, 1, 4) = '424D'
+                          AND {le4(19)} > 0
+                          AND {le4(23)} > 0
+                          AND {le4(23)} < 2147483648
+                          AND {le2(29)} = 24
+                          AND {le4(31)} = 0, FALSE) AS ok,
+         {le4(19)} AS w, {le4(23)} AS ht
+  FROM m WHERE lower(media_ref) LIKE '%.bmp'
+),
 wav AS (
   SELECT media_ref, 'audio' AS media_type,
          coalesce(n >= 44 AND substr(h, 1, 8) = '52494646'
@@ -1416,6 +1503,13 @@ dec AS (
          (CASE WHEN ok THEN 0 ELSE -1 END)::BIGINT AS duration_ms,
          ok
   FROM gif
+  UNION ALL
+  SELECT media_ref, media_type,
+         (CASE WHEN ok THEN w ELSE -1 END)::INTEGER AS width,
+         (CASE WHEN ok THEN ht ELSE -1 END)::INTEGER AS height,
+         (CASE WHEN ok THEN 0 ELSE -1 END)::BIGINT AS duration_ms,
+         ok
+  FROM bmp
   UNION ALL
   SELECT media_ref, media_type,
          (CASE WHEN ok THEN 0 ELSE -1 END)::INTEGER AS width,
@@ -1481,6 +1575,46 @@ rule AS (
   SELECT media_ref, j, w, ht, ok, ht // 2 AS top, ht - ht // 2 AS bot,
          j % 256 AS ctr, (j * 7) % 256 AS ctg, (j * 13) % 256 AS ctb,
          (j * 3) % 256 AS cbr, (j * 5) % 256 AS cbg, (j * 11) % 256 AS cbb
+  FROM hdr
+)
+SELECT media_ref,
+       (CASE WHEN ok THEN w ELSE -1 END)::INTEGER AS width,
+       (CASE WHEN ok THEN ht ELSE -1 END)::INTEGER AS height,
+       (CASE WHEN ok THEN w * ht ELSE -1 END)::BIGINT AS n_px,
+       (CASE WHEN ok THEN w * (top * ctr + bot * cbr) ELSE -1 END)::BIGINT AS sum_r,
+       (CASE WHEN ok THEN w * (top * ctg + bot * cbg) ELSE -1 END)::BIGINT AS sum_g,
+       (CASE WHEN ok THEN w * (top * ctb + bot * cbb) ELSE -1 END)::BIGINT AS sum_b,
+       ok
+FROM rule"""
+
+
+def _media_bmp_oracle(mpath: str) -> str:
+    """EXACT BMP channel sums WITHOUT touching the raster: the corpus'
+    two-tone rule is a pure function of the ref number m, dims come from
+    the header hex (little-endian int32), so sum_r = w·(⌊h/2⌋·ct_r +
+    ⌈h/2⌉·cb_r) etc.  The engine reads and sums the actual raster bytes;
+    equality proves stride/padding/BGR handling."""
+    le4, le2 = _hex_le4, _hex_le2
+    mx = r"TRY_CAST(regexp_extract(media_ref, 'flat_(\d+)\.bmp', 1) AS BIGINT)"
+    return f"""
+WITH m AS (
+  SELECT media_ref, hex(payload) AS h, octet_length(payload) AS n
+  FROM read_parquet('{mpath}') WHERE lower(media_ref) LIKE '%.bmp'
+),
+hdr AS (
+  SELECT media_ref, {mx} AS mm, {le4(19)} AS w, {le4(23)} AS ht,
+         coalesce(n >= 54 AND substr(h, 1, 4) = '424D'
+                          AND {le4(19)} > 0
+                          AND {le4(23)} > 0
+                          AND {le4(23)} < 2147483648
+                          AND {le2(29)} = 24
+                          AND {le4(31)} = 0, FALSE) AS ok
+  FROM m
+),
+rule AS (
+  SELECT media_ref, w, ht, ok, ht // 2 AS top, ht - ht // 2 AS bot,
+         mm % 256 AS ctr, (mm * 19) % 256 AS ctg, (mm * 31) % 256 AS ctb,
+         (mm * 7) % 256 AS cbr, (mm * 3) % 256 AS cbg, (mm * 41) % 256 AS cbb
   FROM hdr
 )
 SELECT media_ref,
@@ -1685,6 +1819,7 @@ SELECT 8::INTEGER AS n_buckets, 2::INTEGER AS n_resumed, 6::INTEGER AS n_skipped
         "kg_pixels": _media_pixels_oracle(mpath),
         "kg_audio": _media_audio_oracle(mpath),
         "kg_gif": _media_gif_oracle(mpath),
+        "kg_bmp": _media_bmp_oracle(mpath),
         "kg_pack": kg_pack_sql,
         "kg_stream_edges": c + "SELECT subj, pred, obj FROM link_edges",
         "kg_resume": kg_resume_sql,
@@ -1704,6 +1839,23 @@ SELECT 8::INTEGER AS n_buckets, 2::INTEGER AS n_resumed, 6::INTEGER AS n_skipped
         + ",\n"
         + _lpa_ctes(4)
         + "\nSELECT id, community FROM lpa",
+        "kg_ppr": c
+        + ",\n"
+        + _pagerank_ctes(10, seeds=_PPR_SEEDS)
+        + "\nSELECT id, pr FROM pr_final",
+        "kg_assortativity": c
+        + """,
+aund AS MATERIALIZED (
+  SELECT DISTINCT least(subj, obj) AS u, greatest(subj, obj) AS v
+  FROM link_edges WHERE subj <> obj
+),
+asym AS (SELECT u, v FROM aund UNION ALL SELECT v, u FROM aund),
+adeg AS (SELECT u, count(*) AS d FROM asym GROUP BY u)
+SELECT count(*)::BIGINT AS n_edge_ends,
+       sum(x.d)::BIGINT AS sum_d,
+       sum(x.d * y.d)::BIGINT AS sum_dd,
+       sum(x.d * x.d)::BIGINT AS sum_d2
+FROM asym e JOIN adeg x ON x.u = e.u JOIN adeg y ON y.u = e.v""",
         "kg_media_decoded": c
         + ",\n"
         + _media_decode_ctes(mpath)

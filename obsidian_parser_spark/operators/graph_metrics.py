@@ -196,3 +196,36 @@ def label_propagation(edges: DataFrame, n_rounds: int = 4) -> DataFrame:
             )
         )
     return labels.select("id", F.col("lbl").alias("community"))
+
+
+def degree_correlation(edges: DataFrame) -> DataFrame:
+    """One-row EXACT-INTEGER sufficient statistics for degree
+    assortativity over the undirected graph: for every ordered
+    orientation (u, v) of every distinct edge, the degree pair
+    (d(u), d(v)) contributes to
+
+      (n_edge_ends, sum_d, sum_dd, sum_d2)
+
+    from which Pearson's r (Newman's degree assortativity) is
+    r = (n·Σdd − (Σd)²) / (n·Σd² − (Σd)²) — left to the caller, so the
+    engine output stays integer-exact and engine-portable (both
+    orientations are summed, making the u- and v-marginals identical by
+    symmetry).  Scale shape: one degree aggregation + two key-partitioned
+    joins + one map-side-combined global aggregate; no cross product, no
+    driver loop."""
+    und = cut_lineage(_undirected(edges))
+    deg = _symmetric(und).groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    sym = _symmetric(und)
+    du = deg.select(F.col("u").alias("_u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("u").alias("_v"), F.col("d").alias("dv"))
+    j = (
+        sym.join(du, sym.u == du._u)
+        .join(dv, sym.v == dv._v)
+        .select("du", "dv")
+    )
+    return j.agg(
+        F.count(F.lit(1)).alias("n_edge_ends"),
+        F.sum("du").alias("sum_d"),
+        F.sum(F.col("du") * F.col("dv")).alias("sum_dd"),
+        F.sum(F.col("du") * F.col("du")).alias("sum_d2"),
+    )

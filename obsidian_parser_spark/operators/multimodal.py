@@ -3,12 +3,14 @@
 Media enters as ``kind='media'``/``kind='embed'`` spans carrying an opaque
 ``media_ref``, plus (for payload-bearing tables) a ``binary`` column.
 The Spark-side plumbing — schema, batch shape, partitioning, Arrow
-transfer — is real and tested, and for PNG, GIF and WAV the DECODE itself
-is real too: all three carry their metadata in fixed headers parseable
-with stdlib ``struct`` from the first bytes (no PIL/ffmpeg needed) —
-PNG signature + IHDR width/height (big-endian), GIF logical screen
-descriptor width/height (little-endian) + positional block walk for frame
-counts, WAV RIFF/fmt byte-rate + data size → duration.  Formats whose
+transfer — is real and tested, and for PNG, GIF, BMP and WAV the DECODE
+itself is real too: all four carry their metadata in fixed headers
+parseable with stdlib ``struct`` from the first bytes (no PIL/ffmpeg
+needed) — PNG signature + IHDR width/height (big-endian), GIF logical
+screen descriptor width/height (little-endian) + positional block walk
+for frame counts, BMP BITMAPINFOHEADER width/height (little-endian) over
+an uncompressed raster, WAV RIFF/fmt byte-rate + data size → duration.
+Formats whose
 metadata needs a real codec (jpeg/mp4/...) remain DECLARED STUBS behind
 ``strict=True`` (default: an ``ok=false`` error-channel row — one stray
 .jpg in a 10^12-row table must not kill the job), since no image/audio
@@ -114,6 +116,25 @@ def _gif_frame_count(b: bytes) -> int | None:
     return None  # ran off the end without a trailer
 
 
+def _parse_bmp(b: bytes) -> tuple[int, int] | None:
+    """(width, height) from the BITMAPINFOHEADER, or None if not a valid
+    24-bit uncompressed BMP prefix.  Layout: 'BM' signature, pixel-array
+    offset at byte 10, width/height little-endian int32 at offsets 18/22,
+    bpp uint16 at 28, compression uint32 at 30 — all fixed-header, stdlib
+    parseable.  Only the subset the engine can fully decode (bpp=24,
+    BI_RGB, positive height = bottom-up) reports a valid header, mirroring
+    the SQL oracle's checks bit for bit."""
+    if len(b) < 54 or b[:2] != b"BM":
+        return None
+    w = int.from_bytes(b[18:22], "little")
+    h = int.from_bytes(b[22:26], "little")
+    bpp = int.from_bytes(b[28:30], "little")
+    comp = int.from_bytes(b[30:34], "little")
+    if w <= 0 or h <= 0 or h >= 1 << 31 or bpp != 24 or comp != 0:
+        return None
+    return w, h
+
+
 def _parse_wav(b: bytes) -> int | None:
     """duration_ms from the canonical RIFF/fmt/data header, or None if not
     a valid PCM WAV prefix.  byte_rate is little-endian uint32 at offset
@@ -143,6 +164,8 @@ def decode_media_payloads(
     * ``.png`` → (width, height) from IHDR, duration 0;
     * ``.gif`` → (width, height) from the logical screen descriptor,
       duration 0;
+    * ``.bmp`` → (width, height) from the BITMAPINFOHEADER (24-bit
+      BI_RGB subset), duration 0;
     * ``.wav`` → duration_ms from the RIFF header, width/height 0;
     * corrupt payload of a supported extension → ``ok=false``, NULL metrics
       (the error channel — never a thrown task);
@@ -169,6 +192,12 @@ def decode_media_payloads(
                         rows.append((ref, mt, wh[0], wh[1], 0, True))
                 elif ext == "gif":
                     wh = _parse_gif(b)
+                    if wh is None:
+                        rows.append((ref, mt, None, None, None, False))
+                    else:
+                        rows.append((ref, mt, wh[0], wh[1], 0, True))
+                elif ext == "bmp":
+                    wh = _parse_bmp(b)
                     if wh is None:
                         rows.append((ref, mt, None, None, None, False))
                     else:
@@ -229,6 +258,7 @@ def _media_type(ref: str) -> str:
     ext = ref.rsplit(".", 1)[-1].lower() if "." in ref else ""
     return {
         "png": "image", "jpg": "image", "jpeg": "image", "gif": "image",
+        "bmp": "image",
         "mp3": "audio", "wav": "audio", "flac": "audio",
         "mp4": "video", "mkv": "video", "webm": "video",
     }.get(ext, "unknown")
@@ -336,34 +366,59 @@ def _decode_png_pixels(b: bytes) -> tuple[int, int, int, int, int] | None:
     return width, height, int(s[0]), int(s[1]), int(s[2])
 
 
+def _decode_bmp_pixels(b: bytes) -> tuple[int, int, int, int, int] | None:
+    """REAL pixel decode for the 24-bit uncompressed BMP subset: read the
+    raster straight off the pixel-array offset (no decompression at all),
+    drop the per-row 4-byte-alignment padding, and sum each channel
+    exactly → (width, height, sum_r, sum_g, sum_b).  BMP stores rows
+    bottom-up in BGR order — irrelevant for sums except that the channel
+    mapping must be reversed (a swapped mapping gives wrong per-channel
+    integers and fails the oracle hash).  None outside the subset /
+    corrupt — the error channel, not an exception."""
+    wh = _parse_bmp(b)
+    if wh is None:
+        return None
+    width, height = wh
+    off = int.from_bytes(b[10:14], "little")
+    row = (3 * width + 3) & ~3
+    if off < 54 or len(b) < off + row * height:
+        return None
+    arr = np.frombuffer(b, dtype=np.uint8, count=row * height, offset=off)
+    px = arr.reshape(height, row)[:, : 3 * width].reshape(-1, 3)
+    s = px.astype(np.int64).sum(axis=0)  # (B, G, R) storage order
+    return width, height, int(s[2]), int(s[1]), int(s[0])
+
+
 def image_channel_stats(
     media: DataFrame, payload_col: str = "payload", strict: bool = False
 ) -> DataFrame:
-    """(media_ref, payload) → REAL per-channel pixel sums for PNG
+    """(media_ref, payload) → REAL per-channel pixel sums for PNG and BMP
     payloads: (width, height, n_px, sum_r, sum_g, sum_b, ok) — integer
     sums, so an independent engine can verify them EXACTLY (the driver
     oracle recomputes them from the corpus' deterministic color rule
-    without inflating anything).  Non-png extensions → ok=false rows
-    (error channel; a stray .jpg must not kill the job) unless
-    ``strict=True``, which raises the declared codec stub.
-    Corrupt/unsupported payloads → ok=false row."""
+    without inflating anything).  PNG inflates the IDAT; BMP reads the
+    uncompressed raster straight off the pixel-array offset.  Other
+    extensions → ok=false rows (error channel; a stray .jpg must not kill
+    the job) unless ``strict=True``, which raises the declared codec
+    stub.  Corrupt/unsupported payloads → ok=false row."""
+    decoders = {"png": _decode_png_pixels, "bmp": _decode_bmp_pixels}
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for ref, payload in zip(pdf["media_ref"], pdf[payload_col]):
                 ext = ref.rsplit(".", 1)[-1].lower() if "." in ref else ""
-                if ext != "png":
+                dec = decoders.get(ext)
+                if dec is None:
                     if strict:
                         raise NotImplementedError(
                             f"pixel decode for '.{ext}' requires a codec "
-                            "library (not in this image); png decodes natively"
+                            "library (not in this image); png/bmp decode "
+                            "natively"
                         )
                     rows.append((ref, None, None, None, None, None, None, False))
                     continue
-                out = _decode_png_pixels(
-                    bytes(payload) if payload is not None else b""
-                )
+                out = dec(bytes(payload) if payload is not None else b"")
                 if out is None:
                     rows.append((ref, None, None, None, None, None, None, False))
                 else:

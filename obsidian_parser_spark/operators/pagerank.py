@@ -100,6 +100,62 @@ def _step(
     )
 
 
+def personalized_pagerank(
+    nodes: DataFrame,
+    edges: DataFrame,
+    seeds: tuple[str, ...],
+    n_iter: int = 10,
+    damping_pct: int = 85,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Personalized PageRank: identical integer fixed-point contract to
+    ``pagerank`` except the teleport mass returns ONLY to the ``seeds``
+    set — pr_0(v) = SCALE·[v∈S], and the per-round base term is
+    base·[v∈S] instead of a uniform base.  The result ranks every node by
+    proximity to the seeds (the "related to these notes" query a KG user
+    runs); nodes unreachable from the seed set settle to exactly 0, so
+    the output doubles as a reachability certificate.
+
+    Same scale shape as ``pagerank``: per round one key-partitioned join
+    + one map-side-combined sum, per-round checkpointed; the seed
+    membership is a literal predicate (no extra join) since seed sets are
+    small by definition."""
+    base = (100 - damping_pct) * SCALE // 100
+
+    w = _edge_weights(edges)
+    out = w.groupBy("u").agg(F.sum("w").alias("od"))
+    wj = cut_lineage(w.join(out, "u"))
+
+    is_seed = F.col("id").isin(list(seeds)).cast("long")
+    flagged = cut_lineage(
+        _node_ids(nodes, id_col).select("id", is_seed.alias("is_seed"))
+    )
+    pr = flagged.select(
+        "id", (F.lit(SCALE) * F.col("is_seed")).cast("long").alias("pr")
+    )
+    for _ in range(n_iter):
+        contribs = (
+            wj.join(pr.select(F.col("id").alias("u"), "pr"), "u")
+            .select("v", F.expr("pr * w DIV od").alias("c"))
+            .groupBy("v")
+            .agg(F.sum("c").alias("m"))
+        )
+        pr = cut_lineage(
+            flagged.join(
+                contribs.withColumnRenamed("v", "id"), "id", "left"
+            ).select(
+                "id",
+                (
+                    F.col("is_seed") * base
+                    + F.expr(f"{damping_pct} * coalesce(m, 0L) DIV 100")
+                )
+                .cast("long")
+                .alias("pr"),
+            )
+        )
+    return pr
+
+
 def hits(
     nodes: DataFrame,
     edges: DataFrame,

@@ -179,6 +179,38 @@ def wav_bytes(
     return out
 
 
+def bmp_bytes(
+    width: int,
+    height: int,
+    c_top: tuple[int, int, int],
+    c_bottom: tuple[int, int, int],
+) -> bytes:
+    """A REAL BMP: 14-byte file header + 40-byte BITMAPINFOHEADER + an
+    UNCOMPRESSED 24-bit BGR raster (rows bottom-up, each padded to a
+    4-byte boundary) — the two-tone color rule mirrors ``png_bytes`` (top
+    ``height//2`` rows = c_top, rest = c_bottom) so exact channel sums
+    are a pure function of (ref number, header dims).  Decodable by any
+    BMP reader and by ``multimodal._decode_bmp_pixels`` with zero
+    decompression."""
+    import struct
+
+    row = (3 * width + 3) & ~3
+    pad = row - 3 * width
+    top_rows = height // 2
+    # bottom-up storage: image row y is written at position height-1-y
+    body = b"".join(
+        bytes(reversed(c_top if y < top_rows else c_bottom)) * width
+        + b"\x00" * pad
+        for y in reversed(range(height))
+    )
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, row * height,
+        2835, 2835, 0, 0,
+    )
+    hdr = b"BM" + struct.pack("<IHHI", 14 + 40 + len(body), 0, 0, 54)
+    return hdr + info + body
+
+
 def gif_bytes(width: int, height: int, n_frames: int = 1) -> bytes:
     """A REAL GIF89a: signature + logical screen descriptor (width/height
     little-endian uint16) + a 4-entry global color table + ``n_frames``
@@ -205,12 +237,14 @@ def ensure_media_corpus(sf_name: str, base: str | None = None) -> str:
     headers (odd i) and deliberately corrupt payloads (every 13th) so the
     decode error channel has positives, plus appended real multi-frame
     GIFs (dims/frame-count pure functions of the ref number, every 7th
-    corrupt) — the third natively-decodable format.  Size scales with sf."""
+    corrupt) and real uncompressed two-tone BMPs (every 9th corrupt) —
+    the third and fourth natively-decodable formats.  Size scales with
+    sf."""
     out_dir = vault_corpus_dir(sf_name, base)
     path = media_parquet_path(sf_name, base)
     marker = os.path.join(out_dir, "_MEDIA_GENERATED.json")
     n_media = max(60, num_files_for_sf(sf_name) // 20)
-    params = {"version": 4, "n_media": n_media}
+    params = {"version": 5, "n_media": n_media}
     if os.path.exists(marker) and os.path.exists(path):
         with open(marker) as f:
             if json.load(f) == params:
@@ -261,6 +295,24 @@ def ensure_media_corpus(sf_name: str, base: str | None = None) -> str:
             payloads.append(
                 gif_bytes(
                     2 + (g * 31) % 100, 2 + (g * 17) % 100, n_frames=1 + g % 9
+                )
+            )
+    # appended BMP rows (version 5; refs disjoint from png/wav/gif so the
+    # earlier families' oracles stay byte-stable): uncompressed two-tone
+    # rasters whose dims/colors are pure functions of the ref number m,
+    # every 9th corrupt
+    for m2 in range(max(16, n_media // 4)):
+        if m2 % 9 == 4:
+            refs.append(f"bad_flat_{m2}.bmp")
+            payloads.append(b"BMBROKEN" + bytes([m2 % 256]) * 8)
+        else:
+            refs.append(f"flat_{m2}.bmp")
+            payloads.append(
+                bmp_bytes(
+                    2 + (m2 * 29) % 90,
+                    2 + (m2 * 23) % 90,
+                    c_top=(m2 % 256, (m2 * 19) % 256, (m2 * 31) % 256),
+                    c_bottom=((m2 * 7) % 256, (m2 * 3) % 256, (m2 * 41) % 256),
                 )
             )
     pq.write_table(

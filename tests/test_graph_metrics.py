@@ -208,3 +208,50 @@ def test_interval_overlap_counts_matches_naive(spark):
         if inside:
             naive[(u, s)] = (len(inside), sum(c for _, c in inside))
     assert got == naive
+
+
+# --- personalized pagerank + degree correlation ---------------------------
+
+
+def test_personalized_pagerank_matches_python_fixed_point(spark):
+    from obsidian_parser_spark.operators.pagerank import (
+        SCALE,
+        personalized_pagerank,
+    )
+
+    edges = [("a", "b"), ("a", "b"), ("b", "c"), ("c", "a"), ("d", "a")]
+    nodes = spark.createDataFrame([(n,) for n in "abcdz"], "doc_id string")
+    e = spark.createDataFrame(edges, "subj string, obj string")
+    seeds = ("a",)
+    got = {
+        r["id"]: r["pr"]
+        for r in personalized_pagerank(nodes, e, seeds, n_iter=5).collect()
+    }
+    # python mirror of the integer fixed-point contract
+    from collections import Counter, defaultdict
+
+    w = Counter(edges)
+    out = defaultdict(int)
+    for (u, _), c in w.items():
+        out[u] += c
+    base = 15 * SCALE // 100
+    pr = {n: SCALE if n in seeds else 0 for n in "abcdz"}
+    for _ in range(5):
+        m = defaultdict(int)
+        for (u, v), c in w.items():
+            m[v] += pr[u] * c // out[u]
+        pr = {n: (base if n in seeds else 0) + 85 * m[n] // 100 for n in "abcdz"}
+    assert got == pr
+    assert got["z"] == 0  # unreachable from the seed set -> exactly 0
+
+
+def test_degree_correlation_known_graph(spark):
+    from obsidian_parser_spark.operators.graph_metrics import degree_correlation
+
+    # star a-(b,c,d): degrees a=3, leaves=1; 6 ordered edge ends
+    e = _edges(spark, [("a", "b"), ("a", "c"), ("a", "d"), ("b", "a")])
+    (row,) = degree_correlation(e).collect()
+    # ends: (3,1)x3 and (1,3)x3 -> sum_d = 3*3+3*1 = 12, dd = 6*3, d2 = 3*9+3*1
+    assert (
+        row["n_edge_ends"], row["sum_d"], row["sum_dd"], row["sum_d2"]
+    ) == (6, 12, 18, 30)

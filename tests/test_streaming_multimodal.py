@@ -423,3 +423,67 @@ def test_audio_sample_stats_real_pcm(spark):
         len(samples), sum(samples), 8000, True,
     )
     assert not got["y.wav"].ok
+
+
+def test_bmp_channel_stats_real_pixels(spark):
+    """BMP decoder vs numpy ground truth on a NON-uniform raster with a
+    width forcing nonzero row padding (w=7 -> 21 bytes -> 3 pad bytes),
+    so a stride or padding slip changes the sums; BGR order asserted via
+    per-channel inequality; corrupt / unsupported-bpp -> ok=false."""
+    import struct
+
+    import numpy as np
+
+    from obsidian_parser_spark.operators.multimodal import image_channel_stats
+
+    def bmp_raw(px):  # px: ndarray (h, w, 3) uint8 in RGB image order
+        h, w, _ = px.shape
+        row = (3 * w + 3) & ~3
+        pad = row - 3 * w
+        body = b"".join(
+            px[y, :, ::-1].tobytes() + b"\x00" * pad for y in reversed(range(h))
+        )
+        info = struct.pack(
+            "<IiiHHIIiiII", 40, w, h, 1, 24, 0, row * h, 2835, 2835, 0, 0
+        )
+        return b"BM" + struct.pack("<IHHI", 54 + len(body), 0, 0, 54) + info + body
+
+    rng = np.random.default_rng(11)
+    px = rng.integers(0, 256, size=(4, 7, 3), dtype=np.uint8)
+    # 8bpp header: outside the declared 24-bit subset
+    info8 = struct.pack("<IiiHHIIiiII", 40, 2, 2, 1, 8, 0, 16, 0, 0, 0, 0)
+    bad8 = b"BM" + struct.pack("<IHHI", 54 + 16, 0, 0, 54) + info8 + bytes(16)
+    df = spark.createDataFrame(
+        [("a.bmp", bmp_raw(px)), ("b.bmp", b"BMjunk"), ("c.bmp", bad8)],
+        "media_ref string, payload binary",
+    )
+    got = {r.media_ref: r for r in image_channel_stats(df).collect()}
+    a = got["a.bmp"]
+    want = px.astype(np.int64).sum(axis=(0, 1))  # RGB image order
+    assert (a.width, a.height, a.n_px) == (7, 4, 28)
+    assert (a.sum_r, a.sum_g, a.sum_b) == tuple(int(x) for x in want)
+    assert a.ok
+    assert not got["b.bmp"].ok and got["b.bmp"].sum_r is None
+    assert not got["c.bmp"].ok  # 8bpp: outside the declared subset
+
+
+def test_decode_media_real_bmp_header(spark):
+    from obsidian_parser_spark.operators.multimodal import decode_media
+    from obsidian_parser_spark.sources.corpus import bmp_bytes
+
+    df = spark.createDataFrame(
+        [
+            ("f.bmp", bmp_bytes(9, 5, (1, 2, 3), (4, 5, 6))),
+            ("g.bmp", b"BMBROKEN12345678"),
+        ],
+        "media_ref string, payload binary",
+    )
+    got = {
+        r.media_ref: r
+        for r in decode_media(df, fake=False, payload_col="payload").collect()
+    }
+    f = got["f.bmp"]
+    assert (f.media_type, f.width, f.height, f.duration_ms, f.ok) == (
+        "image", 9, 5, 0, True,
+    )
+    assert not got["g.bmp"].ok
