@@ -1019,6 +1019,50 @@ def _q_kg_assortativity(spark, sf_dir):
     return degree_correlation(A.link_edges(g.edges))
 
 
+def _q_kg_clustering(spark, sf_dir):
+    """Local clustering coefficient as exact-integer sufficient stats
+    (n_triangles, n_wedges) per node with degree ≥ 2 — C(v) is the float
+    ratio, left caller-side.  One shared distinct-edge shuffle feeds both
+    the degree agg and the hub-safe oriented triangle core; the oracle
+    counts triangles by canonical a<b<c enumeration instead."""
+    from obsidian_parser_spark.operators import graph_metrics as GM
+
+    g = _graph(spark, sf_dir)
+    cc = GM.clustering_coefficients(A.link_edges(g.edges))
+    return cc.select(
+        "id",
+        F.col("n_triangles").cast("long").alias("n_triangles"),
+        F.col("n_wedges").cast("long").alias("n_wedges"),
+    )
+
+
+_LINKPRED_MIN_COMMON = 2
+_LINKPRED_MAX_CENTER_DEGREE = 64
+
+
+def _q_kg_linkpred(spark, sf_dir):
+    """Common-neighbor link prediction: non-adjacent pairs with ≥ 2
+    shared neighbors, plus true degrees (Jaccard = cn/(deg_u+deg_v−cn)
+    follows caller-side, exact).  Candidates come from an inverted index
+    over shared-neighbor centers with a degree cap — never all-pairs;
+    the oracle implements the identical capped-center rule in SQL."""
+    from obsidian_parser_spark.operators import graph_metrics as GM
+
+    g = _graph(spark, sf_dir)
+    lp = GM.link_prediction(
+        A.link_edges(g.edges),
+        min_common=_LINKPRED_MIN_COMMON,
+        max_center_degree=_LINKPRED_MAX_CENTER_DEGREE,
+    )
+    return lp.select(
+        "u",
+        "v",
+        F.col("cn").cast("long").alias("cn"),
+        F.col("deg_u").cast("long").alias("deg_u"),
+        F.col("deg_v").cast("long").alias("deg_v"),
+    )
+
+
 def _q_kg_triangles(spark, sf_dir):
     """Triangle counts per node over the undirected link graph via
     degree-ordered orientation (oriented out-degree ≤ O(sqrt(m)), so the
@@ -1191,6 +1235,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_bmp": _q_kg_bmp,
         "kg_ppr": _q_kg_ppr,
         "kg_assortativity": _q_kg_assortativity,
+        "kg_clustering": _q_kg_clustering,
+        "kg_linkpred": _q_kg_linkpred,
     }
 
 
@@ -1856,6 +1902,43 @@ SELECT count(*)::BIGINT AS n_edge_ends,
        sum(x.d * y.d)::BIGINT AS sum_dd,
        sum(x.d * x.d)::BIGINT AS sum_d2
 FROM asym e JOIN adeg x ON x.u = e.u JOIN adeg y ON y.u = e.v""",
+        "kg_clustering": c
+        + ",\n"
+        + _triangle_ctes()
+        + """,
+cdeg AS (SELECT u, count(*) AS d FROM
+           (SELECT u, v FROM und UNION ALL SELECT v, u FROM und)
+         GROUP BY u),
+ctri AS (SELECT id, count(*) AS nt FROM corners GROUP BY id)
+SELECT cdeg.u AS id,
+       coalesce(ctri.nt, 0)::BIGINT AS n_triangles,
+       ((cdeg.d * (cdeg.d - 1)) // 2)::BIGINT AS n_wedges
+FROM cdeg LEFT JOIN ctri ON ctri.id = cdeg.u
+WHERE cdeg.d >= 2""",
+        "kg_linkpred": c
+        + f""",
+lpund AS MATERIALIZED (
+  SELECT DISTINCT least(subj, obj) AS u, greatest(subj, obj) AS v
+  FROM link_edges WHERE subj <> obj
+),
+lpsym AS (SELECT u, v FROM lpund UNION ALL SELECT v, u FROM lpund),
+lpdeg AS MATERIALIZED (SELECT u, count(*) AS d FROM lpsym GROUP BY u),
+lpadj AS MATERIALIZED (
+  SELECT s.u AS w, s.v AS n FROM lpsym s
+  JOIN lpdeg g ON g.u = s.u AND g.d <= {_LINKPRED_MAX_CENTER_DEGREE}
+),
+lppairs AS (
+  SELECT x.n AS a, y.n AS b, count(*) AS cn
+  FROM lpadj x JOIN lpadj y ON x.w = y.w AND x.n < y.n
+  GROUP BY x.n, y.n
+  HAVING count(*) >= {_LINKPRED_MIN_COMMON}
+)
+SELECT p.a AS u, p.b AS v, p.cn::BIGINT AS cn,
+       da.d::BIGINT AS deg_u, db.d::BIGINT AS deg_v
+FROM lppairs p
+JOIN lpdeg da ON da.u = p.a
+JOIN lpdeg db ON db.u = p.b
+WHERE NOT EXISTS (SELECT 1 FROM lpund e WHERE e.u = p.a AND e.v = p.b)""",
         "kg_media_decoded": c
         + ",\n"
         + _media_decode_ctes(mpath)

@@ -70,7 +70,14 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     (degree agg + two degree-attach joins) and ``oriented`` (both wedge
     sides + the closing join) — without the cuts each reference re-runs
     the full edge scan + distinct shuffle inside one job."""
-    und = cut_lineage(_undirected(edges))
+    return _triangle_counts_from_und(cut_lineage(_undirected(edges)))
+
+
+def _triangle_counts_from_und(und: DataFrame) -> DataFrame:
+    """Triangle core over a pre-built (and already lineage-cut) u<v
+    distinct undirected edge frame — shared by ``triangle_counts`` and
+    ``clustering_coefficients`` so the latter pays the edge distinct
+    shuffle once, not twice."""
     deg = _symmetric(und).groupBy("u").agg(F.count(F.lit(1)).alias("d"))
     # attach degrees to both endpoints, then orient by (degree, id)
     du = deg.select(F.col("u").alias("_u"), F.col("d").alias("du"))
@@ -228,4 +235,96 @@ def degree_correlation(edges: DataFrame) -> DataFrame:
         F.sum("du").alias("sum_d"),
         F.sum(F.col("du") * F.col("dv")).alias("sum_dd"),
         F.sum(F.col("du") * F.col("du")).alias("sum_d2"),
+    )
+
+
+def clustering_coefficients(edges: DataFrame) -> DataFrame:
+    """→ (id, n_triangles, n_wedges) for every node with undirected
+    degree ≥ 2 — the EXACT-INTEGER sufficient statistics of the local
+    clustering coefficient C(v) = n_triangles / n_wedges (the float
+    ratio is left to the caller so the hard signal stays engine-portable;
+    n_wedges = d·(d−1)/2 is always an exact integer since d·(d−1) is
+    even).
+
+    The reference's analyzer stops at degree statistics
+    (examples/analyzer.rs:60-96); this is the standard next step for
+    "how clique-ish is each note's neighborhood".  Scale shape: ONE
+    distinct-edge shuffle shared between the degree aggregation and the
+    triangle core (``_triangle_counts_from_und`` — degree-ordered
+    orientation, hub-safe wedge join), then a single left join of two
+    node-keyed frames.  Nothing here is quadratic in degree except the
+    oriented wedge enumeration, which the orientation bounds by
+    O(sqrt(m)) per node."""
+    und = cut_lineage(_undirected(edges))
+    deg = _symmetric(und).groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    tri = _triangle_counts_from_und(und)
+    return (
+        deg.filter(F.col("d") >= 2)
+        .join(tri, deg.u == tri.id, "left")
+        .select(
+            F.col("u").alias("id"),
+            F.coalesce(F.col("n_triangles"), F.lit(0)).alias("n_triangles"),
+            F.expr("(d * (d - 1)) div 2").alias("n_wedges"),
+        )
+    )
+
+
+def link_prediction(
+    edges: DataFrame,
+    min_common: int = 2,
+    max_center_degree: int = 64,
+) -> DataFrame:
+    """Common-neighbor link prediction → (u, v, cn, deg_u, deg_v) for
+    every NON-adjacent node pair with ≥ ``min_common`` shared neighbors
+    (u < v).  Jaccard follows caller-side as cn / (deg_u + deg_v − cn);
+    all five columns are exact integers.
+
+    Plan shape (inverted index, the same scheme as
+    ``analytics.related_notes``): every node w acts as a "center" that
+    emits the pairs of its neighbors — so candidate pairs are generated
+    ONLY through shared neighbors, never by an all-pairs product.  A hub
+    with degree D would emit D² pairs, so centers with degree >
+    ``max_center_degree`` are excluded from pair GENERATION (the
+    standard df-cap: a 10⁶-degree hub's co-citation says nothing about
+    any specific pair anyway).  Degrees reported in deg_u/deg_v are the
+    TRUE full-graph degrees — the cap only bounds which centers vouch
+    for a pair, a documented approximation both engines implement
+    identically.  Per-center work is ≤ cap², and the pair aggregation is
+    one map-side-combined groupBy; existing edges are removed by an
+    anti-join against the distinct u<v edge set."""
+    und = cut_lineage(_undirected(edges))
+    sym = _symmetric(und)
+    deg = cut_lineage(sym.groupBy("u").agg(F.count(F.lit(1)).alias("d")))
+    centers = deg.filter(F.col("d") <= max_center_degree).select(
+        F.col("u").alias("w")
+    )
+    adj = sym.select(F.col("u").alias("w"), F.col("v").alias("n")).join(
+        centers, "w", "left_semi"
+    )
+    adj = cut_lineage(adj)  # referenced twice by the wedge self-join
+    pairs = (
+        adj.select("w", F.col("n").alias("a"))
+        .join(adj.select("w", F.col("n").alias("b")), "w")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("cn"))
+        .filter(F.col("cn") >= min_common)
+    )
+    cand = pairs.join(
+        und.select(F.col("u").alias("a"), F.col("v").alias("b")),
+        ["a", "b"],
+        "left_anti",
+    )
+    da = deg.select(F.col("u").alias("a"), F.col("d").alias("deg_u"))
+    db = deg.select(F.col("u").alias("b"), F.col("d").alias("deg_v"))
+    return (
+        cand.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.col("a").alias("u"),
+            F.col("b").alias("v"),
+            "cn",
+            "deg_u",
+            "deg_v",
+        )
     )

@@ -255,3 +255,122 @@ def test_degree_correlation_known_graph(spark):
     assert (
         row["n_edge_ends"], row["sum_d"], row["sum_dd"], row["sum_d2"]
     ) == (6, 12, 18, 30)
+
+
+# --- clustering coefficients ------------------------------------------------
+
+
+def _py_clustering(pairs):
+    adj = defaultdict(set)
+    for a, b in pairs:
+        if a != b:
+            adj[a].add(b)
+            adj[b].add(a)
+    tri = _py_triangles(pairs)
+    return {
+        n: (tri.get(n, 0), len(v) * (len(v) - 1) // 2)
+        for n, v in adj.items()
+        if len(v) >= 2
+    }
+
+
+def test_clustering_coefficients_known_graph(spark):
+    from obsidian_parser_spark.operators.graph_metrics import (
+        clustering_coefficients,
+    )
+
+    got = {
+        r["id"]: (r["n_triangles"], r["n_wedges"])
+        for r in clustering_coefficients(_edges(spark, GRAPH)).collect()
+    }
+    assert got == _py_clustering(GRAPH)
+
+
+def test_clustering_degree_one_nodes_excluded(spark):
+    from obsidian_parser_spark.operators.graph_metrics import (
+        clustering_coefficients,
+    )
+
+    # path a-b-c: only b has degree >= 2; zero triangles, one wedge
+    got = clustering_coefficients(
+        _edges(spark, [("a", "b"), ("b", "c")])
+    ).collect()
+    assert {(r["id"], r["n_triangles"], r["n_wedges"]) for r in got} == {
+        ("b", 0, 1)
+    }
+
+
+# --- link prediction ---------------------------------------------------------
+
+
+def _py_linkpred(pairs, min_common, cap):
+    adj = defaultdict(set)
+    for a, b in pairs:
+        if a != b:
+            adj[a].add(b)
+            adj[b].add(a)
+    cnt = Counter()
+    for w, nbrs in adj.items():
+        if len(nbrs) > cap:
+            continue
+        for a, b in itertools.combinations(sorted(nbrs), 2):
+            cnt[(a, b)] += 1
+    return {
+        (a, b): (cn, len(adj[a]), len(adj[b]))
+        for (a, b), cn in cnt.items()
+        if cn >= min_common and b not in adj[a]
+    }
+
+
+def test_link_prediction_square(spark):
+    from obsidian_parser_spark.operators.graph_metrics import link_prediction
+
+    # 4-cycle a-b-c-d-a: the two diagonals each share both opposite corners
+    sq = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a")]
+    got = {
+        (r["u"], r["v"]): (r["cn"], r["deg_u"], r["deg_v"])
+        for r in link_prediction(_edges(spark, sq), min_common=2).collect()
+    }
+    assert got == {("a", "c"): (2, 2, 2), ("b", "d"): (2, 2, 2)}
+
+
+def test_link_prediction_matches_python_on_known_graph(spark):
+    from obsidian_parser_spark.operators.graph_metrics import link_prediction
+
+    got = {
+        (r["u"], r["v"]): (r["cn"], r["deg_u"], r["deg_v"])
+        for r in link_prediction(
+            _edges(spark, GRAPH), min_common=1, max_center_degree=64
+        ).collect()
+    }
+    assert got == _py_linkpred(GRAPH, 1, 64)
+
+
+def test_link_prediction_center_cap_drops_hub_pairs(spark):
+    from obsidian_parser_spark.operators.graph_metrics import link_prediction
+
+    # star: s-x1..s-x5; with cap 4 the center s may not vouch for any pair
+    star = [("s", f"x{i}") for i in range(5)]
+    assert (
+        link_prediction(
+            _edges(spark, star), min_common=1, max_center_degree=4
+        ).count()
+        == 0
+    )
+    # with cap 5 every leaf pair appears with cn=1 and TRUE degrees
+    got = {
+        (r["u"], r["v"]): (r["cn"], r["deg_u"], r["deg_v"])
+        for r in link_prediction(
+            _edges(spark, star), min_common=1, max_center_degree=5
+        ).collect()
+    }
+    assert got == _py_linkpred(star, 1, 5)
+    assert all(v == (1, 1, 1) for v in got.values()) and len(got) == 10
+
+
+def test_link_prediction_existing_edges_excluded(spark):
+    from obsidian_parser_spark.operators.graph_metrics import link_prediction
+
+    # triangle: every pair is adjacent -> no predictions at any threshold
+    tri = [("a", "b"), ("b", "c"), ("c", "a")]
+    assert link_prediction(_edges(spark, tri), min_common=1).count() == 0
