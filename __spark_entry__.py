@@ -1063,6 +1063,90 @@ def _q_kg_linkpred(spark, sf_dir):
     )
 
 
+def _q_kg_qualified(spark, sf_dir):
+    """Heading/block-qualified typed triples: links whose ``#heading`` /
+    ``^block`` anchor (stripped by the plain edge extraction, parser.rs
+    strip order # → ^ → |) becomes a typed edge attribute — sub-note
+    granularity for the KG.  Resolution reuses the graph build's cached
+    alias dict; the oracle re-derives anchor + target from the raw spans
+    and replays the same two-level dict join in SQL."""
+    from obsidian_parser_spark.operators.linking import qualified_link_edges
+
+    docs = spark.read.parquet(_vault_path(sf_dir))
+    g = _graph(spark, sf_dir)
+    return qualified_link_edges(docs, g.alias_dict)
+
+
+_WALK_STEPS = 3
+
+
+def _q_kg_walks(spark, sf_dir):
+    """DeepWalk-style deterministic walk corpus over the directed link
+    graph: hash-argmin step choice (md5 of salt:step:u>v), so the walk
+    table is a pure function of the edge set — the oracle unrolls the
+    same rule as chained CTEs and must match bit-for-bit."""
+    from obsidian_parser_spark.operators.walks import deterministic_walks
+
+    g = _graph(spark, sf_dir)
+    w = deterministic_walks(A.link_edges(g.edges), n_steps=_WALK_STEPS)
+    return w.select("start", F.col("step").cast("long").alias("step"), "node")
+
+
+def _q_kg_modularity(spark, sf_dir):
+    """Modularity sufficient statistics per FOLDER — (community, n_nodes,
+    internal_edges, sum_degree), all exact integers (the float Q is one
+    expression of these, left caller-side): do the vault's directories
+    describe real link structure?  Folder = first path segment (notes at
+    the root form their own community).  LPA-based modularity is
+    pytest-covered (this corpus's dense link graph collapses to one LPA
+    community, a 1-row signal — folders give a multi-row hard signal)."""
+    from obsidian_parser_spark.operators import graph_metrics as GM
+
+    g = _graph(spark, sf_dir)
+    comm = g.nodes.select(
+        F.col("doc_id").alias("id"),
+        F.when(
+            F.col("doc_id").contains("/"),
+            F.expr("split_part(doc_id, '/', 1)"),
+        )
+        .otherwise(F.lit("<root>"))
+        .alias("community"),
+    )
+    return GM.community_stats(A.link_edges(g.edges), comm)
+
+
+def _q_kg_walk_pairs(spark, sf_dir):
+    """Skip-gram training pairs from the deterministic walk corpus
+    (window ±2): the word2vec-style (center, context, count) table
+    DeepWalk feeds to an embedding model."""
+    from obsidian_parser_spark.operators.walks import (
+        deterministic_walks,
+        walk_skipgram_pairs,
+    )
+
+    g = _graph(spark, sf_dir)
+    w = deterministic_walks(A.link_edges(g.edges), n_steps=_WALK_STEPS)
+    p = walk_skipgram_pairs(w, window=2)
+    return p.select(
+        "center", "context", F.col("n").cast("long").alias("n")
+    )
+
+
+_NEG_TRIALS = 3
+
+
+def _q_kg_negatives(spark, sf_dir):
+    """Deterministic hash-paired negative samples (non-edges) for
+    contrastive KG-embedding training: per trial each node pairs with
+    the bucket-mate minimizing a second hash, true edges anti-joined
+    away; bucket count auto-sized from |V| (the oracle derives the same
+    count with a scalar subquery)."""
+    from obsidian_parser_spark.operators.walks import hash_negative_samples
+
+    g = _graph(spark, sf_dir)
+    return hash_negative_samples(A.link_edges(g.edges), n_trials=_NEG_TRIALS)
+
+
 def _q_kg_triangles(spark, sf_dir):
     """Triangle counts per node over the undirected link graph via
     degree-ordered orientation (oriented out-degree ≤ O(sqrt(m)), so the
@@ -1161,6 +1245,53 @@ def entry(spark: SparkSession) -> DataFrame:
     )
 
 
+_CONTAM_MIN_SHARED = 5
+
+
+def _q_dd_contamination(spark, sf_dir):
+    """Benchmark decontamination over the derived dedup corpus: base docs
+    with doc_id % 10 == 0 act as the held-out eval set; everything else
+    (including their exact copies at +1000000, the guaranteed positives)
+    is the train side.  Pairs sharing ≥ 5 distinct word 8-grams, via the
+    test-side inverted index with the standard df-cap."""
+    corpus = _dedup_corpus(spark, sf_dir)
+    is_test = (F.col("doc_id") % 10 == 0) & (F.col("doc_id") < 1000000)
+    return DD.contamination_pairs(
+        corpus.filter(~is_test),
+        corpus.filter(is_test),
+        n=8,
+        min_shared=_CONTAM_MIN_SHARED,
+    )
+
+
+def _q_dd_dupspans(spark, sf_dir):
+    """C4-style duplicated-passage detection over the derived dedup
+    corpus: word 8-grams appearing in ≥ 2 distinct docs, with the count
+    and smallest carrier for attribution.  One map-side-combined groupBy;
+    the exact copies guarantee positives."""
+    return DD.duplicated_spans(_dedup_corpus(spark, sf_dir), n=8, min_docs=2)
+
+
+def _q_ev_copresence(spark, sf_dir):
+    """KG edge construction from the event stream: users co-active in the
+    same hour window in ≥ 3 distinct windows become weighted edges
+    (co-occurrence implies relationship); flash-crowd windows (> 64
+    users) vouch for nobody and are excluded from pair generation."""
+    return EV.copresence_edges(
+        _events(spark, sf_dir), unit="hour", min_windows=3
+    )
+
+
+_BM25_TERMS = ["join", "window", "stream", "scan"]
+
+
+def _q_ts_bm25(spark, sf_dir):
+    """BM25/TF-IDF sufficient statistics for a fixed query-term set:
+    top-10 docs per term by tf (ties to smaller doc_id) with tf, dl, df,
+    n_docs — every quantity the float score needs, all exact integers."""
+    return TS.retrieval_stats(_documents(spark, sf_dir), _BM25_TERMS, k=10)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_edges": _q_kg_edges,
@@ -1237,6 +1368,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_assortativity": _q_kg_assortativity,
         "kg_clustering": _q_kg_clustering,
         "kg_linkpred": _q_kg_linkpred,
+        "kg_qualified": _q_kg_qualified,
+        "kg_walks": _q_kg_walks,
+        "kg_modularity": _q_kg_modularity,
+        "kg_walk_pairs": _q_kg_walk_pairs,
+        "kg_negatives": _q_kg_negatives,
+        "dd_contamination": _q_dd_contamination,
+        "dd_dupspans": _q_dd_dupspans,
+        "ts_bm25": _q_ts_bm25,
+        "ev_copresence": _q_ev_copresence,
     }
 
 
@@ -1809,6 +1949,87 @@ def _lpa_ctes(n_rounds: int) -> str:
     return ",\n".join(parts)
 
 
+def _walks_parts(n_steps: int, salt: str = "w") -> tuple[str, str]:
+    """Unrolled deterministic-walk rounds mirroring
+    operators/walks.py:deterministic_walks — step t moves to the
+    out-neighbor minimizing md5('salt:t:u>v') (ties to smaller v); walks
+    starting at every node with an out-edge, sinks end the walk.
+    Returns (ctes, union_select) so callers can either SELECT the walk
+    table directly (kg_walks) or wrap it as one more CTE (kg_walk_pairs)."""
+    parts = [
+        "we AS MATERIALIZED (SELECT DISTINCT subj AS u, obj AS v"
+        " FROM link_edges)",
+        "w0 AS MATERIALIZED (SELECT DISTINCT u AS start, u AS node FROM we)",
+    ]
+    for t in range(1, n_steps + 1):
+        parts.append(
+            f"""w{t} AS MATERIALIZED (
+  SELECT start, node FROM (
+    SELECT w.start, e.v AS node,
+           row_number() OVER (
+             PARTITION BY w.start
+             ORDER BY md5('{salt}:{t}:' || w.node || '>' || e.v), e.v) AS rn
+    FROM w{t - 1} w JOIN we e ON e.u = w.node) WHERE rn = 1)"""
+        )
+    selects = [f"SELECT start, {t}::BIGINT AS step, node FROM w{t}"
+               for t in range(n_steps + 1)]
+    return ",\n".join(parts), "\nUNION ALL ".join(selects)
+
+
+def _walks_ctes(n_steps: int, salt: str = "w") -> str:
+    ctes, union = _walks_parts(n_steps, salt)
+    return ctes + "\n" + union
+
+
+def _negatives_ctes(n_trials: int, target_bucket_size: int = 16) -> str:
+    """Unrolled hash-paired negative sampling mirroring
+    operators/walks.py:hash_negative_samples — bucket count derived as
+    greatest(32, |V| // target) by scalar subquery, bucket hash = first
+    16 bits of md5('neg:bT:'||node), pick hash = md5('neg:pT:'||u>'||v'),
+    true edges (either direction) excluded."""
+    nib = "(strpos('0123456789abcdef', substr(md5('neg:b{t}:' || u), {i}, 1)) - 1)"
+
+    def h16(t: int) -> str:
+        return (
+            "("
+            + " + ".join(
+                f"{nib.format(t=t, i=i + 1)} * {16 ** (3 - i)}" for i in range(4)
+            )
+            + ")"
+        )
+
+    parts = [
+        "nnodes AS MATERIALIZED (SELECT DISTINCT u FROM ("
+        "SELECT subj AS u FROM link_edges"
+        " UNION ALL SELECT obj FROM link_edges))",
+        "nund AS MATERIALIZED (SELECT DISTINCT least(subj, obj) AS lu,"
+        " greatest(subj, obj) AS gu FROM link_edges WHERE subj <> obj)",
+        f"nbk AS (SELECT greatest(32, count(*) // {target_bucket_size}) AS nb"
+        " FROM nnodes)",
+    ]
+    selects = []
+    for t in range(1, n_trials + 1):
+        parts.append(
+            f"""nb{t} AS MATERIALIZED (
+  SELECT u, {h16(t)} % (SELECT nb FROM nbk) AS b FROM nnodes)"""
+        )
+        parts.append(
+            f"""ng{t} AS (
+  SELECT a.u AS u, b.u AS v,
+         row_number() OVER (
+           PARTITION BY a.u
+           ORDER BY md5('neg:p{t}:' || a.u || '>' || b.u), b.u) AS rn
+  FROM nb{t} a JOIN nb{t} b ON a.b = b.b AND a.u <> b.u
+  WHERE NOT EXISTS (SELECT 1 FROM nund e
+                    WHERE e.lu = least(a.u, b.u)
+                      AND e.gu = greatest(a.u, b.u)))"""
+        )
+        selects.append(
+            f"SELECT u, v, {t}::BIGINT AS trial FROM ng{t} WHERE rn = 1"
+        )
+    return ",\n".join(parts) + "\n" + "\nUNION ALL ".join(selects)
+
+
 def _kg_oracles(path: str) -> dict[str, str]:
     c = _kg_cte(path)
     mpath = os.path.join(os.path.dirname(path), "media.parquet")
@@ -1939,6 +2160,72 @@ FROM lppairs p
 JOIN lpdeg da ON da.u = p.a
 JOIN lpdeg db ON db.u = p.b
 WHERE NOT EXISTS (SELECT 1 FROM lpund e WHERE e.u = p.a AND e.v = p.b)""",
+        "kg_qualified": c
+        + r""",
+qraw AS (
+  SELECT doc_id AS subj,
+         CASE WHEN kind = 'embed' THEN 'embeds' ELSE 'links_to' END AS pred,
+         regexp_extract(text, '\[\[(.*)\]\]', 1) AS lk
+  FROM flat WHERE kind IN ('wikilink', 'embed')
+),
+qanch AS (
+  SELECT subj, pred,
+         trim(split_part(split_part(split_part(lk, '#', 1), '^', 1),
+                         '|', 1)) AS raw_target,
+         CASE WHEN contains(lk, '#') THEN 'heading' ELSE 'block' END
+           AS qual_kind,
+         trim(CASE WHEN contains(lk, '#')
+              THEN split_part(split_part(
+                     substr(lk, strpos(lk, '#') + 1), '^', 1), '|', 1)
+              ELSE split_part(substr(lk, strpos(lk, '^') + 1), '|', 1)
+              END) AS qualifier
+  FROM qraw WHERE contains(lk, '#') OR contains(lk, '^')
+),
+qres AS (
+  SELECT q.subj, q.pred, coalesce(d1.canonical, d2.canonical) AS obj,
+         q.qual_kind, q.qualifier
+  FROM qanch q
+  LEFT JOIN dict d1 ON d1.alias = q.raw_target
+    AND d1.kind = CASE WHEN contains(q.raw_target, '/')
+                       THEN 'full' ELSE 'short' END
+  LEFT JOIN dict d2 ON d2.kind = 'alias' AND d2.alias = q.raw_target
+    AND d1.canonical IS NULL
+)
+SELECT subj, pred, obj, qual_kind, qualifier
+FROM qres WHERE obj IS NOT NULL""",
+        "kg_walks": c + ",\n" + _walks_ctes(_WALK_STEPS),
+        "kg_modularity": c
+        + """,
+lund AS MATERIALIZED (SELECT DISTINCT least(subj, obj) AS u,
+                      greatest(subj, obj) AS v
+                      FROM link_edges WHERE subj <> obj),
+lpa AS (SELECT doc_id AS id,
+               CASE WHEN contains(doc_id, '/')
+                    THEN split_part(doc_id, '/', 1)
+                    ELSE '<root>' END AS community
+        FROM notes),
+msym AS (SELECT u, v FROM lund UNION ALL SELECT v, u FROM lund),
+mdeg AS (SELECT u, count(*) AS d FROM msym GROUP BY u),
+mns AS (SELECT l.community, count(*) AS n_nodes, sum(d) AS sum_degree
+        FROM mdeg JOIN lpa l ON l.id = mdeg.u GROUP BY l.community),
+mint AS (SELECT a.community, count(*) AS internal_edges
+         FROM lund JOIN lpa a ON a.id = lund.u JOIN lpa b ON b.id = lund.v
+         WHERE a.community = b.community GROUP BY a.community)
+SELECT mns.community, mns.n_nodes::BIGINT AS n_nodes,
+       coalesce(mint.internal_edges, 0)::BIGINT AS internal_edges,
+       mns.sum_degree::BIGINT AS sum_degree
+FROM mns LEFT JOIN mint USING (community)""",
+        "kg_walk_pairs": c
+        + ",\n"
+        + _walks_parts(_WALK_STEPS)[0]
+        + ",\nwk AS (\n"
+        + _walks_parts(_WALK_STEPS)[1]
+        + """)
+SELECT a.node AS center, b.node AS context, count(*)::BIGINT AS n
+FROM wk a JOIN wk b
+  ON a.start = b.start AND a.step <> b.step AND abs(a.step - b.step) <= 2
+GROUP BY a.node, b.node""",
+        "kg_negatives": c + ",\n" + _negatives_ctes(_NEG_TRIALS),
         "kg_media_decoded": c
         + ",\n"
         + _media_decode_ctes(mpath)
@@ -2272,6 +2559,14 @@ def _datapipe_oracles() -> dict[str, str]:
         f"THEN [array_to_string({tok}[i:i+2], ' ') for i in range(1, len({tok}) - 1)] "
         f"ELSE [array_to_string({tok}, ' ')] END"
     )
+    sh8 = (
+        f"CASE WHEN len({tok}) >= 8 "
+        f"THEN [array_to_string({tok}[i:i+7], ' ') "
+        f"for i in range(1, len({tok}) - 6)] "
+        f"ELSE [array_to_string({tok}, ' ')] END"
+    )
+    bm25_terms = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+    CONTAM_MIN = _CONTAM_MIN_SHARED
     sig_expr, band_expr = _minhash_sql_parts(12, 4)
     qv = "[CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT) for x in embedding]"
     dot = "CAST(list_sum([qv[i] * nv[i] for i in range(1, len(qv) + 1)]) AS BIGINT)"
@@ -2792,6 +3087,51 @@ l0 AS MATERIALIZED (SELECT DISTINCT u AS id, u AS lbl FROM sym),
 {_label_prop_rounds(8)}
 SELECT id AS doc_id, component AS cluster, (id = component) AS is_keeper
 FROM cc""",
+        "dd_contamination": f"""
+WITH {_DD_SQL.strip()},
+tdoc AS (SELECT doc_id, text FROM dd
+         WHERE doc_id % 10 = 0 AND doc_id < 1000000),
+rdoc AS (SELECT doc_id, text FROM dd
+         WHERE NOT (doc_id % 10 = 0 AND doc_id < 1000000)),
+tsh AS (SELECT DISTINCT doc_id, unnest({sh8}) AS shingle FROM tdoc),
+rare AS (SELECT shingle FROM tsh GROUP BY shingle HAVING count(*) <= 1000),
+idx AS (SELECT t.doc_id AS test_doc, t.shingle
+        FROM tsh t JOIN rare USING (shingle)),
+rsh AS (SELECT DISTINCT doc_id, unnest({sh8}) AS shingle FROM rdoc)
+SELECT r.doc_id AS train_doc, i.test_doc, count(*)::BIGINT AS n_shared
+FROM rsh r JOIN idx i USING (shingle)
+GROUP BY r.doc_id, i.test_doc
+HAVING count(*) >= {CONTAM_MIN}""",
+        "dd_dupspans": f"""
+WITH {_DD_SQL.strip()},
+sh8 AS (SELECT DISTINCT doc_id, unnest({sh8}) AS shingle FROM dd)
+SELECT shingle, count(*)::BIGINT AS n_docs, min(doc_id)::BIGINT AS first_doc
+FROM sh8 GROUP BY shingle HAVING count(*) >= 2""",
+        "ev_copresence": """
+WITH pres AS (
+  SELECT DISTINCT date_trunc('hour', ts) AS w, user_id AS u FROM events
+),
+small AS (SELECT w FROM pres GROUP BY w HAVING count(*) <= 64),
+kept AS (SELECT p.w, p.u FROM pres p JOIN small USING (w))
+SELECT a.u AS user_a, b.u AS user_b, count(*)::BIGINT AS n_windows
+FROM kept a JOIN kept b ON a.w = b.w AND a.u < b.u
+GROUP BY a.u, b.u HAVING count(*) >= 3""",
+        "ts_bm25": f"""
+WITH tk AS (SELECT doc_id, {tok} AS t FROM documents),
+dl AS (SELECT doc_id, len(t)::BIGINT AS dl FROM tk),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf
+       FROM (SELECT doc_id, unnest(t) AS term FROM tk)
+       WHERE term IN ({bm25_terms}) GROUP BY doc_id, term),
+dft AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+nd AS (SELECT count(*)::BIGINT AS n_docs FROM documents),
+rk AS (SELECT term, doc_id, tf,
+              row_number() OVER (PARTITION BY term
+                                 ORDER BY tf DESC, doc_id) AS rank
+       FROM tf)
+SELECT rk.term, rk.doc_id, rk.rank::BIGINT AS rank, rk.tf,
+       dl.dl, dft.df, nd.n_docs
+FROM rk JOIN dl USING (doc_id) JOIN dft USING (term) CROSS JOIN nd
+WHERE rk.rank <= 10""",
     }
     # recall@10 composed from the SAME per-method oracle SQL (nested WITH
     # as derived tables) — the approximate families' recall vs brute truth

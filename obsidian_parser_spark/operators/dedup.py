@@ -525,3 +525,77 @@ def dedup_clusters(pairs: DataFrame) -> DataFrame:
         F.col("component").alias("cluster"),
         (F.col("id") == F.col("component")).alias("is_keeper"),
     )
+
+
+def contamination_pairs(
+    train: DataFrame,
+    test: DataFrame,
+    n: int = 8,
+    min_shared: int = 5,
+    max_shingle_df: int = 1000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination → (train_doc, test_doc, n_shared): every
+    (train, test) document pair sharing ≥ ``min_shared`` distinct word
+    ``n``-grams — the standard eval-set leakage check run before training
+    (n-gram overlap à la GPT-3/C4 decontamination, with document-level
+    attribution so the offending train docs can be dropped or audited).
+
+    Scale shape: an inverted index over the TEST side's shingles (the
+    small side — eval sets are millions of rows, not 10^12) joined by the
+    train side's shingles, then one map-side-combined pair count.  Never
+    an all-pairs product.  Shingles appearing in more than
+    ``max_shingle_df`` test documents are dropped from the index before
+    the join — boilerplate n-grams vouch for nothing and would otherwise
+    fan every train doc into every test doc that carries them (same
+    df-cap scheme as ``ngram_jaccard_pairs``).
+    """
+    ts = distinct_shingles(test, n=n, id_col=id_col, text_col=text_col)
+    rare = ts.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df")).filter(
+        F.col("_df") <= max_shingle_df
+    )
+    index = (
+        ts.join(rare.select("shingle"), "shingle", "left_semi")
+        .select("shingle", F.col("doc_id").alias("test_doc"))
+    )
+    tr = distinct_shingles(train, n=n, id_col=id_col, text_col=text_col).select(
+        "shingle", F.col("doc_id").alias("train_doc")
+    )
+    return (
+        tr.join(index, "shingle")
+        .groupBy("train_doc", "test_doc")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
+def duplicated_spans(
+    documents: DataFrame,
+    n: int = 8,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-document duplicated passages → (shingle, n_docs, first_doc):
+    every word ``n``-gram appearing in ≥ ``min_docs`` DISTINCT documents,
+    with how many and the smallest carrying doc_id for attribution — the
+    passage-level signal behind C4-style "drop repeated spans" cleaning
+    (document-level dedup misses boilerplate shared across otherwise
+    distinct pages; this finds the spans themselves).
+
+    Scale shape: one map-side-combined groupBy over the distinct
+    (doc, shingle) stream — count and min are both partial-aggregatable,
+    so a shingle appearing in 10^9 docs costs one combine tree, not a
+    hot reducer holding raw rows.  The ``min_docs`` filter runs post-agg
+    (a HAVING), dropping the long unique tail before any further join.
+    """
+    sh = distinct_shingles(documents, n=n, id_col=id_col, text_col=text_col)
+    return (
+        sh.groupBy("shingle")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+    )

@@ -218,3 +218,51 @@ def interval_overlap_counts(
         F.count(F.lit(1)).alias("n_overlap_events"),
         F.sum("cents").alias("overlap_cents"),
     )
+
+
+def copresence_edges(
+    events: DataFrame,
+    unit: str = "hour",
+    min_windows: int = 3,
+    max_users_per_window: int = 64,
+) -> DataFrame:
+    """Entity co-occurrence graph construction from the event stream →
+    (user_a, user_b, n_windows): pairs of users active in the same
+    ``unit``-truncated time window in ≥ ``min_windows`` distinct windows
+    (user_a < user_b) — the standard "events → KG edges" projection
+    (co-presence implies relationship, weighted by recurrence).
+
+    Scale shape: presence is reduced to DISTINCT (window, user) BEFORE
+    pairing, so per-user event volume never multiplies; pairs are
+    generated per window (an equi-self-join on the window key, the
+    inverted-index scheme of ``related_notes``), and windows holding more
+    than ``max_users_per_window`` users are excluded from pair GENERATION
+    — a flash-crowd window relates nobody in particular and would emit
+    O(users²) pairs (same df-cap rule both engines implement).  The final
+    weight is one map-side-combined count."""
+    pres = (
+        events.select(
+            F.date_trunc(unit, F.col("ts")).alias("w"),
+            F.col("user_id").alias("u"),
+        )
+        .distinct()
+    )
+    from ..checkpointing import cut_lineage
+
+    pres = cut_lineage(pres)  # referenced twice by the pair self-join
+    small = (
+        pres.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") <= max_users_per_window)
+        .select("w")
+    )
+    kept = cut_lineage(pres.join(small, "w", "left_semi"))
+    a = kept.select("w", F.col("u").alias("user_a"))
+    b = kept.select("w", F.col("u").alias("user_b"))
+    return (
+        a.join(b, "w")
+        .filter(F.col("user_a") < F.col("user_b"))
+        .groupBy("user_a", "user_b")
+        .agg(F.count(F.lit(1)).alias("n_windows"))
+        .filter(F.col("n_windows") >= min_windows)
+    )

@@ -328,3 +328,49 @@ def link_prediction(
             "deg_v",
         )
     )
+
+
+def community_stats(edges: DataFrame, communities: DataFrame) -> DataFrame:
+    """→ (community, n_nodes, internal_edges, sum_degree) — the exact-
+    integer sufficient statistics of modularity: Q = Σ_c [ internal/m −
+    (sum_degree / 2m)² ] over distinct undirected edges (m = Σ internal +
+    cross edges; the float is left caller-side so the hard signal stays
+    engine-portable).  The standard "did the community detection find
+    real structure" check run after ``label_propagation``.
+
+    ``communities``: (id, community).  Scale shape: degrees from one
+    map-side-combined groupBy; each distinct edge classified internal/
+    cross by joining BOTH endpoints to the (node-keyed, co-partitioned)
+    community frame; everything aggregates partially — no window, no
+    driver loop.  Nodes with no edges don't appear (degree 0 adds
+    nothing to any statistic)."""
+    und = cut_lineage(_undirected(edges))
+    deg = _symmetric(und).groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    cu = communities.select(F.col("id").alias("u"), F.col("community").alias("cu"))
+    cv = communities.select(F.col("id").alias("v"), F.col("community").alias("cv"))
+    node_stats = (
+        deg.join(cu, "u")
+        .groupBy(F.col("cu").alias("community"))
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.sum("d").alias("sum_degree"),
+        )
+    )
+    internal = (
+        und.join(cu, "u")
+        .join(cv, "v")
+        .filter(F.col("cu") == F.col("cv"))
+        .groupBy(F.col("cu").alias("community"))
+        .agg(F.count(F.lit(1)).alias("internal_edges"))
+    )
+    return (
+        node_stats.join(internal, "community", "left")
+        .select(
+            "community",
+            F.col("n_nodes").cast("long").alias("n_nodes"),
+            F.coalesce(F.col("internal_edges"), F.lit(0))
+            .cast("long")
+            .alias("internal_edges"),
+            F.col("sum_degree").cast("long").alias("sum_degree"),
+        )
+    )

@@ -188,3 +188,98 @@ def identity_clusters(notes: DataFrame) -> DataFrame:
         F.col("component").alias("canonical_id"),
         (F.col("id") == F.col("component")).alias("is_canonical"),
     )
+
+
+def qualified_link_edges(
+    spans: DataFrame,
+    alias_dict: DataFrame,
+    broadcast: bool = True,
+) -> DataFrame:
+    """→ (subj, pred, obj, qual_kind, qualifier) — resolved link/embed
+    triples that carry a sub-note anchor, the heading (``[[note#head]]``)
+    or block (``[[note^blk]]``) qualifier the plain edge extraction strips
+    (reference parser.rs strips ``#`` → ``^`` → ``|`` in that order; here
+    the stripped anchor becomes a TYPED edge attribute, turning the link
+    multigraph into a KG with sub-note granularity).
+
+    qual_kind ∈ {'heading', 'block'}: heading wins when both markers are
+    present (``#`` is stripped first, so anything after a ``#`` belongs to
+    the heading — including a later ``^``, mirroring the strip order); the
+    display alias (``|…``) never reaches the qualifier.  Links without an
+    anchor produce no row.
+
+    Scale shape: one JVM-side regexp/split projection over the spans frame
+    (no Python), then the SAME '/'-routed two-level dict resolution as
+    ``resolve_mentions`` — broadcast probe for small dictionaries, shuffle
+    join otherwise.  Unresolved anchors are dropped (silent-drop parity,
+    graph_builder.rs:160-161).
+
+    ``spans``: (doc_id, spans array<struct<kind,text,media_ref,offset>>)."""
+    inner = F.regexp_extract(F.col("s.text"), r"\[\[(.*)\]\]", 1)
+    flat = (
+        spans.select("doc_id", F.explode("spans").alias("s"))
+        .filter(F.col("s.kind").isin("wikilink", "embed"))
+        .select(
+            F.col("doc_id").alias("subj"),
+            F.when(F.col("s.kind") == "embed", F.lit("embeds"))
+            .otherwise(F.lit("links_to"))
+            .alias("pred"),
+            inner.alias("inner"),
+        )
+        .filter(F.col("inner").contains("#") | F.col("inner").contains("^"))
+    )
+    q = flat.select(
+        "subj",
+        "pred",
+        F.trim(
+            F.expr(
+                "split_part(split_part(split_part(inner, '#', 1), '^', 1),"
+                " '|', 1)"
+            )
+        ).alias("raw_target"),
+        F.when(F.col("inner").contains("#"), F.lit("heading"))
+        .otherwise(F.lit("block"))
+        .alias("qual_kind"),
+        F.trim(
+            F.when(
+                F.col("inner").contains("#"),
+                F.expr(
+                    "split_part(split_part({a}, '^', 1), '|', 1)".format(
+                        a="substring(inner, instr(inner, '#') + 1)"
+                    )
+                ),
+            ).otherwise(
+                F.expr(
+                    "split_part({a}, '|', 1)".format(
+                        a="substring(inner, instr(inner, '^') + 1)"
+                    )
+                )
+            )
+        ).alias("qualifier"),
+    )
+    routed = q.withColumn(
+        "route",
+        F.when(F.col("raw_target").contains("/"), F.lit(KIND_FULL)).otherwise(
+            F.lit(KIND_SHORT)
+        ),
+    )
+    d = F.broadcast(alias_dict) if broadcast else alias_dict
+    j1 = routed.join(
+        d,
+        (routed["raw_target"] == d["alias"]) & (routed["route"] == d["kind"]),
+        "left",
+    )
+    hit1 = j1.filter(F.col("canonical").isNotNull()).select(
+        "subj", "pred", F.col("canonical").alias("obj"), "qual_kind", "qualifier"
+    )
+    missed = j1.filter(F.col("canonical").isNull()).select(
+        "subj", "pred", "raw_target", "qual_kind", "qualifier"
+    )
+    ad = alias_dict.filter(F.col("kind") == KIND_ALIAS)
+    if broadcast:
+        ad = F.broadcast(ad)
+    j2 = missed.join(ad, missed["raw_target"] == ad["alias"], "left")
+    hit2 = j2.filter(F.col("canonical").isNotNull()).select(
+        "subj", "pred", F.col("canonical").alias("obj"), "qual_kind", "qualifier"
+    )
+    return hit1.unionByName(hit2)

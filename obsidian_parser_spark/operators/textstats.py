@@ -393,3 +393,61 @@ def chunk_documents(
             "chunk_text"
         ),
     )
+
+
+def retrieval_stats(
+    documents: DataFrame,
+    terms: list[str],
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """BM25/TF-IDF sufficient statistics → (term, doc_id, rank, tf, dl,
+    df, n_docs): for each query term, the top-``k`` documents by term
+    frequency (ties to the smaller doc_id) with every quantity a scoring
+    function needs — tf (occurrences in the doc), dl (doc token length),
+    df (documents containing the term), n_docs (corpus size).  All exact
+    integers: BM25 itself is a float of these five numbers and is left
+    caller-side so the hard signal stays engine-portable.
+
+    Scale shape: the term filter collapses the exploded token stream to
+    |terms| × |docs| rows BEFORE any shuffle (predicate on a literal
+    array, pushed into the projection); tf/dl are map-side-combined
+    aggregates; df is a by-term count over the already-aggregated tf
+    frame (tiny); the final top-k is one window over ≤ |terms| partitions
+    of pre-aggregated rows — never a sort of the raw token stream.
+    """
+    from pyspark.sql import Window
+
+    toks = documents.select(
+        F.col(id_col).alias("doc_id"),
+        F.expr(_TOKENS.format(t=text_col)).alias("_t"),
+    )
+    dl = toks.select("doc_id", F.size("_t").alias("dl"))
+    hits = (
+        toks.select("doc_id", F.explode("_t").alias("token"))
+        .filter(F.col("token").isin(*terms))
+        .groupBy("doc_id", F.col("token").alias("term"))
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_ = hits.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = documents.select(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    w = Window.partitionBy("term").orderBy(F.desc("tf"), F.asc("doc_id"))
+    return (
+        hits.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .join(dl, "doc_id")
+        .join(df_, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "term",
+            "doc_id",
+            F.col("rank").cast("long").alias("rank"),
+            F.col("tf").cast("long").alias("tf"),
+            F.col("dl").cast("long").alias("dl"),
+            F.col("df").cast("long").alias("df"),
+            F.col("n_docs").cast("long").alias("n_docs"),
+        )
+    )

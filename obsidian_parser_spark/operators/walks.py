@@ -1,0 +1,174 @@
+"""Deterministic random-walk corpus generation over the link graph.
+
+DeepWalk/node2vec-style training data for graph embeddings: one walk per
+start node over the DIRECTED distinct link edges.  The step choice is
+hash-argmin instead of RNG — at step t from node u the walk moves to
+
+    argmin over out-neighbors v of  md5('{salt}:{t}:' || u || '>' || v)
+
+(ties, i.e. md5 collisions, break to the smaller v) — so the walk corpus
+is a pure function of the edge set: bit-identical across engines, cluster
+sizes, and retries, which makes it verifiable by an independent SQL oracle
+and reproducible for training.  The hash depends on the step index, so a
+walk revisiting a node does not loop deterministically forever.
+
+The reference has no walk generator (its analyzer stops at degree stats,
+examples/analyzer.rs:60-96); this is the standard next step for turning a
+KG into embedding training data.
+
+Scale shape: each step is ONE key-partitioned equi-join (current frontier
+× edges on the current node) plus one map-side-combined min-aggregate per
+start — no window over the full edge list, no driver loop over rows.  The
+frontier never exceeds one row per start node, so step cost is bounded by
+|starts| joined against the edge partition of their current nodes; a hub
+with 10^6 out-edges costs one partial-min over its adjacency, not a sort.
+Walks ending at a sink (no out-edges) simply stop producing rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..checkpointing import cut_lineage
+
+
+def deterministic_walks(
+    edges: DataFrame,
+    n_steps: int = 3,
+    salt: str = "w",
+) -> DataFrame:
+    """(subj, obj) directed edges → (start, step, node) walk rows.
+
+    step 0 is the start node itself; steps 1..n_steps follow the
+    hash-argmin rule above.  Self-loops are legitimate moves (the walk
+    stays put for that step).  Only nodes with at least one out-edge
+    start a walk — a walk of length 0 says nothing.
+    """
+    e = cut_lineage(
+        edges.select(
+            F.col("subj").alias("u"), F.col("obj").alias("v")
+        ).distinct()
+    )
+    starts = e.select(F.col("u").alias("start")).distinct()
+    cur = starts.select("start", F.col("start").alias("node"))
+    out = [cur.select("start", F.lit(0).alias("step"), "node")]
+    for t in range(1, n_steps + 1):
+        h = F.md5(
+            F.concat(
+                F.lit(f"{salt}:{t}:"), F.col("u"), F.lit(">"), F.col("v")
+            )
+        )
+        stepped = (
+            cur.join(e, cur["node"] == e["u"])
+            .select("start", h.alias("h"), F.col("v"))
+            .groupBy("start")
+            .agg(F.min(F.struct("h", "v")).alias("_m"))
+            .select("start", F.col("_m.v").alias("node"))
+        )
+        # each round's frontier is ≤ one row per start; cutting lineage
+        # keeps the per-step plan flat instead of n_steps joins deep
+        cur = cut_lineage(stepped)
+        out.append(cur.select("start", F.lit(t).alias("step"), "node"))
+    result = out[0]
+    for frame in out[1:]:
+        result = result.unionByName(frame)
+    return result
+
+
+def walk_skipgram_pairs(walks: DataFrame, window: int = 2) -> DataFrame:
+    """(start, step, node) walk rows → (center, context, n) skip-gram
+    co-occurrence pairs with 0 < |Δstep| ≤ ``window`` — the word2vec-style
+    training pairs DeepWalk feeds to an embedding model, aggregated to
+    exact counts.
+
+    Scale shape: a self-join on the walk id (start) — each walk has at
+    most n_steps+1 rows, so the per-key fan-out is the constant
+    (n_steps+1)·2·window, never data-dependent — followed by one
+    map-side-combined count."""
+    a = walks.select(
+        "start", F.col("step").alias("s1"), F.col("node").alias("center")
+    )
+    b = walks.select(
+        "start", F.col("step").alias("s2"), F.col("node").alias("context")
+    )
+    d = F.abs(F.col("s1") - F.col("s2"))
+    return (
+        a.join(b, "start")
+        .filter((d > 0) & (d <= window))
+        .groupBy("center", "context")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def hash_negative_samples(
+    edges: DataFrame,
+    n_trials: int = 4,
+    n_buckets: int | None = None,
+    target_bucket_size: int = 16,
+    salt: str = "neg",
+) -> DataFrame:
+    """→ (u, v, trial): deterministic NON-edge candidates for contrastive
+    training (TransE/link-prediction negatives) — per trial each node is
+    hashed into a bucket and paired with the bucket-mate minimizing a
+    second hash, with true edges (either direction) anti-joined away.
+    Pure function of the edge set: reproducible across engines, retries,
+    and cluster sizes, and verifiable by the SQL oracle.
+
+    A node gets ≤ 1 candidate per trial (its bucket may hold none that
+    survive the self/edge filters).  The bucket join is quadratic WITHIN
+    a bucket, so bucket size is the scale knob: with ``n_buckets=None``
+    it is derived from one count as |V| / ``target_bucket_size`` —
+    expected pair work per trial stays |V| · target_bucket_size, linear
+    in the graph, never an all-pairs product."""
+    sym = edges.select(F.col("subj").alias("u"), F.col("obj").alias("v"))
+    und = cut_lineage(
+        sym.filter(F.col("u") != F.col("v"))
+        .select(
+            F.least("u", "v").alias("lu"), F.greatest("u", "v").alias("gu")
+        )
+        .distinct()
+    )
+    nodes = cut_lineage(
+        sym.select("u")
+        .unionByName(sym.select(F.col("v").alias("u")))
+        .distinct()
+    )
+    if n_buckets is None:
+        n_buckets = max(32, nodes.count() // target_bucket_size)
+
+    def bkt(col, trial):
+        h = F.md5(F.concat(F.lit(f"{salt}:b{trial}:"), col))
+        return F.conv(F.substring(h, 1, 4), 16, 10).cast("long") % n_buckets
+
+    out = None
+    for t in range(1, n_trials + 1):
+        a = nodes.select(
+            F.col("u").alias("cu"), bkt(F.col("u"), t).alias("b")
+        )
+        b = nodes.select(
+            F.col("u").alias("cv"), bkt(F.col("u"), t).alias("b")
+        )
+        pick = F.md5(
+            F.concat(F.lit(f"{salt}:p{t}:"), F.col("cu"), F.lit(">"), F.col("cv"))
+        )
+        cand = (
+            a.join(b, "b")
+            .filter(F.col("cu") != F.col("cv"))
+            .join(
+                und,
+                (F.least("cu", "cv") == und["lu"])
+                & (F.greatest("cu", "cv") == und["gu"]),
+                "left_anti",
+            )
+            .select("cu", "cv", pick.alias("h"))
+            .groupBy("cu")
+            .agg(F.min(F.struct("h", "cv")).alias("_m"))
+            .select(
+                F.col("cu").alias("u"),
+                F.col("_m.cv").alias("v"),
+                F.lit(t).cast("long").alias("trial"),
+            )
+        )
+        out = cand if out is None else out.unionByName(cand)
+    return out
