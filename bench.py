@@ -218,6 +218,28 @@ def main() -> None:
             repeat=2,
         )
 
+        # round-4 operator families over the SAME materialized edge table
+        # (new keys — excluded from cross-round total comparisons before
+        # r04; see BENCH/BASELINE.md)
+        from obsidian_parser_spark.operators import graph_metrics as GM
+        from obsidian_parser_spark.operators.walks import deterministic_walks
+
+        timed(
+            "kg_triangles",
+            lambda: GM.triangle_counts(A.link_edges(g.edges))
+            .agg(F.sum("n_triangles"))
+            .collect(),
+            repeat=2,
+        )
+        timed(
+            "kg_walks",
+            lambda: deterministic_walks(A.link_edges(g.edges), n_steps=3)
+            .groupBy("step")
+            .count()
+            .collect(),
+            repeat=2,
+        )
+
         # reconstruct once, cache, and time the materialization as its own
         # stage — the dd/ts stages below then measure OPERATOR cost, not a
         # repeated per-query text reconstruction (mirrors the materialize
@@ -247,6 +269,13 @@ def main() -> None:
             lambda: TS.fingerprints(vault_text).agg(F.sum("fingerprint")).collect(),
             repeat=2,
         )
+        timed(
+            "dd_dupspans_vault",
+            lambda: DD.duplicated_spans(vault_text, n=8, min_docs=2)
+            .agg(F.sum("n_docs"))
+            .collect(),
+            repeat=2,
+        )
 
         # driver-table queries (small, fixed size — latency floor); only
         # when the sf_dir carries the driver tables (vault-only sfs don't)
@@ -269,6 +298,18 @@ def main() -> None:
     total = round(
         sum(v for k, v in timings.items() if k != "py_worker_warmup"), 3
     )
+    # r04 added stages (kg_triangles, kg_walks, dd_dupspans_vault); this
+    # sums only the pre-r04 stage set so cross-round totals stay
+    # like-for-like
+    _new_r04 = {"kg_triangles", "kg_walks", "dd_dupspans_vault"}
+    total_legacy = round(
+        sum(
+            v
+            for k, v in timings.items()
+            if k != "py_worker_warmup" and k not in _new_r04
+        ),
+        3,
+    )
     build_t = timings.get("kg_tokenize", 0.0) + timings.get("kg_build_edges", 0.0)
     calib = _spin_calib()
     result = {
@@ -284,6 +325,7 @@ def main() -> None:
         else None,
         "cpus": cpus,
         "calib_spin_sec": calib,
+        "total_pre_r04_stages": total_legacy,
     }
     print(json.dumps(result))
     spark.stop()
