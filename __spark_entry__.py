@@ -617,6 +617,35 @@ def _q_kg_gif(spark, sf_dir):
     )
 
 
+def _q_kg_gifpixels(spark, sf_dir):
+    """REAL GIF raster decode — full LZW decompression, not just the
+    header walk: per-frame pixel indices unpacked from the variable-width
+    LSB-first code stream (table resets, width growth, KwKwK) and mapped
+    through the global color table, channel sums exact over ALL frames.
+    The oracle computes the same sums closed-form from the generation
+    rule (index = (x+y+f) mod 4, palette a pure function of the ref
+    number) + header-parsed dims — a wrong bit order, missed table
+    reset, or off-by-one in width growth yields wrong integers and fails
+    the hash.  Corrupt payloads -> ok=false (-1 sentinels)."""
+    from obsidian_parser_spark.operators.multimodal import image_channel_stats
+
+    media = spark.read.parquet(ensure_media_corpus(_sf_name(sf_dir))).filter(
+        F.col("media_ref").endswith(".gif")
+    )
+    d = image_channel_stats(media)
+    neg = F.lit(-1)
+    return d.select(
+        "media_ref",
+        F.coalesce("width", neg).cast("int").alias("width"),
+        F.coalesce("height", neg).cast("int").alias("height"),
+        F.coalesce("n_px", neg).cast("long").alias("n_px"),
+        F.coalesce("sum_r", neg).cast("long").alias("sum_r"),
+        F.coalesce("sum_g", neg).cast("long").alias("sum_g"),
+        F.coalesce("sum_b", neg).cast("long").alias("sum_b"),
+        "ok",
+    )
+
+
 def _q_kg_distances(spark, sf_dir):
     """Directed BFS levels from note_1 over the link graph (6 rounds of
     frontier expansion, per-round checkpointed like the CC fixpoint);
@@ -1377,6 +1406,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd_dupspans": _q_dd_dupspans,
         "ts_bm25": _q_ts_bm25,
         "ev_copresence": _q_ev_copresence,
+        "kg_gifpixels": _q_kg_gifpixels,
     }
 
 
@@ -1814,6 +1844,75 @@ SELECT media_ref,
 FROM rule"""
 
 
+def _media_gifpixels_oracle(mpath: str) -> str:
+    """EXACT GIF channel sums WITHOUT touching the LZW bytes: pixel index
+    = (x+y+f) % 4 and the 4-entry palette are pure functions of the ref
+    number g, so #(index = r in frame f) = Σ_a nx(a)·ny((r-f-a) mod 4)
+    with nx(a) = #{x < w : x ≡ a (mod 4)} = (w-a+3)//4 — closed form
+    from header-parsed dims + the generation rule.  The engine runs a
+    real LZW decompression; equality proves the bit unpacking, table
+    reset, code-width growth and palette mapping."""
+    le2 = _hex_le2
+    gx = r"TRY_CAST(regexp_extract(media_ref, 'anim_(\d+)\.gif', 1) AS BIGINT)"
+
+    def cnt4(s: int) -> str:
+        return (
+            "("
+            + " + ".join(
+                f"((w - {a} + 3) // 4) * ((ht - {(s - a) % 4} + 3) // 4)"
+                for a in range(4)
+            )
+            + ")"
+        )
+
+    def chsum(ca: int, cb: int) -> str:
+        # per frame f: Σ_r palette_ch(r) · cnt4((r - f) mod 4)
+        return " + ".join(
+            f"(((g * {ca} + {r * cb}) % 256) * "
+            f"(CASE (({r} - f) % 4 + 4) % 4 "
+            f"WHEN 0 THEN c0 WHEN 1 THEN c1 WHEN 2 THEN c2 ELSE c3 END))"
+            for r in range(4)
+        )
+
+    return f"""
+WITH m AS (
+  SELECT media_ref, hex(payload) AS h, octet_length(payload) AS n
+  FROM read_parquet('{mpath}') WHERE lower(media_ref) LIKE '%.gif'
+),
+hdr AS (
+  SELECT media_ref, {gx} AS g, {le2(7)} AS w, {le2(9)} AS ht,
+         1 + ({gx}) % 9 AS fr,
+         coalesce(n >= 13 AND substr(h, 1, 12) = '474946383961', FALSE) AS ok
+  FROM m
+),
+c4 AS (
+  SELECT *, {cnt4(0)} AS c0, {cnt4(1)} AS c1, {cnt4(2)} AS c2, {cnt4(3)} AS c3
+  FROM hdr WHERE ok
+),
+per AS (
+  SELECT media_ref, g, w, ht, fr, c0, c1, c2, c3,
+         unnest(range(fr)) AS f
+  FROM c4
+),
+sums AS (
+  SELECT media_ref, any_value(w) AS w, any_value(ht) AS ht,
+         any_value(fr) AS fr,
+         sum({chsum(37, 59)}) AS sr,
+         sum({chsum(11, 83)}) AS sg,
+         sum({chsum(53, 29)}) AS sb
+  FROM per GROUP BY media_ref
+)
+SELECT hdr.media_ref,
+       (CASE WHEN ok THEN s.w ELSE -1 END)::INTEGER AS width,
+       (CASE WHEN ok THEN s.ht ELSE -1 END)::INTEGER AS height,
+       (CASE WHEN ok THEN s.w * s.ht * s.fr ELSE -1 END)::BIGINT AS n_px,
+       (CASE WHEN ok THEN s.sr ELSE -1 END)::BIGINT AS sum_r,
+       (CASE WHEN ok THEN s.sg ELSE -1 END)::BIGINT AS sum_g,
+       (CASE WHEN ok THEN s.sb ELSE -1 END)::BIGINT AS sum_b,
+       ok
+FROM hdr LEFT JOIN sums s ON s.media_ref = hdr.media_ref"""
+
+
 def _media_audio_oracle(mpath: str) -> str:
     """EXACT PCM sample sum from the constant-amplitude rule (value a pure
     function of the ref number) × header-parsed sample count; the engine
@@ -2087,6 +2186,7 @@ SELECT 8::INTEGER AS n_buckets, 2::INTEGER AS n_resumed, 6::INTEGER AS n_skipped
         "kg_audio": _media_audio_oracle(mpath),
         "kg_gif": _media_gif_oracle(mpath),
         "kg_bmp": _media_bmp_oracle(mpath),
+        "kg_gifpixels": _media_gifpixels_oracle(mpath),
         "kg_pack": kg_pack_sql,
         "kg_stream_edges": c + "SELECT subj, pred, obj FROM link_edges",
         "kg_resume": kg_resume_sql,

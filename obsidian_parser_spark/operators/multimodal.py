@@ -389,19 +389,152 @@ def _decode_bmp_pixels(b: bytes) -> tuple[int, int, int, int, int] | None:
     return width, height, int(s[2]), int(s[1]), int(s[0])
 
 
+def _gif_lzw_decode(data: bytes, min_code_size: int) -> list[int] | None:
+    """REAL GIF-LZW decompression, stdlib-only: LSB-first variable-width
+    codes, CLEAR resets the table, code width grows when the next free
+    slot reaches 2^width (capped at 12 bits per the spec), the KwKwK case
+    (code == next free slot) resolves to prev + prev[0].  Returns the
+    pixel-index list, or None on any malformed stream (truncated bits,
+    out-of-range code, data before the first literal)."""
+    if not 2 <= min_code_size <= 8:
+        return None
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    literals: list[list[int] | None] = [[i] for i in range(clear)]
+    table = literals + [None, None]
+    width = min_code_size + 1
+    out: list[int] = []
+    prev: list[int] | None = None
+    bitpos = 0
+    nbits = len(data) * 8
+    while True:
+        if bitpos + width > nbits:
+            return None  # ran out of bits before EOI
+        byte0 = bitpos >> 3
+        chunk = int.from_bytes(
+            data[byte0 : byte0 + 3], "little"
+        )  # width ≤ 12 → spans ≤ 3 bytes
+        code = (chunk >> (bitpos & 7)) & ((1 << width) - 1)
+        bitpos += width
+        if code == clear:
+            table = literals + [None, None]
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == eoi:
+            return out
+        if prev is None:
+            if code >= clear:
+                return None
+            entry = [code]
+        elif code < len(table):
+            e = table[code]
+            if e is None:
+                return None
+            entry = e
+        elif code == len(table):
+            entry = prev + [prev[0]]  # KwKwK
+        else:
+            return None
+        if prev is not None:
+            table.append(prev + [entry[0]])
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+        out.extend(entry)
+        prev = entry
+
+
+def _decode_gif_pixels(
+    b: bytes,
+) -> tuple[int, int, int, int, int, int] | None:
+    """REAL pixel decode for palette GIFs: walk the block stream, LZW-
+    decompress every frame's raster, map indices through the active color
+    table → (width, height, n_px_total, sum_r, sum_g, sum_b) summed over
+    ALL frames.  Local color tables override the global one per frame;
+    interlace only permutes row order, which channel sums don't see.
+    None on corrupt streams / frame size mismatch — the error channel,
+    not an exception."""
+    wh = _parse_gif(b)
+    if wh is None or len(b) < 13:
+        return None
+    width, height = wh
+    packed = b[10]
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        if pos + 3 * n > len(b):
+            return None
+        gct = np.frombuffer(b, np.uint8, 3 * n, pos).reshape(n, 3)
+        pos += 3 * n
+    sums = np.zeros(3, dtype=np.int64)
+    n_px = 0
+    while pos < len(b):
+        introducer = b[pos]
+        if introducer == 0x3B:
+            return width, height, n_px, int(sums[0]), int(sums[1]), int(sums[2])
+        if introducer == 0x21:
+            pos += 2
+            while pos < len(b) and b[pos] != 0:
+                pos += 1 + b[pos]
+            pos += 1
+        elif introducer == 0x2C:
+            if pos + 10 > len(b):
+                return None
+            fw, fh = struct.unpack("<HH", b[pos + 5 : pos + 9])
+            lpacked = b[pos + 9]
+            pos += 10
+            pal = gct
+            if lpacked & 0x80:
+                n = 2 << (lpacked & 0x07)
+                if pos + 3 * n > len(b):
+                    return None
+                pal = np.frombuffer(b, np.uint8, 3 * n, pos).reshape(n, 3)
+                pos += 3 * n
+            if pal is None or pos >= len(b):
+                return None
+            mcs = b[pos]
+            pos += 1
+            data = bytearray()
+            while pos < len(b) and b[pos] != 0:
+                ln = b[pos]
+                data += b[pos + 1 : pos + 1 + ln]
+                pos += 1 + ln
+            if pos >= len(b):
+                return None
+            pos += 1
+            idx = _gif_lzw_decode(bytes(data), mcs)
+            if idx is None or len(idx) != fw * fh:
+                return None
+            a = np.asarray(idx, dtype=np.int64)
+            if a.size and int(a.max()) >= pal.shape[0]:
+                return None
+            sums += pal[a].astype(np.int64).sum(axis=0)
+            n_px += fw * fh
+        else:
+            return None
+    return None  # ran off the end without a trailer
+
+
 def image_channel_stats(
     media: DataFrame, payload_col: str = "payload", strict: bool = False
 ) -> DataFrame:
-    """(media_ref, payload) → REAL per-channel pixel sums for PNG and BMP
-    payloads: (width, height, n_px, sum_r, sum_g, sum_b, ok) — integer
-    sums, so an independent engine can verify them EXACTLY (the driver
-    oracle recomputes them from the corpus' deterministic color rule
-    without inflating anything).  PNG inflates the IDAT; BMP reads the
-    uncompressed raster straight off the pixel-array offset.  Other
+    """(media_ref, payload) → REAL per-channel pixel sums for PNG, BMP
+    and GIF payloads: (width, height, n_px, sum_r, sum_g, sum_b, ok) —
+    integer sums, so an independent engine can verify them EXACTLY (the
+    driver oracle recomputes them from the corpus' deterministic color
+    rule without inflating anything).  PNG inflates the IDAT; BMP reads
+    the uncompressed raster straight off the pixel-array offset; GIF
+    runs a real LZW decompression over every frame and maps indices
+    through the color table (n_px summed across frames).  Other
     extensions → ok=false rows (error channel; a stray .jpg must not kill
     the job) unless ``strict=True``, which raises the declared codec
     stub.  Corrupt/unsupported payloads → ok=false row."""
-    decoders = {"png": _decode_png_pixels, "bmp": _decode_bmp_pixels}
+    decoders = {
+        "png": _decode_png_pixels,
+        "bmp": _decode_bmp_pixels,
+        "gif": _decode_gif_pixels,
+    }
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -421,9 +554,12 @@ def image_channel_stats(
                 out = dec(bytes(payload) if payload is not None else b"")
                 if out is None:
                     rows.append((ref, None, None, None, None, None, None, False))
-                else:
+                elif len(out) == 5:  # single-frame formats: n_px = w*h
                     w, h, sr, sg, sb = out
                     rows.append((ref, w, h, w * h, sr, sg, sb, True))
+                else:  # gif: n_px summed over frames
+                    w, h, npx, sr, sg, sb = out
+                    rows.append((ref, w, h, npx, sr, sg, sb, True))
             yield pd.DataFrame(
                 rows,
                 columns=["media_ref", "width", "height", "n_px",

@@ -211,23 +211,76 @@ def bmp_bytes(
     return hdr + info + body
 
 
-def gif_bytes(width: int, height: int, n_frames: int = 1) -> bytes:
+def gif_palette(g: int) -> list[tuple[int, int, int]]:
+    """The 4-entry global color table for gif ref number ``g`` — a pure
+    function of g, so channel sums are verifiable without touching the
+    LZW bytes."""
+    return [
+        ((g * 37 + j * 59) % 256, (g * 11 + j * 83) % 256,
+         (g * 53 + j * 29) % 256)
+        for j in range(4)
+    ]
+
+
+def _gif_lzw_encode(indices: list[int], min_code_size: int = 2) -> bytes:
+    """A valid (deliberately compression-free) GIF-LZW stream for 2-bit
+    pixel indices: a CLEAR code before every pair of literal codes keeps
+    the decoder's table at ≤ 8 entries so the code width never leaves
+    ``min_code_size + 1`` bits — tiny and trivially correct, and any
+    conforming decoder (including a real one) reads it back exactly.
+    LSB-first bit packing per the GIF spec."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    width = min_code_size + 1
+    bits = 0
+    nbits = 0
+    out = bytearray()
+
+    def emit(code: int) -> None:
+        nonlocal bits, nbits
+        bits |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(bits & 0xFF)
+            bits >>= 8
+            nbits -= 8
+
+    for i, idx in enumerate(indices):
+        if i % 2 == 0:
+            emit(clear)
+        emit(idx)
+    emit(eoi)
+    if nbits:
+        out.append(bits & 0xFF)
+    return bytes(out)
+
+
+def gif_bytes(
+    width: int, height: int, n_frames: int = 1, g: int = 0
+) -> bytes:
     """A REAL GIF89a: signature + logical screen descriptor (width/height
-    little-endian uint16) + a 4-entry global color table + ``n_frames``
-    image descriptors each carrying a minimal LZW data stream in
-    length-prefixed sub-blocks + trailer — structurally valid, parseable
-    by any GIF reader and by ``multimodal._gif_frame_count``'s positional
-    block walk."""
+    little-endian uint16) + the 4-entry ``gif_palette(g)`` global color
+    table + ``n_frames`` full-frame image descriptors each carrying a
+    GENUINE LZW-coded raster (pixel index = (x + y + f) % 4, a pure
+    function of position and frame) in length-prefixed sub-blocks +
+    trailer — decodable by any GIF reader and by
+    ``multimodal._decode_gif_pixels``' real LZW decoder, with channel
+    sums verifiable closed-form from (g, dims, frame count) alone."""
     import struct
 
     out = b"GIF89a" + struct.pack("<HH", width, height)
     out += bytes([0x81, 0, 0])  # GCT flag + size bits=1 (4 entries), bg, aspect
-    out += bytes(12)  # 4-entry global color table (3 bytes each)
+    for rgb in gif_palette(g):
+        out += bytes(rgb)
     for f in range(n_frames):
         out += b"\x2c" + struct.pack("<HHHH", 0, 0, width, height) + b"\x00"
         out += bytes([2])  # LZW minimum code size
-        data = bytes([(f + k) % 256 for k in range(5)])
-        out += bytes([len(data)]) + data + b"\x00"  # one sub-block + terminator
+        idx = [(x + y + f) % 4 for y in range(height) for x in range(width)]
+        data = _gif_lzw_encode(idx)
+        for pos in range(0, len(data), 255):
+            chunk = data[pos : pos + 255]
+            out += bytes([len(chunk)]) + chunk
+        out += b"\x00"  # sub-block terminator
     return out + b"\x3b"
 
 
@@ -244,7 +297,7 @@ def ensure_media_corpus(sf_name: str, base: str | None = None) -> str:
     path = media_parquet_path(sf_name, base)
     marker = os.path.join(out_dir, "_MEDIA_GENERATED.json")
     n_media = max(60, num_files_for_sf(sf_name) // 20)
-    params = {"version": 5, "n_media": n_media}
+    params = {"version": 6, "n_media": n_media}
     if os.path.exists(marker) and os.path.exists(path):
         with open(marker) as f:
             if json.load(f) == params:
@@ -294,7 +347,8 @@ def ensure_media_corpus(sf_name: str, base: str | None = None) -> str:
             refs.append(f"anim_{g}.gif")
             payloads.append(
                 gif_bytes(
-                    2 + (g * 31) % 100, 2 + (g * 17) % 100, n_frames=1 + g % 9
+                    2 + (g * 31) % 100, 2 + (g * 17) % 100,
+                    n_frames=1 + g % 9, g=g,
                 )
             )
     # appended BMP rows (version 5; refs disjoint from png/wav/gif so the
