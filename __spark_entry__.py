@@ -1176,6 +1176,46 @@ def _q_kg_negatives(spark, sf_dir):
     return hash_negative_samples(A.link_edges(g.edges), n_trials=_NEG_TRIALS)
 
 
+_EGO_FANOUTS = (3, 2)
+
+
+def _q_kg_egonets(spark, sf_dir):
+    """GraphSAGE-style fanout-sampled 2-hop ego-nets over the directed
+    link graph: hop t keeps at most fanout_t out-neighbors per frontier
+    node, chosen by hash-argmin (md5 of 'ego:t:u>v', ties to smaller v)
+    so the subgraph is a pure function of the edge set.  The per-node
+    sample is shared across egos — computed once per hop as a per-key
+    top-k over the edge table — so sampling cost is O(|E|) per hop at
+    any scale.  The oracle replays the identical rule with QUALIFY-style
+    row_number CTEs."""
+    from obsidian_parser_spark.operators.gnn import sampled_egonets
+
+    g = _graph(spark, sf_dir)
+    e = sampled_egonets(A.link_edges(g.edges), fanouts=_EGO_FANOUTS)
+    return e.select(
+        "seed", F.col("hop").cast("long").alias("hop"), "src", "dst"
+    )
+
+
+def _q_kg_ids(spark, sf_dir):
+    """Dense contiguous integer ids for the typed triple table — the
+    (h_id, r_id, t_id) file a TransE/RotatE-style trainer reads.  Dense
+    global ranking WITHOUT the single-reducer window: range-repartition
+    on the key, per-partition counts (one tiny aggregate to the driver),
+    broadcast cumulative offsets, local rank — no stage holds more than
+    one partition's slice.  The oracle is the plain row_number() the
+    distributed rank must equal bit-for-bit."""
+    from obsidian_parser_spark.operators.gnn import triples_with_ids
+
+    g = _graph(spark, sf_dir)
+    t = triples_with_ids(g.edges)
+    return t.select(
+        F.col("h_id").cast("long").alias("h_id"),
+        F.col("r_id").cast("long").alias("r_id"),
+        F.col("t_id").cast("long").alias("t_id"),
+    )
+
+
 def _q_kg_triangles(spark, sf_dir):
     """Triangle counts per node over the undirected link graph via
     degree-ordered orientation (oriented out-degree ≤ O(sqrt(m)), so the
@@ -1407,6 +1447,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_bm25": _q_ts_bm25,
         "ev_copresence": _q_ev_copresence,
         "kg_gifpixels": _q_kg_gifpixels,
+        "kg_egonets": _q_kg_egonets,
+        "kg_ids": _q_kg_ids,
     }
 
 
@@ -2080,6 +2122,69 @@ def _walks_ctes(n_steps: int, salt: str = "w") -> str:
     return ctes + "\n" + union
 
 
+def _egonets_ctes(fanouts, seed_mod: int = 8, salt: str = "ego") -> str:
+    """Unrolled fanout-sampled ego-net expansion mirroring
+    operators/gnn.py:sampled_egonets — hop-t sampled adjacency = per-u
+    top-fanout_t by md5('{salt}:t:u>v') (ties to smaller v), seeds = the
+    sources whose md5('{salt}:s:u') first 16 bits ≡ 0 (mod seed_mod),
+    frontier = previous hop's distinct destinations."""
+    nib = (
+        "(strpos('0123456789abcdef',"
+        f" substr(md5('{salt}:s:' || u), {{i}}, 1)) - 1)"
+    )
+    h16 = (
+        "("
+        + " + ".join(
+            f"{nib.format(i=i + 1)} * {16 ** (3 - i)}" for i in range(4)
+        )
+        + ")"
+    )
+    parts = [
+        "ee AS MATERIALIZED (SELECT DISTINCT subj AS u, obj AS v"
+        " FROM link_edges)"
+    ]
+    for t, f in enumerate(fanouts, start=1):
+        parts.append(
+            f"""ea{t} AS MATERIALIZED (
+  SELECT u, v FROM (
+    SELECT u, v, row_number() OVER (PARTITION BY u
+      ORDER BY md5('{salt}:{t}:' || u || '>' || v), v) AS rn FROM ee)
+  WHERE rn <= {f})"""
+        )
+    parts.append(
+        f"es AS (SELECT u AS seed FROM (SELECT DISTINCT u FROM ea1)"
+        f" WHERE {h16} % {seed_mod} = 0)"
+    )
+    parts.append(
+        "eh1 AS MATERIALIZED (SELECT DISTINCT seed, a.u AS src, a.v AS dst"
+        " FROM es JOIN ea1 a ON a.u = es.seed)"
+    )
+    selects = ["SELECT seed, 1::BIGINT AS hop, src, dst FROM eh1"]
+    for t in range(2, len(fanouts) + 1):
+        parts.append(
+            f"""eh{t} AS MATERIALIZED (
+  SELECT DISTINCT f.seed, a.u AS src, a.v AS dst
+  FROM (SELECT DISTINCT seed, dst FROM eh{t - 1}) f
+  JOIN ea{t} a ON a.u = f.dst)"""
+        )
+        selects.append(f"SELECT seed, {t}::BIGINT AS hop, src, dst FROM eh{t}")
+    return ",\n".join(parts) + "\n" + "\nUNION ALL ".join(selects)
+
+
+_IDS_SQL = """t3 AS MATERIALIZED (SELECT DISTINCT subj, pred, obj FROM edges),
+ient AS MATERIALIZED (
+  SELECT entity, row_number() OVER (ORDER BY entity) - 1 AS id FROM (
+    SELECT DISTINCT subj AS entity FROM t3 UNION SELECT obj FROM t3)),
+irel AS (
+  SELECT pred, row_number() OVER (ORDER BY pred) - 1 AS id
+  FROM (SELECT DISTINCT pred FROM t3))
+SELECT e1.id::BIGINT AS h_id, r.id::BIGINT AS r_id, e2.id::BIGINT AS t_id
+FROM t3
+JOIN ient e1 ON e1.entity = t3.subj
+JOIN irel r ON r.pred = t3.pred
+JOIN ient e2 ON e2.entity = t3.obj"""
+
+
 def _negatives_ctes(n_trials: int, target_bucket_size: int = 16) -> str:
     """Unrolled hash-paired negative sampling mirroring
     operators/walks.py:hash_negative_samples — bucket count derived as
@@ -2326,6 +2431,8 @@ FROM wk a JOIN wk b
   ON a.start = b.start AND a.step <> b.step AND abs(a.step - b.step) <= 2
 GROUP BY a.node, b.node""",
         "kg_negatives": c + ",\n" + _negatives_ctes(_NEG_TRIALS),
+        "kg_egonets": c + ",\n" + _egonets_ctes(_EGO_FANOUTS),
+        "kg_ids": c + ",\n" + _IDS_SQL,
         "kg_media_decoded": c
         + ",\n"
         + _media_decode_ctes(mpath)
