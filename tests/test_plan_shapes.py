@@ -213,3 +213,30 @@ def test_graph_metrics_plans_jvm_only_no_cartesian(spark):
             assert marker not in plan, marker
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_dense_ids_avoids_single_partition_window(spark):
+    """The dense-rank trap: row_number() over an unpartitioned window is
+    an Exchange SinglePartition + one-reducer sort.  dense_ids must rank
+    via range repartition + per-partition offsets — its executed plan may
+    contain hash/range exchanges but NEVER a SinglePartition one."""
+    from obsidian_parser_spark.operators.gnn import dense_ids, sampled_adjacency
+
+    df = spark.createDataFrame(
+        [(f"v{i % 37:03d}",) for i in range(200)], "entity string"
+    )
+    plan = _plan(dense_ids(df, "entity", n_parts=5))
+    assert "SinglePartition" not in plan
+    assert "Window" in plan  # the per-partition local rank is still a window
+    for marker in PY_MARKERS:
+        assert marker not in plan, marker
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d")],
+        "subj string, obj string",
+    )
+    aplan = _plan(sampled_adjacency(edges, 2, 1))
+    for marker in PY_MARKERS:
+        assert marker not in aplan, marker
+    assert "CartesianProduct" not in aplan
+    assert "SinglePartition" not in aplan
