@@ -316,6 +316,14 @@ def _q_dd_embed_cosine(spark, sf_dir):
     )
 
 
+def _q_dd_semdedup(spark, sf_dir):
+    """SemDeDup semantic pruning: IVF-coarse clusters, within-cluster exact
+    integer cosine >= 0.9, min-id keeper (Abbas et al. 2023)."""
+    return DD.semdedup_prune(
+        _emb_corpus(spark, sf_dir), n_centroids=8, threshold_pct=90
+    )
+
+
 def _q_ann_topk(spark, sf_dir):
     """Brute-force integer-MIPS top-10 - the ANN correctness baseline."""
     r = SIM.brute_force_topk(_embeddings(spark, sf_dir), k=10, n_queries=10)
@@ -1389,6 +1397,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd_simhash": _q_dd_simhash,
         "dd_lsh_verified": _q_dd_lsh_verified,
         "dd_embed_cosine": _q_dd_embed_cosine,
+        "dd_semdedup": _q_dd_semdedup,
         "ann_topk": _q_ann_topk,
         "ann_lsh": _q_ann_lsh,
         "ann_lsh_mt": _q_ann_lsh_mt,
@@ -2696,6 +2705,68 @@ SELECT DISTINCT a, b FROM pairs
 WHERE dot > 0 AND 10000::HUGEINT * dot * dot >= {p2}::HUGEINT * na2 * nb2"""
 
 
+def _dd_semdedup_sql(
+    qv: str, n_centroids: int = 8, threshold_pct: int = 90, max_cluster: int = 100_000
+) -> str:
+    """DuckDB re-derivation of ``semdedup_prune`` over the derived embedding
+    corpus: identical coarse assignment (first-n-ids codebook, exact-integer
+    L2 argmin, ties to smaller cid), identical exact-integer cosine test,
+    identical min-id keeper."""
+    qv_shift = (
+        "[CAST(round((CASE WHEN i = 1 THEN CAST(embedding[i] AS DOUBLE) + 3.0 "
+        "ELSE CAST(embedding[i] AS DOUBLE) END) * 10000) AS BIGINT) "
+        "for i in range(1, len(embedding) + 1)]"
+    )
+    p2 = threshold_pct * threshold_pct
+    return f"""
+WITH base AS MATERIALIZED (
+  SELECT vec_id, {qv} AS qv FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000 AS vec_id, {qv} AS qv FROM embeddings WHERE vec_id % 10 = 0
+  UNION ALL
+  SELECT vec_id + 200000 AS vec_id, {qv_shift} AS qv
+  FROM embeddings WHERE vec_id % 7 = 0
+),
+cent AS (SELECT vec_id AS cid, qv AS cq FROM base WHERE vec_id < {n_centroids}),
+dist AS (
+  SELECT b.vec_id, c.cid,
+         CAST(list_sum([(b.qv[i] - c.cq[i]) * (b.qv[i] - c.cq[i])
+                        for i in range(1, len(b.qv) + 1)]) AS BIGINT) AS d2
+  FROM base b CROSS JOIN cent c
+),
+asg AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+    FROM dist
+  ) WHERE rn = 1
+),
+cells AS MATERIALIZED (
+  SELECT b.vec_id, a.cid, b.qv,
+         CAST(list_sum([b.qv[i] * b.qv[i]
+                        for i in range(1, len(b.qv) + 1)]) AS HUGEINT) AS n2
+  FROM asg a JOIN base b USING (vec_id)
+),
+sizes AS (SELECT cid, count(*) AS n FROM cells GROUP BY cid),
+pairs AS (
+  SELECT x.vec_id AS a,
+         CAST(list_sum([x.qv[i] * y.qv[i]
+                        for i in range(1, len(x.qv) + 1)]) AS HUGEINT) AS dot,
+         x.n2 AS na2, y.n2 AS nb2
+  FROM cells x
+  JOIN cells y ON x.cid = y.cid AND y.vec_id < x.vec_id
+  JOIN sizes s ON s.cid = x.cid AND s.n <= {max_cluster}
+),
+pruned AS (
+  SELECT DISTINCT a FROM pairs
+  WHERE dot > 0 AND 10000::HUGEINT * dot * dot >= {p2}::HUGEINT * na2 * nb2
+)
+SELECT c.vec_id, c.cid, p.a IS NULL AS is_kept, s.n > {max_cluster} AS oversized
+FROM cells c
+JOIN sizes s USING (cid)
+LEFT JOIN pruned p ON p.a = c.vec_id"""
+
+
 def _dd_simhash_oracle(tok: str) -> str:
     """DuckDB re-derivation of ``simhash_near_dups`` (md5 family) over the
     dedup corpus — bit-for-bit: shift semantics (arithmetic), xor, and
@@ -2865,6 +2936,7 @@ SELECT i.a, i.b,
 FROM inter i JOIN sizes sa ON sa.doc_id = i.a JOIN sizes sb ON sb.doc_id = i.b
 WHERE i.inter / (sa.sz + sb.sz - i.inter) >= 0.8""",
         "dd_embed_cosine": _dd_embed_cosine_sql(qv),
+        "dd_semdedup": _dd_semdedup_sql(qv),
         "dd_simhash": _dd_simhash_oracle(tok),
         "ann_topk": f"""
 WITH q AS (SELECT vec_id, {qv} AS qv FROM embeddings),

@@ -599,3 +599,92 @@ def duplicated_spans(
         )
         .filter(F.col("n_docs") >= min_docs)
     )
+
+
+def semdedup_prune(
+    embeddings: DataFrame,
+    n_centroids: int = 8,
+    threshold_pct: int = 95,
+    max_cluster_size: int = 100_000,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
+    cluster the embeddings with a coarse quantizer, compare pairs ONLY
+    within a cluster, and prune every member whose cluster holds a
+    semantically near-identical representative with a smaller id.
+
+    → (vec_id, cid, is_kept, oversized), one row per input vector.
+
+    Determinism: the coarse quantizer is the IVF data-point codebook
+    (first ``n_centroids`` ids as centroids, exact-integer L2 argmin with
+    ties to the smaller cid — the same assignment as
+    ``similarity.ivf_topk``); the near-identical test is the exact-integer
+    cosine (cos ≥ p/100 ⇔ dot > 0 ∧ 10⁴·dot² ≥ p²·|a|²·|b|², decimal
+    arithmetic, no float drift); the keeper rule is min-id.  (The paper
+    keeps the member FARTHEST from its centroid; min-id is the
+    deterministic, oracle-checkable stand-in — swap the keeper ORDER BY
+    for centroid distance in production if that bias is wanted.)
+
+    Scale shape: SemDeDup is quadratic within a cluster BY DESIGN (the
+    paper runs ~50k clusters over 100M docs, ~2k members each, and the
+    codebook count is the knob that keeps it so).  Clusters larger than
+    ``max_cluster_size`` are excluded from pairing and flagged
+    ``oversized = true`` with every member kept — a loud guard instead of
+    a detonating reducer, the same scheme as ``minhash_lsh_pairs``'s
+    mega-bucket cap.  The centroid table is broadcast; the cluster sizes
+    frame is ≤ ``n_centroids`` rows and broadcast too.
+    """
+    from .similarity import quantize
+
+    d2 = "aggregate(zip_with(q, cq, (x, y) -> (x - y) * (x - y)), 0L, (acc, v) -> acc + v)"
+    norm2 = "aggregate(zip_with(q, q, (x, y) -> x * y), 0L, (acc, v) -> acc + v)"
+    qz = quantize(embeddings, "embedding").select(F.col(id_col).alias("vid"), "q")
+    cent = qz.filter(F.col("vid") < n_centroids).select(
+        F.col("vid").alias("cid"), F.col("q").alias("cq")
+    )
+    cells = (
+        qz.crossJoin(F.broadcast(cent))
+        .withColumn("d2", F.expr(d2))
+        .groupBy("vid")
+        .agg(F.min(F.struct("d2", "cid")).alias("_m"), F.first("q").alias("q"))
+        .select("vid", F.col("_m.cid").alias("cid"), "q")
+        .withColumn("n2", F.expr(norm2))
+    )
+    sizes = cells.groupBy("cid").agg(F.count(F.lit(1)).alias("_n"))
+    flagged = cells.join(F.broadcast(sizes), "cid").withColumn(
+        "oversized", F.col("_n") > max_cluster_size
+    )
+    small = flagged.filter(~F.col("oversized"))
+    a = small.select(
+        F.col("vid").alias("a"), "cid", F.col("q").alias("qa"), F.col("n2").alias("na2")
+    )
+    b = small.select(
+        F.col("vid").alias("b"), "cid", F.col("q").alias("qb"), F.col("n2").alias("nb2")
+    )
+    dot = "aggregate(zip_with(qa, qb, (x, y) -> x * y), 0L, (acc, v) -> acc + v)"
+    p2 = threshold_pct * threshold_pct
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    pruned = (
+        a.join(b, "cid")
+        .filter(F.col("b") < F.col("a"))
+        .withColumn("dot", F.expr(dot))
+        .filter(
+            (F.col("dot") > 0)
+            & (
+                F.lit(10000).cast("decimal(38,0)") * dec(F.col("dot")) * dec(F.col("dot"))
+                >= F.lit(p2).cast("decimal(38,0)") * dec(F.col("na2")) * dec(F.col("nb2"))
+            )
+        )
+        .select("a")
+        .distinct()
+        .withColumn("_pruned", F.lit(True))
+    )
+    return (
+        flagged.join(pruned, flagged["vid"] == pruned["a"], "left")
+        .select(
+            F.col("vid").alias(id_col),
+            "cid",
+            F.col("_pruned").isNull().alias("is_kept"),
+            "oversized",
+        )
+    )

@@ -70,3 +70,42 @@ def test_simhash_no_python_in_plan(spark):
     plan = simhash_signatures(df)._jdf.queryExecution().executedPlan().toString()
     for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas", "PythonUDF"):
         assert marker not in plan, marker
+
+
+def test_semdedup_prunes_near_identical_min_id(spark):
+    """Exact copies and a scaled (cos=1) copy are pruned in favor of the
+    smallest id in the cluster; a far vector survives; every input row
+    comes back exactly once with a cluster id."""
+    from obsidian_parser_spark.operators.dedup import semdedup_prune
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.0, 1.0, 0.0, 0.0]),
+        (2, [1.0, 0.0, 0.0, 0.0]),      # exact copy of 0 -> pruned
+        (3, [0.5, 0.0, 0.0, 0.0]),      # colinear with 0 (cos=1) -> pruned
+        (4, [0.0, -1.0, 0.0, 0.0]),     # anti-parallel to 1: dot<0 -> kept
+        (5, [0.0, 1.0, 0.0, 0.0]),      # exact copy of 1 -> pruned
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {
+        r["vec_id"]: r.asDict()
+        for r in semdedup_prune(df, n_centroids=2, threshold_pct=95).collect()
+    }
+    assert set(out) == {0, 1, 2, 3, 4, 5}
+    assert all(not r["oversized"] for r in out.values())
+    assert out[0]["is_kept"] and out[1]["is_kept"] and out[4]["is_kept"]
+    assert not out[2]["is_kept"] and not out[3]["is_kept"] and not out[5]["is_kept"]
+    # coarse assignment: centroids are ids 0 and 1; colinear vectors share 0's cell
+    assert out[2]["cid"] == 0 and out[3]["cid"] == 0 and out[5]["cid"] == 1
+
+
+def test_semdedup_oversized_guard_keeps_everything(spark):
+    """A cluster over max_cluster_size is excluded from pairing: all rows
+    flagged oversized=true, is_kept=true (loud guard, no detonating join)."""
+    from obsidian_parser_spark.operators.dedup import semdedup_prune
+
+    rows = [(i, [1.0, 0.0]) for i in range(6)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = semdedup_prune(df, n_centroids=1, threshold_pct=90, max_cluster_size=3).collect()
+    assert len(out) == 6
+    assert all(r["oversized"] and r["is_kept"] for r in out)
