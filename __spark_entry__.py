@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 from obsidian_parser_spark.operators import analytics as A
 from obsidian_parser_spark.operators import dedup as DD
 from obsidian_parser_spark.operators import events as EV
+from obsidian_parser_spark.operators import linking as LK
 from obsidian_parser_spark.operators import similarity as SIM
 from obsidian_parser_spark.operators import textstats as TS
 from obsidian_parser_spark.operators.components import (
@@ -180,6 +181,15 @@ def _q_kg_aliases(spark, sf_dir):
 def _q_kg_dangling(spark, sf_dir):
     """J2: mentions whose target resolves to no note (silently dropped from edges)."""
     return _graph(spark, sf_dir).dangling.select("subj", "raw_target")
+
+
+def _q_kg_mentions(spark, sf_dir):
+    """Unlinked-mention detection ('suggest links'): note names appearing as
+    plain-text tokens in other notes, minus pairs already linked."""
+    g = _graph(spark, sf_dir)
+    docs = spark.read.parquet(_vault_path(sf_dir))
+    link_edges = g.edges.filter(F.col("pred") != "tagged")
+    return LK.unlinked_mentions(docs, g.alias_dict, link_edges)
 
 
 def _q_kg_degree_dist(spark, sf_dir):
@@ -1382,6 +1392,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_tags": _q_kg_tags,
         "kg_aliases": _q_kg_aliases,
         "kg_dangling": _q_kg_dangling,
+        "kg_mentions": _q_kg_mentions,
         "kg_degree_dist": _q_kg_degree_dist,
         "kg_word_total": _q_kg_word_total,
         "kg_summary": _q_kg_summary,
@@ -2483,6 +2494,29 @@ WHERE d.ok GROUP BY f.doc_id""",
         "kg_aliases": c
         + "SELECT doc_id, unnest(fm_aliases) AS alias FROM fmlists",
         "kg_dangling": c + "SELECT subj, raw_target FROM dangling",
+        "kg_mentions": c
+        + r""",
+mtoks AS (
+  SELECT doc_id, t AS token FROM (
+    SELECT doc_id, unnest(string_split_regex(text, '[^A-Za-z0-9_]+')) AS t
+    FROM flat WHERE kind = 'text'
+  ) WHERE t <> ''
+),
+mtc AS (SELECT doc_id, token, count(*) AS n FROM mtoks GROUP BY doc_id, token),
+mnames AS (SELECT alias AS token, canonical AS obj FROM dict
+           WHERE kind = 'short' AND regexp_matches(alias, '^[A-Za-z0-9_]+$')),
+mm AS (
+  SELECT mtc.doc_id AS subj, mnames.obj, sum(mtc.n) AS n_mentions
+  FROM mtc JOIN mnames USING (token)
+  WHERE mtc.doc_id <> mnames.obj
+  GROUP BY 1, 2
+),
+mdf AS (SELECT obj, count(*) AS df FROM mm GROUP BY obj)
+SELECT mm.subj, mm.obj, mm.n_mentions::BIGINT AS n_mentions
+FROM mm JOIN mdf USING (obj)
+WHERE mdf.df <= 10000
+  AND NOT EXISTS (SELECT 1 FROM link_edges e
+                  WHERE e.subj = mm.subj AND e.obj = mm.obj)""",
         "kg_degree_dist": c
         + """SELECT degree, count(*)::BIGINT AS n_notes
              FROM degrees GROUP BY degree""",

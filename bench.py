@@ -240,6 +240,18 @@ def main() -> None:
             repeat=2,
         )
 
+        from obsidian_parser_spark.operators import linking as LK
+
+        timed(
+            "kg_mentions",
+            lambda: LK.unlinked_mentions(
+                docs, g.alias_dict, g.edges.filter(F.col("pred") != "tagged")
+            )
+            .agg(F.sum("n_mentions"))
+            .collect(),
+            repeat=2,
+        )
+
         # reconstruct once, cache, and time the materialization as its own
         # stage — the dd/ts stages below then measure OPERATOR cost, not a
         # repeated per-query text reconstruction (mirrors the materialize
@@ -301,7 +313,7 @@ def main() -> None:
     # r04 added stages (kg_triangles, kg_walks, dd_dupspans_vault); this
     # sums only the pre-r04 stage set so cross-round totals stay
     # like-for-like
-    _new_r04 = {"kg_triangles", "kg_walks", "dd_dupspans_vault"}
+    _new_r04 = {"kg_triangles", "kg_walks", "dd_dupspans_vault", "kg_mentions"}
     total_legacy = round(
         sum(
             v

@@ -283,3 +283,65 @@ def qualified_link_edges(
         "subj", "pred", F.col("canonical").alias("obj"), "qual_kind", "qualifier"
     )
     return hit1.unionByName(hit2)
+
+
+def unlinked_mentions(
+    documents: DataFrame,
+    alias_dict: DataFrame,
+    link_edges: DataFrame,
+    max_df: int = 10_000,
+    broadcast_dict: bool = False,
+) -> DataFrame:
+    """Unlinked-mention detection — Obsidian's "suggest links" as a KG-
+    construction primitive: note NAMES appearing as plain-text word tokens
+    in OTHER notes, with no resolved link edge backing the pair, become
+    candidate (subj, obj, n_mentions) edges.
+
+    Rule (deterministic, oracle-replayable): tokens are the non-empty
+    pieces of text-kind spans split on ``[^A-Za-z0-9_]+``; candidate names
+    are the ``kind='short'`` dictionary aliases that are themselves single
+    tokens under the same alphabet; matching is exact-case, the same
+    convention as the wikilink dictionary join (reference resolution is
+    exact-match — index.rs:21-27 — so suggestions follow suit);
+    self-mentions and pairs already linked (ANY predicate) are dropped.
+
+    Scale shape: the token stream collapses to (doc, token, n) with a
+    map-side-combined groupBy BEFORE the dictionary join, so the join input
+    is bounded by distinct tokens per doc, not corpus length; the name
+    table is ~1 row/note — shuffle equi-join by default (an inverted-index
+    probe), ``broadcast_dict=True`` when it fits; names mentioned in more
+    than ``max_df`` docs are excluded (a stopword-shaped name — "data",
+    "test" — vouches for nothing; same df-cap scheme as
+    ``dedup.ngram_jaccard_pairs``); the final check is a left-anti join
+    against the distinct resolved edge list, never a per-row lookup.
+    """
+    toks = (
+        documents.select("doc_id", F.explode("spans").alias("s"))
+        .filter(F.col("s.kind") == "text")
+        .select(
+            "doc_id",
+            F.explode(F.split(F.col("s.text"), "[^A-Za-z0-9_]+")).alias("token"),
+        )
+        .filter(F.col("token") != "")
+    )
+    tc = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("n"))
+    names = (
+        alias_dict.filter(F.col("kind") == KIND_SHORT)
+        .filter(F.col("alias").rlike("^[A-Za-z0-9_]+$"))
+        .select(F.col("alias").alias("token"), F.col("canonical").alias("obj"))
+    )
+    if broadcast_dict:
+        names = F.broadcast(names)
+    m = (
+        tc.join(names, "token")
+        .filter(F.col("doc_id") != F.col("obj"))
+        .select(F.col("doc_id").alias("subj"), "obj", "n")
+        .groupBy("subj", "obj")
+        .agg(F.sum("n").alias("n_mentions"))
+    )
+    df_counts = m.groupBy("obj").agg(F.count(F.lit(1)).alias("_df"))
+    m = m.join(df_counts, "obj").filter(F.col("_df") <= max_df).drop("_df")
+    linked = link_edges.select("subj", "obj").distinct()
+    return m.join(linked, ["subj", "obj"], "left_anti").select(
+        "subj", "obj", "n_mentions"
+    )

@@ -83,7 +83,7 @@ def ensure_vault_corpus(
     pq_path = documents_parquet_path(sf_name, base)
     marker = os.path.join(out_dir, "_GENERATED.json")
     params = {
-        "version": 4,
+        "version": 5,
         "seed": seed,
         "num_files": num_files_for_sf(sf_name),
         "links_per_file": links_per_file,
@@ -460,7 +460,14 @@ def generate_vault_corpus(
             filler = "TEST DATA\n" * int(fills[i, j])
             if j == 0 and i % 7 == 0:
                 filler += f"#inline_{i % 20} "
-            add("text", filler)
+            if int(deco[i, j]) == 1:
+                # plain-text mention of a note that is (usually) NOT linked
+                # from this doc — positives for unlinked-mention detection;
+                # occasional collisions with a linked target exercise the
+                # detector's anti-join against the resolved edge list
+                add("text", filler + f"as discussed in note_{(int(targets[i, j]) + 3) % n} earlier\n")
+            else:
+                add("text", filler)
 
             t = int(targets[i, j])
             d = int(deco[i, j])

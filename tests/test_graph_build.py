@@ -227,3 +227,34 @@ def test_canonicalize_identities_collapses_graph(spark):
     assert ("a/x", "links_to", "y") in triples
     # tag string stays a tag string
     assert ("a/x", "tagged", "tagged") in triples
+
+
+def test_unlinked_mentions_anti_join_self_and_df_cap(spark):
+    """Mentions counted per occurrence; already-linked pairs and
+    self-mentions dropped; a name over the df-cap vouches for nothing."""
+    from obsidian_parser_spark.operators.linking import unlinked_mentions
+
+    docs = spark.createDataFrame(
+        [
+            ("a", [("text", "see b and b today", None, 0)]),
+            ("b", [("text", "b talks about b", None, 0)]),  # self only
+            ("c", [("text", "b is here", None, 0)]),        # but c links b
+            ("d", [("text", "b!", None, 0)]),
+            ("e", [("frontmatter", "b", None, 0)]),         # not a text span
+        ],
+        "doc_id string, spans array<struct<kind string, text string, "
+        "media_ref string, offset long>>",
+    )
+    dict_df = spark.createDataFrame(
+        [(x, "short", x) for x in "abcde"], "alias string, kind string, canonical string"
+    )
+    linked = spark.createDataFrame(
+        [("c", "links_to", "b")], "subj string, pred string, obj string"
+    )
+    out = {
+        (r["subj"], r["obj"]): r["n_mentions"]
+        for r in unlinked_mentions(docs, dict_df, linked).collect()
+    }
+    assert out == {("a", "b"): 2, ("d", "b"): 1}
+    # df-cap: pre-anti-join 'b' is mentioned by 3 distinct docs (a, c, d)
+    assert unlinked_mentions(docs, dict_df, linked, max_df=2).count() == 0
