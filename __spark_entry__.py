@@ -18,6 +18,7 @@ Column names/types are aligned on both sides (BIGINT ints, DOUBLE floats).
 from __future__ import annotations
 
 import os
+import re
 import sys
 from collections.abc import Callable
 
@@ -190,6 +191,24 @@ def _q_kg_mentions(spark, sf_dir):
     docs = spark.read.parquet(_vault_path(sf_dir))
     link_edges = g.edges.filter(F.col("pred") != "tagged")
     return LK.unlinked_mentions(docs, g.alias_dict, link_edges)
+
+
+def _q_kg_diff(spark, sf_dir):
+    """Incremental KG maintenance: edge delta after a deterministic edit
+    batch (docs ending in '7' deleted, docs ending in '3' cloned under
+    new/) — deletion flips first-wins dictionary entries, so the diff is
+    computed by re-running the global resolution, never by patching."""
+    from obsidian_parser_spark.operators.diff import graph_diff
+
+    docs = spark.read.parquet(_vault_path(sf_dir)).select("doc_id", "spans")
+    v2 = docs.filter(~F.col("doc_id").like("%7")).unionByName(
+        docs.filter(F.col("doc_id").like("%3")).select(
+            F.concat(F.lit("new/"), F.col("doc_id")).alias("doc_id"), "spans"
+        )
+    )
+    g1 = _graph(spark, sf_dir)
+    g2 = build_graph(v2, GraphBuildOptions())
+    return graph_diff(g1.edges, g2.edges)
 
 
 def _q_kg_degree_dist(spark, sf_dir):
@@ -1393,6 +1412,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_aliases": _q_kg_aliases,
         "kg_dangling": _q_kg_dangling,
         "kg_mentions": _q_kg_mentions,
+        "kg_diff": _q_kg_diff,
         "kg_degree_dist": _q_kg_degree_dist,
         "kg_word_total": _q_kg_word_total,
         "kg_summary": _q_kg_summary,
@@ -1566,6 +1586,24 @@ endpoints AS (
 ),
 degrees AS (SELECT id, count(*)::BIGINT AS degree FROM endpoints GROUP BY id)
 """
+
+
+def _kg_cte_chain(path: str, prefix: str, src: str | None = None) -> str:
+    """The ``_kg_cte`` chain with every CTE name prefixed — so TWO vault
+    versions can coexist in one oracle query (kg_diff) — and optionally a
+    custom docs-source expression in place of ``read_parquet(path)``.
+    Renames use word boundaries; '_' is a word char, so e.g. ``edges``
+    never matches inside ``link_edges``."""
+    body = _kg_cte(path).split("WITH", 1)[1]
+    if src is not None:
+        body = body.replace(f"read_parquet('{path}')", src)
+    for name in (
+        "raw_mentions", "link_edges", "tag_edges", "taglists", "fmlists",
+        "endpoints", "dangling", "resolved", "degrees", "notes", "edges",
+        "stats", "flat", "dict",
+    ):
+        body = re.sub(rf"\b{name}\b", prefix + name, body)
+    return body
 
 
 def _cc_ctes(n_rounds: int = 16) -> str:
@@ -2257,6 +2295,27 @@ def _negatives_ctes(n_trials: int, target_bucket_size: int = 16) -> str:
 def _kg_oracles(path: str) -> dict[str, str]:
     c = _kg_cte(path)
     mpath = os.path.join(os.path.dirname(path), "media.parquet")
+    v2src = (
+        f"(SELECT doc_id, spans FROM read_parquet('{path}') "
+        "WHERE doc_id NOT LIKE '%7' "
+        f"UNION ALL SELECT 'new/' || doc_id AS doc_id, spans "
+        f"FROM read_parquet('{path}') WHERE doc_id LIKE '%3')"
+    )
+    kg_diff_sql = (
+        "WITH "
+        + _kg_cte_chain(path, "a_")
+        + ",\n"
+        + _kg_cte_chain(path, "b_", src=v2src)
+        + """,
+oldc AS (SELECT subj, pred, obj, count(*) AS n FROM a_edges GROUP BY 1, 2, 3),
+newc AS (SELECT subj, pred, obj, count(*) AS n FROM b_edges GROUP BY 1, 2, 3)
+SELECT subj, pred, obj,
+       coalesce(o.n, 0)::BIGINT AS n_old, coalesce(nw.n, 0)::BIGINT AS n_new,
+       CASE WHEN o.n IS NULL THEN 'add' WHEN nw.n IS NULL THEN 'del'
+            ELSE 'chg' END AS op
+FROM oldc o FULL JOIN newc nw USING (subj, pred, obj)
+WHERE coalesce(o.n, 0) <> coalesce(nw.n, 0)"""
+    )
     # sampling.hash_bucket mirror for STRING ids (salt 'pack', mod 8):
     # first 16 bits of md5(doc_id || 'pack')
     nib = "(strpos('0123456789abcdef', substr(md5(doc_id || 'pack'), {i}, 1)) - 1)"
@@ -2494,6 +2553,7 @@ WHERE d.ok GROUP BY f.doc_id""",
         "kg_aliases": c
         + "SELECT doc_id, unnest(fm_aliases) AS alias FROM fmlists",
         "kg_dangling": c + "SELECT subj, raw_target FROM dangling",
+        "kg_diff": kg_diff_sql,
         "kg_mentions": c
         + r""",
 mtoks AS (

@@ -240,3 +240,39 @@ def test_dense_ids_avoids_single_partition_window(spark):
         assert marker not in aplan, marker
     assert "CartesianProduct" not in aplan
     assert "SinglePartition" not in aplan
+
+
+def test_graph_diff_semantics_and_single_key_shuffle(spark):
+    """graph_diff: add/del/chg classification is exact, and the physical
+    plan shuffles each side ONCE on the triple key — the full-outer join
+    reuses the aggregation partitioning instead of adding a third
+    exchange per side."""
+    from obsidian_parser_spark.operators.diff import graph_diff
+
+    old = spark.createDataFrame(
+        [("a", "links_to", "b")] * 2
+        + [("a", "links_to", "c"), ("x", "tagged", "t")],
+        "subj string, pred string, obj string",
+    )
+    new = spark.createDataFrame(
+        [("a", "links_to", "b"),  # 2 -> 1: chg
+         ("a", "links_to", "c"),  # unchanged: absent from output
+         ("q", "links_to", "c")],  # 0 -> 1: add
+        "subj string, pred string, obj string",
+    )
+    d = graph_diff(old, new)
+    got = {(r["subj"], r["obj"]): (r["n_old"], r["n_new"], r["op"])
+           for r in d.collect()}
+    assert got == {
+        ("a", "b"): (2, 1, "chg"),
+        ("x", "t"): (1, 0, "del"),
+        ("q", "c"): (0, 1, "add"),
+    }
+    # static physical plan (pre-AQE): one hashpartitioning exchange per
+    # input side, none added for the join — the aggregation partitioning
+    # satisfies the join requirement.  (The AQE final plan may legally
+    # re-shuffle after coalescing tiny stages, so it's not the gate.)
+    plan = d._jdf.queryExecution().sparkPlan().toString()
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
+    for marker in PY_MARKERS:
+        assert marker not in plan, marker
