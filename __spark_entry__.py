@@ -193,6 +193,16 @@ def _q_kg_mentions(spark, sf_dir):
     return LK.unlinked_mentions(docs, g.alias_dict, link_edges)
 
 
+def _q_kg_alias_conflicts(spark, sf_dir):
+    """First-wins dictionary transparency: every (alias, kind) key claimed
+    by multiple notes, with the deterministic winner (fewest segments, then
+    lexicographic — SURVEY §2.6.10), candidate count, and sorted losers.
+    The reference resolves these silently (index.rs:13-14); this surfaces
+    which [[name]]s are ambiguous and which note receives the edges."""
+    g = _graph(spark, sf_dir)
+    return LK.alias_conflicts(LK.alias_candidates(g.nodes))
+
+
 def _q_kg_diff(spark, sf_dir):
     """Incremental KG maintenance: edge delta after a deterministic edit
     batch (docs ending in '7' deleted, docs ending in '3' cloned under
@@ -1412,6 +1422,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_aliases": _q_kg_aliases,
         "kg_dangling": _q_kg_dangling,
         "kg_mentions": _q_kg_mentions,
+        "kg_alias_conflicts": _q_kg_alias_conflicts,
         "kg_diff": _q_kg_diff,
         "kg_degree_dist": _q_kg_degree_dist,
         "kg_word_total": _q_kg_word_total,
@@ -2577,6 +2588,31 @@ FROM mm JOIN mdf USING (obj)
 WHERE mdf.df <= 10000
   AND NOT EXISTS (SELECT 1 FROM link_edges e
                   WHERE e.subj = mm.subj AND e.obj = mm.obj)""",
+        "kg_alias_conflicts": c
+        + r""",
+acand AS (
+  SELECT doc_id AS alias, 'full' AS kind, doc_id AS canonical, n_segments
+  FROM notes
+  UNION ALL
+  SELECT note_name, 'short', doc_id, n_segments FROM notes
+  UNION ALL
+  SELECT unnest(f.fm_aliases), 'alias', f.doc_id, n.n_segments
+  FROM fmlists f JOIN notes n USING (doc_id)
+),
+aranked AS (
+  SELECT alias, kind, canonical,
+         row_number() OVER (PARTITION BY alias, kind
+                            ORDER BY n_segments, canonical) AS rn
+  FROM acand
+)
+SELECT alias, kind,
+       min(CASE WHEN rn = 1 THEN canonical END) AS winner,
+       count(*)::BIGINT AS n_candidates,
+       string_agg(canonical, ',' ORDER BY canonical)
+         FILTER (WHERE rn > 1) AS losers
+FROM aranked
+GROUP BY alias, kind
+HAVING count(*) > 1""",
         "kg_degree_dist": c
         + """SELECT degree, count(*)::BIGINT AS n_notes
              FROM degrees GROUP BY degree""",

@@ -345,3 +345,39 @@ def unlinked_mentions(
     return m.join(linked, ["subj", "obj"], "left_anti").select(
         "subj", "obj", "n_mentions"
     )
+
+
+def alias_conflicts(cand: DataFrame) -> DataFrame:
+    """First-wins transparency: every dictionary key (alias, kind) claimed
+    by MORE THAN ONE note, with the deterministic winner, the candidate
+    count, and the sorted losing doc_ids (comma-joined — a stable scalar
+    for cross-engine comparison).
+
+    The reference resolves these conflicts silently (first-seen walkdir
+    order, index.rs:13-14); this operator surfaces them so a vault owner
+    can see which [[name]]s are ambiguous and which note actually receives
+    the edges.
+
+    Scale shape: one shuffle on (alias, kind) — the ranking window and the
+    aggregation share the partitioning, so the exchange is reused; conflict
+    keys are a tiny fraction of the dictionary, and nothing is collected.
+    """
+    w = Window.partitionBy("alias", "kind").orderBy(
+        F.col("n_segments").asc(), F.col("canonical").asc()
+    )
+    ranked = cand.withColumn("rn", F.row_number().over(w))
+    return (
+        ranked.groupBy("alias", "kind")
+        .agg(
+            F.count(F.lit(1)).alias("n_candidates"),
+            F.min(F.when(F.col("rn") == 1, F.col("canonical"))).alias("winner"),
+            F.array_join(
+                F.sort_array(
+                    F.collect_list(F.when(F.col("rn") > 1, F.col("canonical")))
+                ),
+                ",",
+            ).alias("losers"),
+        )
+        .filter(F.col("n_candidates") > 1)
+        .select("alias", "kind", "winner", "n_candidates", "losers")
+    )

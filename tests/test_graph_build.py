@@ -258,3 +258,30 @@ def test_unlinked_mentions_anti_join_self_and_df_cap(spark):
     assert out == {("a", "b"): 2, ("d", "b"): 1}
     # df-cap: pre-anti-join 'b' is mentioned by 3 distinct docs (a, c, d)
     assert unlinked_mentions(docs, dict_df, linked, max_df=2).count() == 0
+
+
+def test_alias_conflicts_surfaces_first_wins_losers(spark):
+    """alias_conflicts: every (alias, kind) claimed by >1 note, with the
+    deterministic winner (fewest segments, then lexicographic) and the
+    sorted losers — the transparency view over index.rs:13-14 silent
+    first-wins."""
+    from obsidian_parser_spark.operators.linking import (
+        alias_candidates,
+        alias_conflicts,
+    )
+    from obsidian_parser_spark.operators.tokenize import tokenize_documents
+
+    rows = [
+        spans_from_raw("dup", "x"),
+        spans_from_raw("a/dup", "y"),
+        spans_from_raw("b/dup", "z"),
+        spans_from_raw("solo", "w"),
+    ]
+    notes = tokenize_documents(spans_df(spark, rows))
+    out = {
+        (r["alias"], r["kind"]): (r["winner"], r["n_candidates"], r["losers"])
+        for r in alias_conflicts(alias_candidates(notes)).collect()
+    }
+    # 'dup' short name claimed by 3 notes; root-level 'dup' wins (1 segment),
+    # losers sorted lexicographically; 'solo' and all 'full' keys absent.
+    assert out == {("dup", "short"): ("dup", 3, "a/dup,b/dup")}
