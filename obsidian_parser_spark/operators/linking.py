@@ -290,7 +290,7 @@ def unlinked_mentions(
     alias_dict: DataFrame,
     link_edges: DataFrame,
     max_df: int = 10_000,
-    broadcast_dict: bool = False,
+    broadcast_dict: bool | None = None,
 ) -> DataFrame:
     """Unlinked-mention detection — Obsidian's "suggest links" as a KG-
     construction primitive: note NAMES appearing as plain-text word tokens
@@ -305,40 +305,99 @@ def unlinked_mentions(
     exact-match — index.rs:21-27 — so suggestions follow suit);
     self-mentions and pairs already linked (ANY predicate) are dropped.
 
-    Scale shape: the token stream collapses to (doc, token, n) with a
-    map-side-combined groupBy BEFORE the dictionary join, so the join input
-    is bounded by distinct tokens per doc, not corpus length; the name
-    table is ~1 row/note — shuffle equi-join by default (an inverted-index
-    probe), ``broadcast_dict=True`` when it fits; names mentioned in more
-    than ``max_df`` docs are excluded (a stopword-shaped name — "data",
-    "test" — vouches for nothing; same df-cap scheme as
-    ``dedup.ngram_jaccard_pairs``); the final check is a left-anti join
-    against the distinct resolved edge list, never a per-row lookup.
+    Scale shape: the corpus-length token stream must NEVER reach a JVM
+    explode or shuffle — at sf0.1 it is ~9×10^7 rows, and both the
+    (doc, token) groupBy + sort-merge plan AND a broadcast-join-after-
+    explode plan cost minutes (measured 215 s / 200 s; the Java regex
+    split + generator explode is itself the bottleneck).  When the name
+    table fits (``broadcast_dict=None`` auto-decides with one count,
+    mirroring ``build_graph``), the stage follows the tokenize-stage
+    design instead: text-kind spans are joined into ONE string per doc
+    natively, a single Arrow ``mapInPandas`` pass counts tokens with
+    C-speed ``findall``+``Counter`` and keeps only broadcast-name-map
+    hits, so only (subj, obj, n) hit rows ever materialize (the name→doc
+    map is injective — one short name per note — so a doc emits each obj
+    at most once and no re-aggregation is needed).  For vault-scale
+    dictionaries that cannot broadcast, the JVM fallback collapses the
+    stream to (doc, token, n) map-side and shuffle-joins on token —
+    bounded by distinct tokens per doc, not corpus length.  Names
+    mentioned in more than ``max_df`` docs are excluded (a stopword-
+    shaped name — "data", "test" — vouches for nothing; same df-cap
+    scheme as ``dedup.ngram_jaccard_pairs``); the final check is a
+    left-anti join against the distinct resolved edge list, never a
+    per-row lookup.
     """
-    toks = (
-        documents.select("doc_id", F.explode("spans").alias("s"))
-        .filter(F.col("s.kind") == "text")
-        .select(
-            "doc_id",
-            F.explode(F.split(F.col("s.text"), "[^A-Za-z0-9_]+")).alias("token"),
-        )
-        .filter(F.col("token") != "")
-    )
-    tc = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("n"))
     names = (
         alias_dict.filter(F.col("kind") == KIND_SHORT)
         .filter(F.col("alias").rlike("^[A-Za-z0-9_]+$"))
         .select(F.col("alias").alias("token"), F.col("canonical").alias("obj"))
     )
+    if broadcast_dict is None:
+        # auto: one count on the (small, usually persisted upstream) name
+        # side decides the join strategy, as in plans.pipeline.build_graph.
+        broadcast_dict = names.count() <= 5_000_000
     if broadcast_dict:
-        names = F.broadcast(names)
-    m = (
-        tc.join(names, "token")
-        .filter(F.col("doc_id") != F.col("obj"))
-        .select(F.col("doc_id").alias("subj"), "obj", "n")
-        .groupBy("subj", "obj")
-        .agg(F.sum("n").alias("n_mentions"))
-    )
+        # Bounded-by-construction collect: the same rows a JVM broadcast
+        # would materialize driver-side, shipped once per executor.
+        name_map = {r["token"]: r["obj"] for r in names.collect()}
+        bc = documents.sparkSession.sparkContext.broadcast(name_map)
+        text = documents.select(
+            "doc_id",
+            F.expr(
+                "array_join(transform(filter(spans, s -> s.kind = 'text'),"
+                " s -> coalesce(s.text, '')), ' ')"
+            ).alias("text"),
+        )
+
+        def run(batches):
+            import re
+            from collections import Counter
+
+            import pandas as pd
+
+            nm = bc.value
+            # Token = maximal [A-Za-z0-9_]+ run: identical multiset to
+            # splitting each span on the complement (spans are joined with
+            # a non-token ' ', so tokens never cross span boundaries).
+            pat = re.compile(r"[A-Za-z0-9_]+")
+            for pdf in batches:
+                subj_out: list = []
+                obj_out: list = []
+                n_out: list = []
+                for doc_id, txt in zip(pdf["doc_id"], pdf["text"]):
+                    for t, n in Counter(pat.findall(txt)).items():
+                        obj = nm.get(t)
+                        if obj is not None and obj != doc_id:
+                            subj_out.append(doc_id)
+                            obj_out.append(obj)
+                            n_out.append(n)
+                yield pd.DataFrame(
+                    {"subj": subj_out, "obj": obj_out, "n_mentions": n_out}
+                ).astype({"n_mentions": "int64"})
+
+        m = text.mapInPandas(
+            run, schema="subj string, obj string, n_mentions long"
+        )
+    else:
+        toks = (
+            documents.select("doc_id", F.explode("spans").alias("s"))
+            .filter(F.col("s.kind") == "text")
+            .select(
+                "doc_id",
+                F.explode(
+                    F.split(F.col("s.text"), "[^A-Za-z0-9_]+")
+                ).alias("token"),
+            )
+            .filter(F.col("token") != "")
+        )
+        tc = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("n"))
+        m = (
+            tc.join(names, "token")
+            .filter(F.col("doc_id") != F.col("obj"))
+            .select(F.col("doc_id").alias("subj"), "obj", "n")
+            .groupBy("subj", "obj")
+            .agg(F.sum("n").alias("n_mentions"))
+        )
     df_counts = m.groupBy("obj").agg(F.count(F.lit(1)).alias("_df"))
     m = m.join(df_counts, "obj").filter(F.col("_df") <= max_df).drop("_df")
     linked = link_edges.select("subj", "obj").distinct()
