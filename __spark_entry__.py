@@ -1276,6 +1276,18 @@ def _q_kg_triangles(spark, sf_dir):
     return t.select("id", F.col("n_triangles").cast("long").alias("n_triangles"))
 
 
+def _q_kg_truss_support(spark, sf_dir):
+    """Per-edge triangle support (the k-truss sufficient statistic / tie-
+    strength signal) for every distinct undirected link edge, zero-support
+    bridges included; the engine counts via degree-ordered orientation,
+    the oracle via canonical a<b<c enumeration — independent schemes."""
+    from obsidian_parser_spark.operators import graph_metrics as GM
+
+    g = _graph(spark, sf_dir)
+    s = GM.edge_triangle_support(A.link_edges(g.edges))
+    return s.select("u", "v", F.col("support").cast("long").alias("support"))
+
+
 def _q_kg_kcore(spark, sf_dir):
     """3-core of the undirected link graph (iterative peel to the unique
     fixpoint, per-round checkpointed); returns each surviving node with
@@ -1479,6 +1491,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_resume": _q_kg_resume,
         "ev_stream_windowed": _q_ev_stream_windowed,
         "kg_triangles": _q_kg_triangles,
+        "kg_truss_support": _q_kg_truss_support,
         "kg_kcore": _q_kg_kcore,
         "kg_communities": _q_kg_communities,
         "ev_asof": _q_ev_asof,
@@ -2393,6 +2406,18 @@ SELECT 8::INTEGER AS n_buckets, 2::INTEGER AS n_resumed, 6::INTEGER AS n_skipped
         + ",\n"
         + _triangle_ctes()
         + "\nSELECT id, count(*)::BIGINT AS n_triangles FROM corners GROUP BY id",
+        "kg_truss_support": c
+        + ",\n"
+        + _triangle_ctes()
+        + """,
+tpairs AS (
+  SELECT ta AS u, tb AS v FROM tri
+  UNION ALL SELECT tb, tc FROM tri
+  UNION ALL SELECT ta, tc FROM tri
+),
+tsup AS (SELECT u, v, count(*)::BIGINT AS support FROM tpairs GROUP BY u, v)
+SELECT und.u, und.v, coalesce(tsup.support, 0)::BIGINT AS support
+FROM und LEFT JOIN tsup USING (u, v)""",
         "kg_kcore": c
         + ",\n"
         + _kcore_ctes(3, 16)

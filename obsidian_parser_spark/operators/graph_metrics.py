@@ -78,6 +78,19 @@ def _triangle_counts_from_und(und: DataFrame) -> DataFrame:
     distinct undirected edge frame — shared by ``triangle_counts`` and
     ``clustering_coefficients`` so the latter pays the edge distinct
     shuffle once, not twice."""
+    tris = _enumerate_triangles(und)
+    corners = (
+        tris.select(F.col("a").alias("id"))
+        .unionAll(tris.select(F.col("x").alias("id")))
+        .unionAll(tris.select(F.col("y").alias("id")))
+    )
+    return corners.groupBy("id").agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
+def _enumerate_triangles(und: DataFrame) -> DataFrame:
+    """Each triangle exactly once as (a, x, y) — a the lowest-(degree, id)
+    corner, x/y its two oriented out-neighbors.  Degree-ordered
+    orientation bounds each node's wedge fan-out by O(sqrt(m))."""
     deg = _symmetric(und).groupBy("u").agg(F.count(F.lit(1)).alias("d"))
     # attach degrees to both endpoints, then orient by (degree, id)
     du = deg.select(F.col("u").alias("_u"), F.col("d").alias("du"))
@@ -109,13 +122,38 @@ def _triangle_counts_from_und(und: DataFrame) -> DataFrame:
         .select("a", "x", "y")
     )
     closing = oriented.select(F.col("a").alias("x"), F.col("b").alias("y"))
-    tris = wedges.join(closing, ["x", "y"])  # (a, x, y) is a triangle
-    corners = (
-        tris.select(F.col("a").alias("id"))
-        .unionAll(tris.select(F.col("x").alias("id")))
-        .unionAll(tris.select(F.col("y").alias("id")))
+    return wedges.join(closing, ["x", "y"])  # (a, x, y) is a triangle
+
+
+def edge_triangle_support(edges: DataFrame) -> DataFrame:
+    """→ (u, v, support) for EVERY distinct undirected edge u<v: the number
+    of triangles the edge sits in — the k-truss sufficient statistic (an
+    edge is in the k-truss iff support ≥ k-2 after peeling) and a direct
+    tie-strength signal (a link whose endpoints share neighbors is
+    structural; support-0 links are bridges).
+
+    Scale shape: triangles come from the same degree-ordered enumeration
+    as ``triangle_counts`` (each found once, wedge fan-out O(sqrt(m)));
+    the three edges of each triangle re-normalize to u<v with least/
+    greatest — pure projection — and the support rollup plus the final
+    left join both key on (u, v), so AQE coalesces them onto one
+    partitioning.  Nothing is collected; zero-support edges survive via
+    the left join, not a second scan."""
+    und = cut_lineage(_undirected(edges))
+    tris = _enumerate_triangles(und)
+    pairs = (
+        tris.select(F.least("a", "x").alias("u"), F.greatest("a", "x").alias("v"))
+        .unionAll(
+            tris.select(F.least("a", "y").alias("u"), F.greatest("a", "y").alias("v"))
+        )
+        .unionAll(
+            tris.select(F.least("x", "y").alias("u"), F.greatest("x", "y").alias("v"))
+        )
     )
-    return corners.groupBy("id").agg(F.count(F.lit(1)).alias("n_triangles"))
+    sup = pairs.groupBy("u", "v").agg(F.count(F.lit(1)).alias("support"))
+    return und.join(sup, ["u", "v"], "left").select(
+        "u", "v", F.coalesce("support", F.lit(0).cast("long")).alias("support")
+    )
 
 
 def k_core(edges: DataFrame, k: int = 3, max_iter: int = 50) -> DataFrame:

@@ -374,3 +374,24 @@ def test_link_prediction_existing_edges_excluded(spark):
     # triangle: every pair is adjacent -> no predictions at any threshold
     tri = [("a", "b"), ("b", "c"), ("c", "a")]
     assert link_prediction(_edges(spark, tri), min_common=1).count() == 0
+
+
+def test_edge_triangle_support_known_graph(spark):
+    """K4-minus-one-edge plus a pendant bridge: per-edge triangle counts,
+    zero-support bridge included (the k-truss sufficient statistic)."""
+    from obsidian_parser_spark.operators.graph_metrics import edge_triangle_support
+
+    g = [("a", "b"), ("a", "c"), ("b", "c"), ("b", "d"), ("c", "d"), ("d", "e")]
+    got = {
+        (r["u"], r["v"]): r["support"]
+        for r in edge_triangle_support(_edges(spark, g)).collect()
+    }
+    # triangles: abc, bcd; bc is in both; de bridges (support 0)
+    assert got == {
+        ("a", "b"): 1,
+        ("a", "c"): 1,
+        ("b", "c"): 2,
+        ("b", "d"): 1,
+        ("c", "d"): 1,
+        ("d", "e"): 0,
+    }
