@@ -1410,6 +1410,40 @@ def _q_ev_copresence(spark, sf_dir):
     )
 
 
+def _q_ev_retention(spark, sf_dir):
+    """Weekly cohort retention matrix: cohort = first-activity epoch week
+    per user; (cohort_week, week_offset) → distinct active users +
+    cohort size.  Epoch-integer week arithmetic (never calendar
+    date_trunc) keeps both engines bit-identical."""
+    return EV.retention_cohorts(_events(spark, sf_dir))
+
+
+def _q_ev_funnel(spark, sf_dir):
+    """Strictly-ordered view→click→purchase funnel: step k counts users
+    whose earliest step-k event is strictly after their step-(k-1)
+    timestamp — user-keyed pre-aggregations joined per step, never an
+    event-level self-join."""
+    return EV.funnel_counts(_events(spark, sf_dir))
+
+
+def _q_ts_collocations(spark, sf_dir):
+    """PMI collocation sufficient statistics: adjacent word pairs with
+    corpus count ≥ 3, both unigram counts, and the token total — the
+    integer inputs of pointwise mutual information, HAVING-cut before
+    the vocabulary-keyed attach joins."""
+    return TS.collocation_stats(_documents(spark, sf_dir), min_pair=3)
+
+
+def _q_kg_reciprocity(spark, sf_dir):
+    """Directed-graph reciprocity over the distinct link edges: how much
+    of the vault links BACK — (n_directed, n_reciprocated, n_selfloops,
+    n_undirected) as one exact-integer row."""
+    from obsidian_parser_spark.operators.graph_metrics import reciprocity_stats
+
+    g = _graph(spark, sf_dir)
+    return reciprocity_stats(g.edges.filter(F.col("pred") != "tagged"))
+
+
 _BM25_TERMS = ["join", "window", "stream", "scan"]
 
 
@@ -1513,6 +1547,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_gifpixels": _q_kg_gifpixels,
         "kg_egonets": _q_kg_egonets,
         "kg_ids": _q_kg_ids,
+        "ev_retention": _q_ev_retention,
+        "ev_funnel": _q_ev_funnel,
+        "ts_collocations": _q_ts_collocations,
+        "kg_reciprocity": _q_kg_reciprocity,
     }
 
 
@@ -2443,6 +2481,19 @@ SELECT count(*)::BIGINT AS n_edge_ends,
        sum(x.d * y.d)::BIGINT AS sum_dd,
        sum(x.d * x.d)::BIGINT AS sum_d2
 FROM asym e JOIN adeg x ON x.u = e.u JOIN adeg y ON y.u = e.v""",
+        "kg_reciprocity": c
+        + """,
+rd AS MATERIALIZED (
+  SELECT DISTINCT subj, obj FROM link_edges WHERE subj <> obj
+)
+SELECT (SELECT count(*) FROM rd)::BIGINT AS n_directed,
+       (SELECT count(*) FROM rd a JOIN rd b
+          ON a.subj = b.obj AND a.obj = b.subj)::BIGINT AS n_reciprocated,
+       (SELECT count(DISTINCT subj) FROM link_edges
+         WHERE subj = obj)::BIGINT AS n_selfloops,
+       (SELECT count(*) FROM (
+          SELECT DISTINCT least(subj, obj), greatest(subj, obj) FROM rd
+        ))::BIGINT AS n_undirected""",
         "kg_clustering": c
         + ",\n"
         + _triangle_ctes()
@@ -3566,6 +3617,52 @@ SELECT rk.term, rk.doc_id, rk.rank::BIGINT AS rank, rk.tf,
        dl.dl, dft.df, nd.n_docs
 FROM rk JOIN dl USING (doc_id) JOIN dft USING (term) CROSS JOIN nd
 WHERE rk.rank <= 10""",
+        # epoch-integer week arithmetic (never date_trunc): bit-identical
+        # across engines and timezones
+        "ev_retention": """
+WITH act AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 AS week FROM events
+),
+coh AS (SELECT user_id, min(week) AS cohort_week FROM act GROUP BY user_id),
+sz AS (SELECT cohort_week, count(*)::BIGINT AS cohort_size
+       FROM coh GROUP BY cohort_week)
+SELECT c.cohort_week::BIGINT AS cohort_week,
+       (a.week - c.cohort_week)::BIGINT AS week_offset,
+       count(*)::BIGINT AS n_active,
+       sz.cohort_size
+FROM act a JOIN coh c USING (user_id)
+JOIN sz ON sz.cohort_week = c.cohort_week
+GROUP BY c.cohort_week, (a.week - c.cohort_week), sz.cohort_size""",
+        # strict ordering: step k's earliest event must be STRICTLY after
+        # the step-(k-1) reach time (equal timestamps don't count)
+        "ev_funnel": """
+WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+s1 AS (SELECT user_id, min(ts_us) AS t FROM e
+       WHERE event_type = 'view' GROUP BY user_id),
+s2 AS (SELECT e.user_id, min(e.ts_us) AS t FROM e JOIN s1 USING (user_id)
+       WHERE e.event_type = 'click' AND e.ts_us > s1.t GROUP BY e.user_id),
+s3 AS (SELECT e.user_id, min(e.ts_us) AS t FROM e JOIN s2 USING (user_id)
+       WHERE e.event_type = 'purchase' AND e.ts_us > s2.t GROUP BY e.user_id)
+SELECT 1::BIGINT AS step, 'view' AS event_type,
+       (SELECT count(*) FROM s1)::BIGINT AS n_users
+UNION ALL
+SELECT 2::BIGINT, 'click', (SELECT count(*) FROM s2)::BIGINT
+UNION ALL
+SELECT 3::BIGINT, 'purchase', (SELECT count(*) FROM s3)::BIGINT""",
+        # whitespace tokens can't contain the ' ' pair separator, so the
+        # split_part round-trip is lossless
+        "ts_collocations": f"""
+WITH tk AS (SELECT {tok} AS t FROM documents),
+pr AS (SELECT unnest([t[i] || ' ' || t[i+1] for i in range(1, len(t))]) AS pair
+       FROM tk),
+pc AS (SELECT split_part(pair, ' ', 1) AS w1, split_part(pair, ' ', 2) AS w2,
+              count(*)::BIGINT AS n_pair
+       FROM pr GROUP BY 1, 2 HAVING count(*) >= 3),
+un AS (SELECT unnest(t) AS w FROM tk),
+uc AS (SELECT w, count(*)::BIGINT AS n_w FROM un GROUP BY w),
+tot AS (SELECT count(*)::BIGINT AS n_tokens FROM un)
+SELECT pc.w1, pc.w2, pc.n_pair, a.n_w AS n_w1, b.n_w AS n_w2, tot.n_tokens
+FROM pc JOIN uc a ON a.w = pc.w1 JOIN uc b ON b.w = pc.w2 CROSS JOIN tot""",
     }
     # recall@10 composed from the SAME per-method oracle SQL (nested WITH
     # as derived tables) — the approximate families' recall vs brute truth

@@ -266,3 +266,91 @@ def copresence_edges(
         .agg(F.count(F.lit(1)).alias("n_windows"))
         .filter(F.col("n_windows") >= min_windows)
     )
+
+
+WEEK_US = 7 * 86_400 * 1_000_000  # epoch week (anchor 1970-01-01, integer div)
+
+
+def retention_cohorts(events: DataFrame) -> DataFrame:
+    """Weekly cohort retention: cohort = a user's first-activity epoch
+    week → (cohort_week, week_offset, n_active, cohort_size), one row per
+    cohort × offset with ≥ 1 active user.
+
+    Weeks are epoch-microsecond integer divisions (``ts_us div WEEK_US``),
+    NOT calendar ``date_trunc`` — integer arithmetic is bit-identical
+    across engines and timezones, which is the whole point of an
+    oracle-checked retention matrix.
+
+    Scale shape: the (user, week) activity set is deduped map-side before
+    any join; cohorts are a partial-aggregatable min per user; the final
+    matrix groupBy is (weeks × offsets)-sized — tiny at any corpus scale —
+    and the cohort-size attach is a broadcast of a ≤ n_weeks-row frame.
+    """
+    act = (
+        events.select(
+            "user_id",
+            F.expr(f"unix_micros(CAST(ts AS TIMESTAMP)) div {WEEK_US}").alias("week"),
+        )
+        .distinct()
+    )
+    cohort = act.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    sizes = cohort.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    return (
+        act.join(cohort, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.col("week") - F.col("cohort_week")).alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_active"))
+        .join(F.broadcast(sizes), "cohort_week")
+    )
+
+
+FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+def funnel_counts(events: DataFrame, steps: tuple = FUNNEL_STEPS) -> DataFrame:
+    """Strictly-ordered conversion funnel → (step, event_type, n_users):
+    a user reaches step k when their earliest step-k event is STRICTLY
+    after the timestamp at which they reached step k-1 (equal-timestamp
+    events do not count as ordered — a deterministic rule both engines
+    can evaluate without tie ambiguity).
+
+    Scale shape: each step is one user-keyed pre-aggregation joined to
+    the previous step's (user, t) frame on user_id — k shuffles of
+    user-cardinality frames for a k-step funnel, never an event-level
+    self-join.  The per-step branches share lineage; at driver scale the
+    recomputation is trivial, at cluster scale persist the step frames.
+    """
+    e = events.select(
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+    )
+    reached = None
+    outs = []
+    for i, step in enumerate(steps):
+        f = e.filter(F.col("event_type") == step)
+        if reached is None:
+            cur = f.groupBy("user_id").agg(F.min("ts_us").alias("t"))
+        else:
+            cur = (
+                f.join(reached, "user_id")
+                .filter(F.col("ts_us") > F.col("t"))
+                .groupBy("user_id")
+                .agg(F.min("ts_us").alias("t"))
+            )
+        reached = cur
+        outs.append(
+            cur.agg(F.count(F.lit(1)).alias("n_users")).select(
+                F.lit(i + 1).cast("long").alias("step"),
+                F.lit(step).alias("event_type"),
+                "n_users",
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

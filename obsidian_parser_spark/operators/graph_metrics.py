@@ -412,3 +412,41 @@ def community_stats(edges: DataFrame, communities: DataFrame) -> DataFrame:
             F.col("sum_degree").cast("long").alias("sum_degree"),
         )
     )
+
+
+def reciprocity_stats(edges: DataFrame) -> DataFrame:
+    """One-row exact-integer reciprocity statistics over the DIRECTED
+    distinct link graph → (n_directed, n_reciprocated, n_selfloops,
+    n_undirected).  Reciprocity r = n_reciprocated / n_directed (left to
+    the caller; the engine output stays integer-exact), the classic
+    directed-graph measure the undirected analytics family cannot see —
+    an Obsidian vault where A links B but B never links back reads very
+    differently from a mutually-linked one.
+
+    Scale shape: one distinct over (subj, obj), a self-semi-join on the
+    reversed key (key-partitioned, no cross product), and four one-row
+    aggregates combined by broadcast cross joins — the same one-row
+    composition pattern as the pagerank normalization frames.
+    """
+    d = (
+        edges.select("subj", "obj")
+        .filter(F.col("subj") != F.col("obj"))
+        .distinct()
+    )
+    rev = d.select(F.col("obj").alias("subj"), F.col("subj").alias("obj"))
+    recip = d.join(rev, ["subj", "obj"], "left_semi")
+    und = d.select(
+        F.least("subj", "obj").alias("u"), F.greatest("subj", "obj").alias("v")
+    ).distinct()
+    loops = (
+        edges.select("subj", "obj")
+        .filter(F.col("subj") == F.col("obj"))
+        .select("subj")
+        .distinct()
+    )
+    return (
+        d.agg(F.count(F.lit(1)).alias("n_directed"))
+        .crossJoin(recip.agg(F.count(F.lit(1)).alias("n_reciprocated")))
+        .crossJoin(loops.agg(F.count(F.lit(1)).alias("n_selfloops")))
+        .crossJoin(und.agg(F.count(F.lit(1)).alias("n_undirected")))
+    )

@@ -451,3 +451,56 @@ def retrieval_stats(
             F.col("n_docs").cast("long").alias("n_docs"),
         )
     )
+
+
+def collocation_stats(
+    documents: DataFrame,
+    min_pair: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """PMI collocation sufficient statistics for adjacent word pairs →
+    (w1, w2, n_pair, n_w1, n_w2, n_tokens): every bigram occurring
+    ≥ ``min_pair`` times corpus-wide with its pair count, both unigram
+    counts, and the corpus token total.  PMI = log(n_pair·n_tokens /
+    (n_w1·n_w2)) is left to the caller so the engine output stays
+    integer-exact (the standard sufficient-stats contract of this repo's
+    ts_* family).
+
+    Scale shape: bigram and unigram counting are both map-side-combined
+    groupBys over exploded token streams; the ``min_pair`` HAVING cuts
+    the long bigram tail BEFORE the two unigram-count attach joins
+    (vocabulary-keyed shuffle joins — a unigram table is vocabulary-
+    sized, never broadcast-assumed); the corpus total is a one-row
+    broadcast cross join.  Tokens are whitespace-split, so w1/w2 can
+    never contain the pair separator.
+    """
+    toks = documents.select(
+        F.expr(_TOKENS.format(t=text_col)).alias("_t")
+    )
+    npairs = "greatest(size(_t) - 1, 0)"
+    pairs = toks.select(
+        F.explode(
+            F.expr(
+                f"zip_with(slice(_t, 1, {npairs}), slice(_t, 2, {npairs}),"
+                " (a, b) -> struct(a AS w1, b AS w2))"
+            )
+        ).alias("_p")
+    ).select("_p.w1", "_p.w2")
+    pair_counts = (
+        pairs.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .filter(F.col("n_pair") >= min_pair)
+    )
+    uni = (
+        toks.select(F.explode("_t").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n_w"))
+    )
+    total = toks.agg(F.sum(F.size("_t")).alias("n_tokens"))
+    return (
+        pair_counts.join(uni.select(F.col("w").alias("w1"), F.col("n_w").alias("n_w1")), "w1")
+        .join(uni.select(F.col("w").alias("w2"), F.col("n_w").alias("n_w2")), "w2")
+        .crossJoin(F.broadcast(total))
+        .select("w1", "w2", "n_pair", "n_w1", "n_w2", "n_tokens")
+    )

@@ -1,0 +1,125 @@
+"""Cohort retention, ordered funnel, reciprocity, and collocation stats —
+hand-computed micro fixtures (the sf0.01 oracle parity lives in
+test_oracle_parity.py / scripts/oracle_sweep.py)."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from obsidian_parser_spark.operators.events import (
+    WEEK_US,
+    funnel_counts,
+    retention_cohorts,
+)
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+
+
+def _t(week: int, hours: int = 0):
+    # inside epoch week `week` (anchor 1970-01-01 00:00 UTC)
+    return dt.datetime(1970, 1, 1) + dt.timedelta(
+        microseconds=week * WEEK_US
+    ) + dt.timedelta(hours=hours)
+
+
+def test_retention_cohorts_matrix(spark):
+    rows = [
+        # user 1: weeks 100, 101, 103  (cohort 100)
+        (1, _t(100), 1, "view"),
+        (2, _t(101), 1, "view"),
+        (3, _t(103), 1, "view"),
+        # user 2: week 100 only (cohort 100); two events same week dedup
+        (4, _t(100), 2, "click"),
+        (5, _t(100, 5), 2, "view"),
+        # user 3: weeks 101, 103 (cohort 101)
+        (6, _t(101), 3, "view"),
+        (7, _t(103), 3, "view"),
+    ]
+    out = {
+        (r.cohort_week, r.week_offset): (r.n_active, r.cohort_size)
+        for r in retention_cohorts(_ev(spark, rows)).collect()
+    }
+    assert out == {
+        (100, 0): (2, 2),
+        (100, 1): (1, 2),
+        (100, 3): (1, 2),
+        (101, 0): (1, 1),
+        (101, 2): (1, 1),
+    }
+
+
+def test_funnel_strict_ordering(spark):
+    base = dt.datetime(2024, 1, 1)
+
+    def at(mins):
+        return base + dt.timedelta(minutes=mins)
+
+    rows = [
+        # user 1 completes the funnel in order
+        (1, at(0), 1, "view"),
+        (2, at(1), 1, "click"),
+        (3, at(2), 1, "purchase"),
+        # user 2: click BEFORE view → never reaches step 2
+        (4, at(0), 2, "click"),
+        (5, at(1), 2, "view"),
+        (6, at(2), 2, "purchase"),  # purchase needs click-after-view first
+        # user 3: click at the SAME timestamp as view → strict > excludes it
+        (7, at(0), 3, "view"),
+        (8, at(0), 3, "click"),
+        # user 4: view + later click, no purchase
+        (9, at(0), 4, "view"),
+        (10, at(5), 4, "click"),
+    ]
+    out = {r.event_type: r.n_users for r in funnel_counts(_ev(spark, rows)).collect()}
+    assert out == {"view": 4, "click": 2, "purchase": 1}
+    steps = {r.step: r.event_type for r in funnel_counts(_ev(spark, rows)).collect()}
+    assert steps == {1: "view", 2: "click", 3: "purchase"}
+
+
+def test_reciprocity_stats(spark):
+    from obsidian_parser_spark.operators.graph_metrics import reciprocity_stats
+
+    edges = spark.createDataFrame(
+        [
+            ("a", "links_to", "b"),
+            ("b", "links_to", "a"),  # reciprocated pair
+            ("a", "links_to", "c"),  # one-way
+            ("a", "links_to", "c"),  # duplicate occurrence → distinct
+            ("c", "links_to", "c"),  # self-loop
+        ],
+        "subj string, pred string, obj string",
+    )
+    r = reciprocity_stats(edges).collect()[0]
+    assert (r.n_directed, r.n_reciprocated, r.n_selfloops, r.n_undirected) == (
+        3,
+        2,
+        1,
+        2,
+    )
+
+
+def test_collocation_stats_counts(spark):
+    from obsidian_parser_spark.operators.textstats import collocation_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "new york new york city"),
+            (2, "new york is big"),
+            (3, "one"),  # single token → no pairs
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        (r.w1, r.w2): (r.n_pair, r.n_w1, r.n_w2, r.n_tokens)
+        for r in collocation_stats(docs, min_pair=3).collect()
+    }
+    # "new york" appears 3× ; n_w("new") = 3, n_w("york") = 3, total = 10
+    assert out == {("new", "york"): (3, 3, 3, 10)}
+    # lowering the threshold surfaces "york new" (1×) etc.
+    low = collocation_stats(docs, min_pair=2).collect()
+    assert {(r.w1, r.w2) for r in low} == {("new", "york")}
