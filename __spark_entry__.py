@@ -1444,6 +1444,14 @@ def _q_kg_reciprocity(spark, sf_dir):
     return reciprocity_stats(g.edges.filter(F.col("pred") != "tagged"))
 
 
+def _q_ts_winnowing(spark, sf_dir):
+    """Winnowing (MOSS) fingerprints: min-hash of every 5-window over
+    word 4-gram md5 hashes — any shared passage ≥ 8 tokens leaves a
+    common fingerprint; md5 hex compared lexicographically in both
+    engines."""
+    return TS.winnow_fingerprints(_documents(spark, sf_dir), k=4, w=5)
+
+
 _BM25_TERMS = ["join", "window", "stream", "scan"]
 
 
@@ -1551,6 +1559,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_funnel": _q_ev_funnel,
         "ts_collocations": _q_ts_collocations,
         "kg_reciprocity": _q_kg_reciprocity,
+        "ts_winnowing": _q_ts_winnowing,
     }
 
 
@@ -3663,6 +3672,19 @@ uc AS (SELECT w, count(*)::BIGINT AS n_w FROM un GROUP BY w),
 tot AS (SELECT count(*)::BIGINT AS n_tokens FROM un)
 SELECT pc.w1, pc.w2, pc.n_pair, a.n_w AS n_w1, b.n_w AS n_w2, tot.n_tokens
 FROM pc JOIN uc a ON a.w = pc.w1 JOIN uc b ON b.w = pc.w2 CROSS JOIN tot""",
+        # winnowing: k=4-gram md5 hashes, w=5 window minima; hex strings
+        # compared lexicographically (the walk-family cross-engine order)
+        "ts_winnowing": f"""
+WITH tk AS (SELECT doc_id, {tok} AS t FROM documents),
+gr AS (SELECT doc_id,
+              [md5(array_to_string(t[i:i+3], ' '))
+               for i in range(1, greatest(len(t) - 3, 1) + 1)] AS h
+       FROM tk),
+fp AS (SELECT doc_id,
+              list_distinct([list_aggregate(h[j:j+4], 'min')
+               for j in range(1, greatest(len(h) - 4, 1) + 1)]) AS f
+       FROM gr)
+SELECT doc_id, unnest(f) AS fp FROM fp""",
     }
     # recall@10 composed from the SAME per-method oracle SQL (nested WITH
     # as derived tables) — the approximate families' recall vs brute truth

@@ -504,3 +504,50 @@ def collocation_stats(
         .crossJoin(F.broadcast(total))
         .select("w1", "w2", "n_pair", "n_w1", "n_w2", "n_tokens")
     )
+
+
+def winnow_fingerprints(
+    documents: DataFrame,
+    k: int = 4,
+    w: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken 2003,
+    the MOSS algorithm) → (doc_id, fp): hash every word ``k``-gram, slide
+    a window of ``w`` consecutive hashes, keep each window's MINIMUM —
+    guaranteeing any shared passage of ≥ ``w + k - 1`` tokens leaves at
+    least one common fingerprint in both documents, with an expected
+    density of only 2/(w+1) selected hashes.  The per-doc distinct
+    fingerprint set is the near-dup/plagiarism signature a downstream
+    inverted-index join consumes.
+
+    Hashes are md5 hex strings compared LEXICOGRAPHICALLY — the same
+    cross-engine total order the walk/egonet hash-argmin family uses, so
+    the DuckDB oracle reproduces every selection bit-for-bit.  Documents
+    shorter than ``k`` tokens degrade to one whole-text gram (the
+    shingles fallback rule).
+
+    Scale shape: everything up to the explode is a per-row JVM
+    higher-order expression (no shuffle, no UDF); the output is already
+    distinct per doc so the explode carries ~2·tokens/(w+1) rows per
+    document.  The HOF transform is interpreted per element — at vault
+    scale swap the gram builder for pyspark.ml NGram exactly as
+    dedup.shingles does (measured 5× there).
+    """
+    grams = (
+        f"transform(sequence(1, greatest(size(_t) - {k} + 1, 1)),"
+        f" i -> md5(array_join(slice(_t, i, {k}), ' ')))"
+    )
+    mins = (
+        f"array_distinct(transform(sequence(1, greatest(size(_h) - {w} + 1, 1)),"
+        f" j -> array_min(slice(_h, j, {w}))))"
+    )
+    return (
+        documents.select(
+            F.col(id_col).alias("doc_id"),
+            F.expr(_TOKENS.format(t=text_col)).alias("_t"),
+        )
+        .select("doc_id", F.expr(grams).alias("_h"))
+        .select("doc_id", F.explode(F.expr(mins)).alias("fp"))
+    )

@@ -123,3 +123,32 @@ def test_collocation_stats_counts(spark):
     # lowering the threshold surfaces "york new" (1×) etc.
     low = collocation_stats(docs, min_pair=2).collect()
     assert {(r.w1, r.w2) for r in low} == {("new", "york")}
+
+
+def test_winnowing_guarantee_and_density(spark):
+    """Winnowing's core guarantee: any shared passage of >= w+k-1 tokens
+    (here 8) leaves at least one common fingerprint; unrelated docs with
+    disjoint vocabularies share none."""
+    from obsidian_parser_spark.operators.textstats import winnow_fingerprints
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    docs = spark.createDataFrame(
+        [
+            (1, "intro words here " + shared + " tail one"),
+            (2, shared + " totally different ending phrase"),
+            (3, "unrelated corpus vocabulary entirely disjoint tokens"),
+            (4, "tiny"),  # < k tokens → whole-text fallback gram
+        ],
+        "doc_id long, text string",
+    )
+    fps = winnow_fingerprints(docs, k=4, w=5).collect()
+    by_doc = {}
+    for r in fps:
+        by_doc.setdefault(r.doc_id, set()).add(r.fp)
+    assert by_doc[1] & by_doc[2], "shared 8-token passage must share a fp"
+    assert not (by_doc[1] & by_doc[3])
+    assert not (by_doc[2] & by_doc[3])
+    # short doc degrades to exactly one fingerprint (single gram, single window)
+    assert len(by_doc[4]) == 1
+    # per-doc fps are distinct (array_distinct applied before explode)
+    assert len(fps) == sum(len(v) for v in by_doc.values())
