@@ -1452,6 +1452,15 @@ def _q_ts_winnowing(spark, sf_dir):
     return TS.winnow_fingerprints(_documents(spark, sf_dir), k=4, w=5)
 
 
+def _q_dd_winnow(spark, sf_dir):
+    """MOSS second half: doc pairs sharing ≥ 2 winnowing fingerprints
+    (a < b, exact integer shared/total counts).  min_shared=1 would be
+    the no-false-negative ≥8-token passage detector; 2 cuts noise."""
+    from obsidian_parser_spark.operators.dedup import winnow_pairs
+
+    return winnow_pairs(_documents(spark, sf_dir), min_shared=2, k=4, w=5)
+
+
 _BM25_TERMS = ["join", "window", "stream", "scan"]
 
 
@@ -1560,6 +1569,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_collocations": _q_ts_collocations,
         "kg_reciprocity": _q_kg_reciprocity,
         "ts_winnowing": _q_ts_winnowing,
+        "dd_winnow": _q_dd_winnow,
     }
 
 
@@ -3685,6 +3695,27 @@ fp AS (SELECT doc_id,
                for j in range(1, greatest(len(h) - 4, 1) + 1)]) AS f
        FROM gr)
 SELECT doc_id, unnest(f) AS fp FROM fp""",
+        # winnow pairs: inverted index over the winnowed stream with the
+        # stop-fingerprint df cap, then a<b shared-count join
+        "dd_winnow": f"""
+WITH tk AS (SELECT doc_id, {tok} AS t FROM documents),
+gr AS (SELECT doc_id,
+              [md5(array_to_string(t[i:i+3], ' '))
+               for i in range(1, greatest(len(t) - 3, 1) + 1)] AS h
+       FROM tk),
+fps AS (SELECT doc_id, unnest(list_distinct(
+              [list_aggregate(h[j:j+4], 'min')
+               for j in range(1, greatest(len(h) - 4, 1) + 1)])) AS fp
+        FROM gr),
+sizes AS (SELECT doc_id, count(*)::BIGINT AS sz FROM fps GROUP BY doc_id),
+keep AS (SELECT fp FROM fps GROUP BY fp HAVING count(*) <= 1000),
+kf AS (SELECT f.doc_id, f.fp FROM fps f JOIN keep USING (fp)),
+shared AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, count(*)::BIGINT AS n_shared
+  FROM kf x JOIN kf y ON x.fp = y.fp AND x.doc_id < y.doc_id
+  GROUP BY 1, 2 HAVING count(*) >= 2)
+SELECT s.a, s.b, s.n_shared, sa.sz AS n_a, sb.sz AS n_b
+FROM shared s JOIN sizes sa ON sa.doc_id = s.a JOIN sizes sb ON sb.doc_id = s.b""",
     }
     # recall@10 composed from the SAME per-method oracle SQL (nested WITH
     # as derived tables) — the approximate families' recall vs brute truth

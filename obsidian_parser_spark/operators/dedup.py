@@ -698,3 +698,52 @@ def semdedup_prune(
             "oversized",
         )
     )
+
+
+def winnow_pairs(
+    documents: DataFrame,
+    min_shared: int = 2,
+    k: int = 4,
+    w: int = 5,
+    max_fp_df: int = 1000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Shared-passage candidate pairs from winnowing fingerprints
+    (the MOSS pipeline's second half): documents sharing ≥ ``min_shared``
+    distinct selected fingerprints, ``a < b``, with each side's total
+    fingerprint count so the caller can form containment or Dice scores.
+    Because winnowing guarantees every common passage of ≥ w+k-1 tokens
+    leaves a shared fingerprint, ``min_shared=1`` is a NO-FALSE-NEGATIVE
+    passage-overlap detector; higher thresholds trade recall for noise.
+
+    Output: (a, b, n_shared, n_a, n_b) — all exact integers.
+
+    Scale shape: identical to ``ngram_jaccard_pairs`` but over the
+    winnowed ~2/(w+1)-density fingerprint stream instead of every
+    shingle — the inverted index is ~3× smaller at w=5 for the same
+    guarantee width.  Boilerplate fingerprints above ``max_fp_df``
+    document frequency are dropped before the self-join (the standard
+    stop-shingle skew cap: one hot fingerprint would otherwise produce
+    a quadratic bucket).
+    """
+    from .textstats import winnow_fingerprints
+
+    fp = winnow_fingerprints(documents, k=k, w=w, id_col=id_col, text_col=text_col)
+    sizes = fp.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    keep = fp.groupBy("fp").agg(F.count("*").alias("df")).filter(
+        F.col("df") <= max_fp_df
+    )
+    fp = fp.join(keep.select("fp"), "fp")
+    a = fp.select(F.col("doc_id").alias("a"), "fp")
+    b = fp.select(F.col("doc_id").alias("b"), "fp")
+    shared = (
+        a.join(b, "fp")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+    sa = sizes.select(F.col("doc_id").alias("a"), F.col("sz").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("b"), F.col("sz").alias("n_b"))
+    return shared.join(sa, "a").join(sb, "b").select("a", "b", "n_shared", "n_a", "n_b")

@@ -109,3 +109,28 @@ def test_semdedup_oversized_guard_keeps_everything(spark):
     out = semdedup_prune(df, n_centroids=1, threshold_pct=90, max_cluster_size=3).collect()
     assert len(out) == 6
     assert all(r["oversized"] and r["is_kept"] for r in out)
+
+
+def test_winnow_pairs_guarantee_and_cap(spark):
+    """Docs sharing an 8-token passage pair up; the df-cap drops a
+    fingerprint present in every doc (boilerplate)."""
+    from obsidian_parser_spark.operators.dedup import winnow_pairs
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = spark.createDataFrame(
+        [
+            (1, "lead in words " + shared + " trailing text"),
+            (2, shared + " other ending material here"),
+            (3, "completely different vocabulary in this document body"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = winnow_pairs(docs, min_shared=1).collect()
+    pairs = {(r.a, r.b): r.n_shared for r in rows}
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 1
+    assert all(p == (1, 2) for p in pairs)
+    # n_a/n_b are the per-doc distinct fingerprint totals (pre-cap)
+    r = rows[0]
+    assert r.n_a >= r.n_shared and r.n_b >= r.n_shared
+    # max_fp_df=1: every shared fingerprint has df>=2 -> all dropped
+    assert winnow_pairs(docs, min_shared=1, max_fp_df=1).count() == 0
