@@ -1461,6 +1461,14 @@ def _q_dd_winnow(spark, sf_dir):
     return winnow_pairs(_documents(spark, sf_dir), min_shared=2, k=4, w=5)
 
 
+def _q_ts_textrank(spark, sf_dir):
+    """TextRank corpus keywords: integer fixed-point PageRank over the
+    adjacent-token co-occurrence graph (vocab = corpus count ≥ 5),
+    top-50 by (pr desc, word asc) — the oracle retargets the SAME
+    unrolled pagerank CTEs at the word graph."""
+    return TS.textrank_keywords(_documents(spark, sf_dir), min_count=5, top_n=50)
+
+
 _BM25_TERMS = ["join", "window", "stream", "scan"]
 
 
@@ -1570,6 +1578,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_reciprocity": _q_kg_reciprocity,
         "ts_winnowing": _q_ts_winnowing,
         "dd_winnow": _q_dd_winnow,
+        "ts_textrank": _q_ts_textrank,
     }
 
 
@@ -1731,6 +1740,10 @@ def _pagerank_ctes(
     damping: int = 85,
     scale: int = 1_000_000,
     seeds: tuple[str, ...] | None = None,
+    node_src: str = "notes",
+    node_id: str = "doc_id",
+    w_cte: str = "SELECT subj AS u, obj AS v, count(*) AS w"
+    " FROM link_edges GROUP BY subj, obj",
 ) -> str:
     """Unrolled integer fixed-point PageRank iterations mirroring
     operators/pagerank.py: every intermediate is an integer (DIV at the
@@ -1738,21 +1751,22 @@ def _pagerank_ctes(
     byte-identical across engines — no float summation order to drift.
     With ``seeds``, the PERSONALIZED variant: initial mass and the
     per-round base term go only to the seed set (mirrors
-    ``personalized_pagerank``)."""
+    ``personalized_pagerank``).  ``node_src``/``node_id``/``w_cte``
+    retarget the same unrolled fixpoint at any (nodes, weighted-edges)
+    pair — e.g. the TextRank word co-occurrence graph."""
     base = (100 - damping) * scale // 100
     if seeds is None:
-        p0 = f"SELECT doc_id AS id, {scale}::BIGINT AS pr FROM notes"
+        p0 = f"SELECT {node_id} AS id, {scale}::BIGINT AS pr FROM {node_src}"
         base_term = str(base)
     else:
         in_list = ", ".join("'" + s.replace("'", "''") + "'" for s in seeds)
         p0 = (
-            f"SELECT doc_id AS id, (CASE WHEN doc_id IN ({in_list})"
-            f" THEN {scale} ELSE 0 END)::BIGINT AS pr FROM notes"
+            f"SELECT {node_id} AS id, (CASE WHEN {node_id} IN ({in_list})"
+            f" THEN {scale} ELSE 0 END)::BIGINT AS pr FROM {node_src}"
         )
         base_term = f"(CASE WHEN n.id IN ({in_list}) THEN {base} ELSE 0 END)"
     parts = [
-        "w AS MATERIALIZED (SELECT subj AS u, obj AS v, count(*) AS w"
-        " FROM link_edges GROUP BY subj, obj)",
+        f"w AS MATERIALIZED ({w_cte})",
         "od AS (SELECT u, sum(w) AS od FROM w GROUP BY u)",
         "wj AS MATERIALIZED (SELECT w.u, w.v, w.w, od.od FROM w JOIN od USING (u))",
         f"p0 AS ({p0})",
@@ -3716,6 +3730,27 @@ shared AS (
   GROUP BY 1, 2 HAVING count(*) >= 2)
 SELECT s.a, s.b, s.n_shared, sa.sz AS n_a, sb.sz AS n_b
 FROM shared s JOIN sizes sa ON sa.doc_id = s.a JOIN sizes sb ON sb.doc_id = s.b""",
+        # TextRank: the pagerank fixpoint CTEs retargeted at the word
+        # co-occurrence graph (adjacent tokens, both directions, vocab
+        # cut at corpus count >= 5)
+        "ts_textrank": f"""
+WITH tk AS (SELECT doc_id, {tok} AS t FROM documents),
+uni AS (SELECT u.w, count(*)::BIGINT AS n
+        FROM tk, unnest(t) AS u(w) GROUP BY u.w),
+vocab AS (SELECT w FROM uni WHERE n >= 5),
+bg AS (SELECT p.w1, p.w2 FROM (
+         SELECT unnest([{{'w1': t[i], 'w2': t[i + 1]}}
+                        for i in range(1, greatest(len(t) - 1, 0) + 1)]) AS p
+         FROM tk WHERE len(t) >= 2)),
+pc AS (SELECT w1, w2, count(*)::BIGINT AS n FROM bg
+       JOIN vocab v1 ON v1.w = bg.w1 JOIN vocab v2 ON v2.w = bg.w2
+       GROUP BY w1, w2),
+sym AS (SELECT w1 AS subj, w2 AS obj, n FROM pc
+        UNION ALL SELECT w2, w1, n FROM pc),
+{_pagerank_ctes(node_src="vocab", node_id="w",
+                w_cte="SELECT subj AS u, obj AS v, sum(n) AS w"
+                      " FROM sym GROUP BY subj, obj")}
+SELECT id AS word, pr FROM pr_final ORDER BY pr DESC, word LIMIT 50""",
     }
     # recall@10 composed from the SAME per-method oracle SQL (nested WITH
     # as derived tables) — the approximate families' recall vs brute truth

@@ -43,13 +43,20 @@ from ..checkpointing import cut_lineage
 SCALE = 1_000_000
 
 
-def _edge_weights(edges: DataFrame) -> DataFrame:
+def _edge_weights(edges: DataFrame, weight_col: str | None = None) -> DataFrame:
     """(u, v, w) — occurrence-weighted directed edge list; the shared
-    precondition of both iterative rankers."""
+    precondition of both iterative rankers.  With ``weight_col`` the
+    input is already aggregated (e.g. a co-occurrence graph) and weights
+    are summed instead of counted — same output contract either way."""
+    agg = F.sum(weight_col) if weight_col else F.count("*")
     return (
-        edges.select(F.col("subj").alias("u"), F.col("obj").alias("v"))
+        edges.select(
+            F.col("subj").alias("u"),
+            F.col("obj").alias("v"),
+            *([F.col(weight_col)] if weight_col else []),
+        )
         .groupBy("u", "v")
-        .agg(F.count("*").alias("w"))
+        .agg(agg.alias("w"))
     )
 
 
@@ -63,12 +70,13 @@ def pagerank(
     n_iter: int = 10,
     damping_pct: int = 85,
     id_col: str = "doc_id",
+    weight_col: str | None = None,
 ) -> DataFrame:
     """→ (id, pr) for every node; ``edges`` needs (subj, obj), direction
-    respected, parallel edges weighted."""
+    respected, parallel edges weighted (or pre-weighted via ``weight_col``)."""
     base = (100 - damping_pct) * SCALE // 100
 
-    w = _edge_weights(edges)
+    w = _edge_weights(edges, weight_col=weight_col)
     out = w.groupBy("u").agg(F.sum("w").alias("od"))
     wj = cut_lineage(w.join(out, "u"))
 

@@ -551,3 +551,68 @@ def winnow_fingerprints(
         .select("doc_id", F.expr(grams).alias("_h"))
         .select("doc_id", F.explode(F.expr(mins)).alias("fp"))
     )
+
+
+def textrank_keywords(
+    documents: DataFrame,
+    min_count: int = 5,
+    top_n: int = 50,
+    n_iter: int = 10,
+    damping_pct: int = 85,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """TextRank corpus keywords (Mihalcea & Tarau 2004): PageRank over the
+    word co-occurrence graph — nodes are vocabulary words with corpus
+    frequency ≥ ``min_count``, edges connect ADJACENT tokens (window 2,
+    undirected → both directions), weighted by corpus-wide co-occurrence
+    count.  Returns the ``top_n`` words as (word, pr) with the engine's
+    exact integer fixed-point ranks (pagerank.py contract), ties broken
+    pr desc → word asc — a deterministic SET both engines reproduce.
+
+    Scale shape: the token/bigram streams collapse map-side to (w, n) /
+    (w1, w2, n) before any join; the graph the fixpoint iterates over is
+    vocabulary-sized (≪ corpus), so the 10 rounds cost nothing next to
+    the one corpus pass; top-k is TakeOrdered, never a global sort.
+    """
+    from .pagerank import pagerank
+
+    toks = documents.select(F.expr(_TOKENS.format(t=text_col)).alias("_t"))
+    vocab = (
+        toks.select(F.explode("_t").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= min_count)
+        .select("w")
+    )
+    bigrams = (
+        "CASE WHEN size(_t) < 2 THEN array() "
+        "ELSE transform(sequence(1, size(_t) - 1),"
+        " i -> struct(element_at(_t, i) AS w1, element_at(_t, i + 1) AS w2)) END"
+    )
+    pairs = (
+        toks.select(F.explode(F.expr(bigrams)).alias("p"))
+        .select("p.w1", "p.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("n"))
+        .join(vocab.withColumnRenamed("w", "w1"), "w1")
+        .join(vocab.withColumnRenamed("w", "w2"), "w2")
+    )
+    sym = pairs.select(
+        F.col("w1").alias("subj"), F.col("w2").alias("obj"), "n"
+    ).unionByName(
+        pairs.select(F.col("w2").alias("subj"), F.col("w1").alias("obj"), "n")
+    )
+    pr = pagerank(
+        vocab.withColumnRenamed("w", "word"),
+        sym,
+        n_iter=n_iter,
+        damping_pct=damping_pct,
+        id_col="word",
+        weight_col="n",
+    )
+    return (
+        pr.select(F.col("id").alias("word"), "pr")
+        .orderBy(F.col("pr").desc(), F.col("word"))
+        .limit(top_n)
+    )

@@ -152,3 +152,26 @@ def test_winnowing_guarantee_and_density(spark):
     assert len(by_doc[4]) == 1
     # per-doc fps are distinct (array_distinct applied before explode)
     assert len(fps) == sum(len(v) for v in by_doc.values())
+
+
+def test_textrank_hub_word_ranks_first(spark):
+    """A word adjacent to many distinct frequent words accumulates the
+    most rank; vocabulary below min_count never appears."""
+    from obsidian_parser_spark.operators.textstats import textrank_keywords
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark joins spark windows spark streams spark scans"),
+            (2, "joins spark windows spark streams spark scans spark"),
+            (3, "rare singleton appears once only here"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = textrank_keywords(docs, min_count=2, top_n=10).collect()
+    words = [r.word for r in rows]
+    assert words[0] == "spark"
+    assert "singleton" not in words  # below min_count
+    # integer fixed-point ranks, descending with word tie-break
+    prs = [r.pr for r in rows]
+    assert prs == sorted(prs, reverse=True)
+    assert all(isinstance(p, int) for p in prs)
