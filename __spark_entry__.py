@@ -704,6 +704,18 @@ def _q_kg_distances(spark, sf_dir):
     return d.select("id", F.col("dist").cast("long").alias("dist"))
 
 
+def _q_kg_closeness(spark, sf_dir):
+    """Sampled-seed closeness sufficient stats: 8 hash-argmin seeds
+    (md5('close:'||id) smallest), ONE multi-source BFS keyed on
+    (node, seed), per-node exact-integer (n_reached, sum_dist, min_dist).
+    The Eppstein-Wang sampled estimator is the only closeness that exists
+    at 10^12 nodes; the oracle unrolls the same rounds multi-seed."""
+    from obsidian_parser_spark.operators.components import closeness_stats
+
+    g = _graph(spark, sf_dir)
+    return closeness_stats(g.nodes, A.link_edges(g.edges), n_seeds=8, max_depth=6)
+
+
 def _q_kg_pixels(spark, sf_dir):
     """REAL pixel decode: zlib-inflate each PNG payload's IDAT, strip the
     per-row filter bytes, and sum every channel EXACTLY (integer sums).
@@ -1579,6 +1591,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_winnowing": _q_ts_winnowing,
         "dd_winnow": _q_dd_winnow,
         "ts_textrank": _q_ts_textrank,
+        "kg_closeness": _q_kg_closeness,
     }
 
 
@@ -2159,6 +2172,36 @@ def _bfs_ctes(root: str, depth: int) -> str:
     return ",\n".join(parts)
 
 
+def _ms_bfs_ctes(n_seeds: int, depth: int, salt: str = "close") -> str:
+    """Unrolled multi-source BFS mirroring components.multi_source_bfs +
+    closeness_stats: hash-argmin seed pick, per-round (id, seed)-keyed
+    frontier expansion, final per-node rollup."""
+    parts = [
+        f"""sd AS (SELECT doc_id AS seed FROM notes
+  ORDER BY md5('{salt}:' || doc_id), doc_id LIMIT {n_seeds})""",
+        "m0 AS (SELECT seed AS id, seed, 0::BIGINT AS dist FROM sd)",
+    ]
+    for t in range(1, depth + 1):
+        parts.append(
+            f"""f{t} AS (SELECT DISTINCT e.obj AS id, f.seed FROM link_edges e
+  JOIN m{t - 1} f ON e.subj = f.id AND f.dist = {t - 1})"""
+        )
+        parts.append(
+            f"""m{t} AS MATERIALIZED (SELECT id, seed, dist FROM m{t - 1}
+  UNION ALL
+  SELECT n.id, n.seed, {t}::BIGINT FROM f{t} n
+  WHERE NOT EXISTS (SELECT 1 FROM m{t - 1} p
+                    WHERE p.id = n.id AND p.seed = n.seed))"""
+        )
+    parts.append(
+        f"""msbfs_final AS (
+  SELECT id, count(*)::BIGINT AS n_reached, sum(dist)::BIGINT AS sum_dist,
+         min(dist)::BIGINT AS min_dist
+  FROM m{depth} GROUP BY id)"""
+    )
+    return ",\n".join(parts)
+
+
 def _triangle_ctes() -> str:
     """Triangles over caller-supplied ``link_edges``: canonical a<b<c
     enumeration (e1=(a,b), e2=(b,c), e3=(a,c) with und's u<v invariant) —
@@ -2473,6 +2516,10 @@ SELECT 8::INTEGER AS n_buckets, 2::INTEGER AS n_resumed, 6::INTEGER AS n_skipped
         + ",\n"
         + _bfs_ctes("note_1", 6)
         + "\nSELECT id, dist FROM bfs_final",
+        "kg_closeness": c
+        + ",\n"
+        + _ms_bfs_ctes(8, 6)
+        + "\nSELECT id, n_reached, sum_dist, min_dist FROM msbfs_final",
         "kg_triangles": c
         + ",\n"
         + _triangle_ctes()

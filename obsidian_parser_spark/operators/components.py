@@ -210,3 +210,79 @@ def bfs_distances(
         if frontier.limit(1).count() == 0:
             break
     return visited
+
+
+def multi_source_bfs(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_depth: int = 6,
+) -> DataFrame:
+    """Directed BFS from EVERY seed simultaneously: → (id, seed, dist)
+    for each (node, seed) pair with the node reachable from that seed in
+    ≤ ``max_depth`` hops.  ``seeds`` is a one-column ('seed') frame.
+
+    Scale shape: identical frontier-expansion fixpoint to
+    ``bfs_distances`` but keyed on the (id, seed) PAIR — s seeds cost one
+    BFS whose state is at most s× larger, not s sequential jobs (the
+    per-round edge join and anti-join stay key-partitioned; the frontier
+    distinct is map-side combined).  Per-round lineage cut + early empty-
+    frontier exit as in the single-source version; results are
+    independent of the stop rule."""
+    e = cut_lineage(
+        edges.select(F.col("subj").alias("src"), F.col("obj").alias("dst")).distinct()
+    )
+    visited = cut_lineage(
+        seeds.select(
+            F.col("seed").alias("id"), "seed", F.lit(0).cast("int").alias("dist")
+        )
+    )
+    frontier = visited
+    for d in range(1, max_depth + 1):
+        nxt = cut_lineage(
+            e.join(frontier.select(F.col("id").alias("src"), "seed"), "src")
+            .select(F.col("dst").alias("id"), "seed")
+            .distinct()
+            .join(visited.select("id", "seed"), ["id", "seed"], "left_anti")
+            .withColumn("dist", F.lit(d).cast("int"))
+        )
+        visited = cut_lineage(visited.unionByName(nxt))
+        frontier = nxt
+        if frontier.limit(1).count() == 0:
+            break
+    return visited
+
+
+def closeness_stats(
+    nodes: DataFrame,
+    edges: DataFrame,
+    n_seeds: int = 8,
+    max_depth: int = 6,
+    id_col: str = "doc_id",
+    salt: str = "close",
+) -> DataFrame:
+    """Sampled-seed closeness-centrality sufficient statistics: pick the
+    ``n_seeds`` nodes with the smallest md5('{salt}:' || id) (the
+    deterministic hash-argmin family — a uniform sample both engines
+    reproduce bit-for-bit), multi-source-BFS from them, and report per
+    reached node (id, n_reached, sum_dist, min_dist) — ALL exact
+    integers.  sum_dist/n_reached estimates (in-)closeness over the seed
+    sample; the exact all-pairs version is O(|V|·|E|) and exists on no
+    engine at 10^12 nodes, so the sampled estimator (Eppstein-Wang) IS
+    the production form — accuracy is the caller's n_seeds knob.
+
+    Scale shape: seed pick is one TakeOrdered over the node set; the BFS
+    is one fixpoint regardless of n_seeds; the final rollup is a
+    map-side-combinable groupBy(id).
+    """
+    seeds = (
+        nodes.select(F.col(id_col).alias("seed"))
+        .distinct()
+        .orderBy(F.md5(F.concat(F.lit(salt + ":"), F.col("seed"))), F.col("seed"))
+        .limit(n_seeds)
+    )
+    v = multi_source_bfs(edges, seeds, max_depth=max_depth)
+    return v.groupBy("id").agg(
+        F.count("*").cast("long").alias("n_reached"),
+        F.sum("dist").cast("long").alias("sum_dist"),
+        F.min("dist").cast("long").alias("min_dist"),
+    )

@@ -154,3 +154,38 @@ def test_bfs_distances_vs_python(spark):
     # depth cap honored
     capped = {r.id: r.dist for r in bfs_distances(edf, "r", max_depth=1).collect()}
     assert capped == {"r": 0, "a": 1, "b": 1}
+
+
+def test_multi_source_bfs_and_closeness(spark):
+    """Hand-checked multi-seed distances on a small directed path+branch
+    graph; seeds pinned by passing them explicitly."""
+    from obsidian_parser_spark.operators.components import (
+        closeness_stats,
+        multi_source_bfs,
+    )
+    from pyspark.sql import functions as F
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("x", "c")],
+        "subj string, obj string",
+    )
+    seeds = spark.createDataFrame([("a",), ("x",)], "seed string")
+    got = {
+        (r.id, r.seed): r.dist for r in multi_source_bfs(edges, seeds, 6).collect()
+    }
+    assert got == {
+        ("a", "a"): 0, ("b", "a"): 1, ("c", "a"): 2, ("d", "a"): 3,
+        ("x", "x"): 0, ("c", "x"): 1, ("d", "x"): 2,
+    }
+    # closeness over the same graph with ALL nodes as candidate seeds:
+    # n_seeds covers every node, so n_reached counts in-reachability
+    nodes = edges.select(F.col("subj").alias("doc_id")).union(
+        edges.select("obj")
+    ).distinct()
+    stats = {
+        r.id: (r.n_reached, r.sum_dist, r.min_dist)
+        for r in closeness_stats(nodes, edges, n_seeds=5, max_depth=6).collect()
+    }
+    # d is reached from a(3), b(2), c(1), x(2), d(0) -> 5 seeds, sum 8
+    assert stats["d"] == (5, 8, 0)
+    assert stats["a"] == (1, 0, 0)  # only from itself
