@@ -704,6 +704,16 @@ def _q_kg_distances(spark, sf_dir):
     return d.select("id", F.col("dist").cast("long").alias("dist"))
 
 
+def _q_ann_kmeans(spark, sf_dir):
+    """Distributed Lloyd's k-means (k=8, 4 fixed rounds) over quantized
+    integer embeddings: first-k init, exact integer L2 argmin, DIV
+    centroid update — the final (vec_id, cid, d2) assignment is
+    bit-identical to the oracle's unrolled rounds."""
+    from obsidian_parser_spark.operators.similarity import kmeans_assign
+
+    return kmeans_assign(_embeddings(spark, sf_dir), k=8, n_iter=4)
+
+
 def _q_kg_closeness(spark, sf_dir):
     """Sampled-seed closeness sufficient stats: 8 hash-argmin seeds
     (md5('close:'||id) smallest), ONE multi-source BFS keyed on
@@ -1592,6 +1602,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd_winnow": _q_dd_winnow,
         "ts_textrank": _q_ts_textrank,
         "kg_closeness": _q_kg_closeness,
+        "ann_kmeans": _q_ann_kmeans,
     }
 
 
@@ -2947,6 +2958,54 @@ def _lsh_bucket_sql(n_planes: int, table: int) -> str:
     return " + ".join(bits)
 
 
+def _kmeans_ctes(qv: str, k: int = 8, n_iter: int = 4) -> str:
+    """Unrolled Lloyd's k-means mirroring similarity.kmeans_assign:
+    first-k-ids init, exact integer squared-L2 argmin (ties → smaller
+    cid), integer truncated-division centroid update (DuckDB // ≡ Spark
+    DIV, both toward zero), empty clusters keep the previous centroid."""
+    d2 = (
+        "CAST(list_sum([(z.q[i] - c.c[i]) * (z.q[i] - c.c[i])"
+        " for i in range(1, len(z.q) + 1)]) AS BIGINT)"
+    )
+    parts = [
+        f"qz AS MATERIALIZED (SELECT vec_id AS vid, {qv} AS q FROM embeddings)",
+        f"c0 AS (SELECT CAST(vid AS BIGINT) AS cid, q AS c FROM qz WHERE vid < {k})",
+    ]
+    for t in range(1, n_iter + 1):
+        parts.append(
+            f"""a{t} AS MATERIALIZED (
+  SELECT vid, cid, d2 FROM (
+    SELECT z.vid, c.cid, {d2} AS d2,
+           row_number() OVER (PARTITION BY z.vid
+                              ORDER BY {d2}, c.cid) AS rn
+    FROM qz z CROSS JOIN c{t - 1} c
+  ) WHERE rn = 1)"""
+        )
+        if t == n_iter:
+            break
+        parts.append(
+            f"""e{t} AS (
+  SELECT cid, u.s.i AS i, u.s.x AS x FROM (
+    SELECT a.cid, [{{'i': i, 'x': z.q[i]}}
+                   for i in range(1, len(z.q) + 1)] AS l
+    FROM a{t} a JOIN qz z USING (vid)
+  ), unnest(l) AS u(s))""",
+        )
+        parts.append(
+            f"""u{t} AS (
+  SELECT cid, list_transform(list_sort(list({{'i': i, 'v': s // n}})),
+                             r -> r.v) AS cn
+  FROM (SELECT cid, i, sum(x)::BIGINT AS s, count(*)::BIGINT AS n
+        FROM e{t} GROUP BY cid, i) GROUP BY cid)"""
+        )
+        parts.append(
+            f"""c{t} AS (SELECT c.cid, coalesce(u.cn, c.c) AS c
+  FROM c{t - 1} c LEFT JOIN u{t} u USING (cid))"""
+        )
+    parts.append(f"km_final AS (SELECT vid AS vec_id, cid, d2 FROM a{n_iter})")
+    return ",\n".join(parts)
+
+
 def _dd_embed_cosine_sql(
     qv: str, threshold_pct: int = 90, n_planes: int = 6, n_tables: int = 2
 ) -> str:
@@ -3222,6 +3281,9 @@ SELECT i.a, i.b,
 FROM inter i JOIN sizes sa ON sa.doc_id = i.a JOIN sizes sb ON sb.doc_id = i.b
 WHERE i.inter / (sa.sz + sb.sz - i.inter) >= 0.8""",
         "dd_embed_cosine": _dd_embed_cosine_sql(qv),
+        "ann_kmeans": "WITH "
+        + _kmeans_ctes(qv)
+        + "\nSELECT vec_id, cid, d2 FROM km_final",
         "dd_semdedup": _dd_semdedup_sql(qv),
         "dd_simhash": _dd_simhash_oracle(tok),
         "ann_topk": f"""

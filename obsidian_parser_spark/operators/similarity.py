@@ -220,3 +220,72 @@ def lsh_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "score")
     )
+
+
+def kmeans_assign(
+    embeddings: DataFrame,
+    k: int = 8,
+    n_iter: int = 4,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Distributed Lloyd's k-means over the quantized integer embedding
+    space: deterministic first-k-ids init (the IVF codebook rule), exact
+    integer squared-L2 assignment (ties → smaller cid), integer
+    truncated-division centroid update (sum DIV count per dimension —
+    Spark DIV and DuckDB // both truncate toward zero, verified), empty
+    clusters keep their previous centroid.  ``n_iter`` FIXED rounds (the
+    fixed count is part of the deterministic contract, as in pagerank).
+    → (vec_id, cid, d2): the final assignment with its exact distance.
+
+    Scale shape: per round, assignment is a broadcast of the k×dim
+    centroid table against the (never-shuffled) vector set + one map-side
+    combinable argmin agg; the update is posexplode → groupBy(cid, pos)
+    sum — k·dim result rows regardless of corpus size.  Centroids are
+    lineage-cut per round like every other fixpoint.  The sum accumulator
+    holds to ~10^11 rows per cluster at 10^4-quantization; past that,
+    lower the quantization scale.
+    """
+    from ..checkpointing import cut_lineage
+
+    qz = quantize(embeddings, "embedding").select(F.col(id_col).alias("vid"), "q")
+    cent = qz.filter(F.col("vid") < k).select(
+        F.col("vid").cast("long").alias("cid"), F.col("q").alias("c")
+    )
+    d2 = "aggregate(zip_with(q, c, (x, y) -> (x - y) * (x - y)), 0L, (acc, v) -> acc + v)"
+    assign = None
+    for i in range(n_iter):
+        scored = qz.crossJoin(F.broadcast(cent)).select(
+            "vid", "cid", F.expr(d2).alias("d2")
+        )
+        assign = (
+            scored.groupBy("vid")
+            .agg(F.min(F.struct("d2", "cid")).alias("b"))
+            .select(
+                F.col("vid").alias(id_col),
+                F.col("b.cid").alias("cid"),
+                F.col("b.d2").cast("long").alias("d2"),
+            )
+        )
+        if i == n_iter - 1:
+            break
+        sums = (
+            qz.join(assign.select(F.col(id_col).alias("vid"), "cid"), "vid")
+            .select("cid", F.posexplode("q").alias("pos", "x"))
+            .groupBy("cid", "pos")
+            .agg(F.sum("x").alias("s"), F.count("*").alias("n"))
+            .groupBy("cid")
+            .agg(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", F.expr("s DIV n").alias("v")))
+                    ),
+                    lambda st: st["v"],
+                ).alias("c_new")
+            )
+        )
+        cent = cut_lineage(
+            cent.join(sums, "cid", "left").select(
+                "cid", F.coalesce("c_new", "c").alias("c")
+            )
+        )
+    return assign

@@ -91,3 +91,28 @@ def test_lsh_dim_mismatch_raises(spark, emb):
     with pytest.raises(Exception, match="dim mismatch") as ei:
         lsh_topk(emb, dim=32, k=5, n_queries=3).collect()
     assert isinstance(ei.value, Py4JJavaError) or "dim mismatch" in str(ei.value)
+
+
+def test_kmeans_two_obvious_clusters(spark):
+    """Two well-separated groups: after 4 Lloyd rounds every member sits
+    with its group regardless of the (id-based) init; d2 is the exact
+    integer squared distance to the final centroid's PREVIOUS round
+    position (the assignment reported is the last argmin pass)."""
+    from obsidian_parser_spark.operators.similarity import kmeans_assign
+
+    rows = []
+    for i in range(10):  # cluster around (0, 0)
+        rows.append((i * 2, [0.001 * i, 0.0]))
+        # cluster around (10, 10)
+        rows.append((i * 2 + 1, [10.0 + 0.001 * i, 10.0]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = kmeans_assign(df, k=2, n_iter=4).collect()
+    assert len(out) == 20
+    by_cid = {}
+    for r in out:
+        by_cid.setdefault(r.cid, set()).add(r.vec_id)
+    assert len(by_cid) == 2
+    evens = {i * 2 for i in range(10)}
+    assert evens in map(set, by_cid.values())
+    # distances are exact nonnegative integers
+    assert all(isinstance(r.d2, int) and r.d2 >= 0 for r in out)
