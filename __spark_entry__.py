@@ -704,6 +704,19 @@ def _q_kg_distances(spark, sf_dir):
     return d.select("id", F.col("dist").cast("long").alias("dist"))
 
 
+def _q_ev_transitions(spark, sf_dir):
+    """First-order Markov event-type transition matrix per user sequence
+    ((ts, event_id)-ordered lag window, map-side-combined pair counts)."""
+    return EV.transition_counts(_events(spark, sf_dir))
+
+
+def _q_ts_ngram_lm(spark, sf_dir):
+    """Trigram LM sufficient statistics: head trigrams (corpus n ≥ 3)
+    with exact bigram-context totals — the integers MLE/KN smoothing
+    read."""
+    return TS.ngram_lm_counts(_documents(spark, sf_dir), min_count=3)
+
+
 def _q_ann_kmeans(spark, sf_dir):
     """Distributed Lloyd's k-means (k=8, 4 fixed rounds) over quantized
     integer embeddings: first-k init, exact integer L2 argmin, DIV
@@ -1603,6 +1616,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_textrank": _q_ts_textrank,
         "kg_closeness": _q_kg_closeness,
         "ann_kmeans": _q_ann_kmeans,
+        "ev_transitions": _q_ev_transitions,
+        "ts_ngram_lm": _q_ts_ngram_lm,
     }
 
 
@@ -3411,6 +3426,16 @@ SELECT (epoch_us(ts) // {EV.WINDOW_US}) * {EV.WINDOW_US} AS window_start_us,
        count(*)::BIGINT AS n_events,
        sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS value_cents
 FROM events GROUP BY 1, 2""",
+        # first-order Markov transitions per user sequence, (ts, event_id)
+        # ordered — the tie-break both engines share
+        "ev_transitions": """
+WITH seq AS (
+  SELECT event_type AS next_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type
+  FROM events)
+SELECT prev_type, next_type, count(*)::BIGINT AS n
+FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2""",
         "ev_top_users": """
 SELECT user_id,
        sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS value_cents,
@@ -3860,6 +3885,19 @@ sym AS (SELECT w1 AS subj, w2 AS obj, n FROM pc
                 w_cte="SELECT subj AS u, obj AS v, sum(n) AS w"
                       " FROM sym GROUP BY subj, obj")}
 SELECT id AS word, pr FROM pr_final ORDER BY pr DESC, word LIMIT 50""",
+        # trigram LM counts: head trigrams (n >= 3) with their full
+        # bigram-context totals
+        "ts_ngram_lm": f"""
+WITH tk AS (SELECT doc_id, {tok} AS t FROM documents),
+tri AS (SELECT g.w1, g.w2, g.w3 FROM (
+          SELECT unnest([{{'w1': t[i], 'w2': t[i + 1], 'w3': t[i + 2]}}
+                         for i in range(1, greatest(len(t) - 2, 0) + 1)]) AS g
+          FROM tk WHERE len(t) >= 3)),
+tn AS (SELECT w1, w2, w3, count(*)::BIGINT AS n FROM tri
+       GROUP BY 1, 2, 3 HAVING count(*) >= 3),
+cx AS (SELECT w1, w2, count(*)::BIGINT AS ctx_n FROM tri GROUP BY 1, 2)
+SELECT tn.w1, tn.w2, tn.w3, tn.n, cx.ctx_n
+FROM tn JOIN cx USING (w1, w2)""",
     }
     # recall@10 composed from the SAME per-method oracle SQL (nested WITH
     # as derived tables) — the approximate families' recall vs brute truth

@@ -354,3 +354,29 @@ def funnel_counts(events: DataFrame, steps: tuple = FUNNEL_STEPS) -> DataFrame:
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+def transition_counts(events: DataFrame) -> DataFrame:
+    """First-order Markov transition counts over each user's event-type
+    sequence: → (prev_type, next_type, n) exact integers, ordered within
+    a user by (ts, event_id) — the event_id tie-break makes simultaneous
+    events deterministic across engines.  The user-journey transition
+    matrix is the sufficient statistic for session simulators, anomaly
+    scoring (surprise = -log p(next|prev)), and next-action models.
+
+    Scale shape: ONE window pass partitioned by user_id (users are the
+    natural partition key; no global sort), then a map-side combinable
+    groupBy of the (prev, next) pairs.  Hot users are bounded by their
+    own event counts — the window never crosses users.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        events.select(
+            "user_id",
+            "event_type",
+            F.lag("event_type").over(w).alias("prev_type"),
+        )
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count("*").alias("n"))
+    )

@@ -616,3 +616,39 @@ def textrank_keywords(
         .orderBy(F.col("pr").desc(), F.col("word"))
         .limit(top_n)
     )
+
+
+def ngram_lm_counts(
+    documents: DataFrame,
+    min_count: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Trigram language-model sufficient statistics: for every word
+    trigram with corpus count ≥ ``min_count``, → (w1, w2, w3, n, ctx_n)
+    where ``n`` is the trigram count and ``ctx_n`` the count of its
+    (w1, w2) bigram context over ALL trigram positions — the exact
+    integers from which MLE (n/ctx_n), additive, and Kneser-Ney
+    estimates all derive.  No doc crosses its own boundary (trigrams are
+    per-document, the standard sentence-boundary convention).
+
+    Scale shape: one corpus pass; both the trigram and context streams
+    collapse map-side to (gram, n) before the single vocabulary-keyed
+    attach join; the min_count HAVING cuts the long tail before the
+    join, so the joined side is the head of the Zipf curve only.
+    """
+    toks = documents.select(F.expr(_TOKENS.format(t=text_col)).alias("_t"))
+    tris = (
+        "CASE WHEN size(_t) < 3 THEN array() "
+        "ELSE transform(sequence(1, size(_t) - 2),"
+        " i -> struct(element_at(_t, i) AS w1, element_at(_t, i + 1) AS w2,"
+        " element_at(_t, i + 2) AS w3)) END"
+    )
+    t = toks.select(F.explode(F.expr(tris)).alias("g")).select("g.w1", "g.w2", "g.w3")
+    tri = (
+        t.groupBy("w1", "w2", "w3")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= min_count)
+    )
+    ctx = t.groupBy("w1", "w2").agg(F.count("*").alias("ctx_n"))
+    return tri.join(ctx, ["w1", "w2"]).select("w1", "w2", "w3", "n", "ctx_n")

@@ -175,3 +175,50 @@ def test_textrank_hub_word_ranks_first(spark):
     prs = [r.pr for r in rows]
     assert prs == sorted(prs, reverse=True)
     assert all(isinstance(p, int) for p in prs)
+
+
+def test_transition_counts_order_and_ties(spark):
+    """Sequence a: view->click->view; user b: single event (no pairs);
+    simultaneous events break ties by event_id."""
+    from obsidian_parser_spark.operators.events import transition_counts
+
+    ev = spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:00:00", 1, "view"),
+            (2, "2024-01-01 00:01:00", 1, "click"),
+            (3, "2024-01-01 00:02:00", 1, "view"),
+            (4, "2024-01-01 00:00:00", 2, "view"),
+            # user 3: two events at the SAME ts -> event_id order decides
+            (6, "2024-01-01 00:00:00", 3, "purchase"),
+            (5, "2024-01-01 00:00:00", 3, "click"),
+        ],
+        "event_id long, ts string, user_id long, event_type string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    got = {
+        (r.prev_type, r.next_type): r.n for r in transition_counts(ev).collect()
+    }
+    assert got == {
+        ("view", "click"): 1,
+        ("click", "view"): 1,
+        ("click", "purchase"): 1,
+    }
+
+
+def test_ngram_lm_counts_exact(spark):
+    """Trigram and context counts on a hand-checked corpus."""
+    from obsidian_parser_spark.operators.textstats import ngram_lm_counts
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick fox the quick fox the quick dog"),
+            (2, "the quick fox jumps"),
+            (3, "too short"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.w1, r.w2, r.w3): (r.n, r.ctx_n)
+        for r in ngram_lm_counts(docs, min_count=2).collect()
+    }
+    # "the quick fox": 2x in doc1 + 1x in doc2 = 3; context "the quick" = 4
+    assert got == {("the", "quick", "fox"): (3, 4)}
