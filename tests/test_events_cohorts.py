@@ -221,4 +221,8 @@ def test_ngram_lm_counts_exact(spark):
         for r in ngram_lm_counts(docs, min_count=2).collect()
     }
     # "the quick fox": 2x in doc1 + 1x in doc2 = 3; context "the quick" = 4
-    assert got == {("the", "quick", "fox"): (3, 4)}
+    assert got == {
+        ("the", "quick", "fox"): (3, 4),
+        ("quick", "fox", "the"): (2, 3),
+        ("fox", "the", "quick"): (2, 2),
+    }
