@@ -717,6 +717,13 @@ def _q_ts_ngram_lm(spark, sf_dir):
     return TS.ngram_lm_counts(_documents(spark, sf_dir), min_count=3)
 
 
+def _q_ts_bpe(spark, sf_dir):
+    """BPE merge training (6 merges) over the count-weighted word
+    vocabulary: identical argmax + left-to-right replace rounds in both
+    engines → bit-identical merge tables."""
+    return TS.bpe_merges(_documents(spark, sf_dir), n_merges=6)
+
+
 def _q_ann_kmeans(spark, sf_dir):
     """Distributed Lloyd's k-means (k=8, 4 fixed rounds) over quantized
     integer embeddings: first-k init, exact integer L2 argmin, DIV
@@ -1618,6 +1625,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_kmeans": _q_ann_kmeans,
         "ev_transitions": _q_ev_transitions,
         "ts_ngram_lm": _q_ts_ngram_lm,
+        "ts_bpe": _q_ts_bpe,
     }
 
 
@@ -2973,6 +2981,48 @@ def _lsh_bucket_sql(n_planes: int, table: int) -> str:
     return " + ".join(bits)
 
 
+def _bpe_ctes(tok: str, n_merges: int = 6) -> str:
+    """Unrolled BPE merge-training rounds mirroring textstats.bpe_merges:
+    count-weighted word vocabulary, overlapping adjacent-pair counts,
+    argmax (ties lexicographic), left-to-right non-overlapping replace —
+    DuckDB's replace shares Spark's semantics, so the merge tables are
+    bit-identical."""
+    pairs = (
+        "SELECT unnest([{'l': y[i], 'r': y[i + 1]}"
+        " for i in range(1, greatest(len(y) - 1, 0) + 1)]) AS p, n"
+    )
+    parts = [
+        f"tk AS (SELECT {tok} AS t FROM documents)",
+        """wd AS (SELECT u.w AS w, count(*)::BIGINT AS n FROM tk, unnest(t) AS u(w)
+  WHERE regexp_matches(u.w, '^[a-z0-9]+$') GROUP BY u.w)""",
+        r"""s0 AS (SELECT '|' || regexp_replace(w, '(.)', '\1|', 'g') AS seq, n
+  FROM wd)""",
+    ]
+    for t in range(1, n_merges + 1):
+        parts.append(
+            f"""p{t} AS (SELECT q.p.l AS l, q.p.r AS r, sum(q.n)::BIGINT AS pn FROM (
+  {pairs}
+  FROM (SELECT list_filter(string_split(seq, '|'), x -> x <> '') AS y, n
+        FROM s{t - 1})) q GROUP BY 1, 2)"""
+        )
+        parts.append(
+            f"m{t} AS MATERIALIZED (SELECT l, r, pn FROM p{t}"
+            f" ORDER BY pn DESC, l, r LIMIT 1)"
+        )
+        if t < n_merges:
+            parts.append(
+                f"""s{t} AS MATERIALIZED (SELECT replace(seq,
+    '|' || (SELECT l FROM m{t}) || '|' || (SELECT r FROM m{t}) || '|',
+    '|' || (SELECT l FROM m{t}) || (SELECT r FROM m{t}) || '|') AS seq, n
+  FROM s{t - 1})"""
+            )
+    union = "\nUNION ALL ".join(
+        f"SELECT {t} AS step, l AS \"left\", r AS \"right\", pn AS n FROM m{t}"
+        for t in range(1, n_merges + 1)
+    )
+    return "WITH " + ",\n".join(parts) + "\n" + union
+
+
 def _kmeans_ctes(qv: str, k: int = 8, n_iter: int = 4) -> str:
     """Unrolled Lloyd's k-means mirroring similarity.kmeans_assign:
     first-k-ids init, exact integer squared-L2 argmin (ties → smaller
@@ -3898,6 +3948,9 @@ tn AS (SELECT w1, w2, w3, count(*)::BIGINT AS n FROM tri
 cx AS (SELECT w1, w2, count(*)::BIGINT AS ctx_n FROM tri GROUP BY 1, 2)
 SELECT tn.w1, tn.w2, tn.w3, tn.n, cx.ctx_n
 FROM tn JOIN cx USING (w1, w2)""",
+        # BPE merge training: unrolled argmax + replace rounds over the
+        # count-weighted word vocabulary (see textstats.bpe_merges)
+        "ts_bpe": _bpe_ctes(tok, 6),
     }
     # recall@10 composed from the SAME per-method oracle SQL (nested WITH
     # as derived tables) — the approximate families' recall vs brute truth

@@ -652,3 +652,86 @@ def ngram_lm_counts(
     )
     ctx = t.groupBy("w1", "w2").agg(F.count("*").alias("ctx_n"))
     return tri.join(ctx, ["w1", "w2"]).select("w1", "w2", "w3", "n", "ctx_n")
+
+
+def bpe_merges(
+    documents: DataFrame,
+    n_merges: int = 6,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Byte-pair-encoding merge TRAINING (Sennrich et al. 2016; the GPT-2
+    tokenizer's learning phase), distributed: → (step, left, right, n) —
+    the ordered merge table a BPE tokenizer replays at encode time.
+
+    Algorithm (the real one, at word level like every production BPE):
+    the corpus collapses ONCE to the count-weighted word vocabulary
+    (merge statistics depend only on (word, count) — the classic trick
+    that makes BPE training corpus-size-independent); each word starts as
+    its character sequence; per round, count adjacent symbol pairs
+    weighted by word count (overlapping occurrences counted, the
+    standard), pick the max pair (ties → lexicographic smallest), and
+    merge every left-to-right non-overlapping occurrence.
+
+    Determinism contract: merging is a string ``replace`` of '|l|r|' with
+    '|lr|' on the '|'-delimited symbol string — Spark's replace and
+    DuckDB's replace share left-to-right non-overlap semantics, so both
+    engines learn the IDENTICAL merge table.  Words are restricted to
+    ^[a-z0-9]+$ so the delimiter never collides (documented vocabulary
+    rule; non-alnum tokens carry their own segmentation anyway).
+
+    Scale shape: after the one corpus pass, every round runs on the
+    VOCABULARY (≤ a few million rows at any corpus size) — explode
+    adjacent pairs → map-side-combined weighted sum → a 1-row TakeOrdered
+    collected to the driver (the scalar-collect class) and inlined as a
+    literal in the next round's replace; the vocab frame is lineage-cut
+    per round like every other fixpoint.
+    """
+    from ..checkpointing import cut_lineage
+
+    toks = documents.select(F.expr(_TOKENS.format(t=text_col)).alias("_t"))
+    words = (
+        toks.select(F.explode("_t").alias("w"))
+        .filter(F.col("w").rlike("^[a-z0-9]+$"))
+        .groupBy("w")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.concat(
+                F.lit("|"), F.regexp_replace("w", "(.)", "$1|")
+            ).alias("seq"),
+            "n",
+        )
+    )
+    vocab = cut_lineage(words)
+    syms = "filter(split(seq, '\\\\|'), x -> x != '')"
+    pairs_expr = (
+        f"CASE WHEN size({syms}) < 2 THEN array() "
+        f"ELSE transform(sequence(1, size({syms}) - 1),"
+        f" i -> struct(element_at({syms}, i) AS l, element_at({syms}, i + 1) AS r)) END"
+    )
+    merges = []
+    for step in range(1, n_merges + 1):
+        top = (
+            vocab.select(F.explode(F.expr(pairs_expr)).alias("p"), "n")
+            .groupBy("p.l", "p.r")
+            .agg(F.sum("n").alias("pn"))
+            .orderBy(F.col("pn").desc(), "l", "r")
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        l, r, pn = top[0]["l"], top[0]["r"], int(top[0]["pn"])
+        merges.append((step, l, r, pn))
+        vocab = cut_lineage(
+            vocab.select(
+                F.expr(
+                    "replace(seq, '|{l}|{r}|', '|{l}{r}|')".format(l=l, r=r)
+                ).alias("seq"),
+                "n",
+            )
+        )
+    spark = documents.sparkSession
+    return spark.createDataFrame(
+        merges, "step int, left string, right string, n long"
+    )

@@ -226,3 +226,16 @@ def test_ngram_lm_counts_exact(spark):
         ("quick", "fox", "the"): (2, 3),
         ("fox", "the", "quick"): (2, 2),
     }
+
+
+def test_bpe_merges_hand_checked(spark):
+    """'aaab' x3: merge1 (a,a,6) [overlapping pairs], merge2 tie between
+    (a,b) and (aa,a) at 3 -> lexicographic smallest left wins, merge3
+    joins the remains; left-to-right non-overlap on the aa run."""
+    from obsidian_parser_spark.operators.textstats import bpe_merges
+
+    docs = spark.createDataFrame(
+        [(1, "aaab aaab aaab")], "doc_id long, text string"
+    )
+    got = [(r.step, r.left, r.right, r.n) for r in bpe_merges(docs, 3).collect()]
+    assert got == [(1, "a", "a", 6), (2, "a", "b", 3), (3, "aa", "ab", 3)]
