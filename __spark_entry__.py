@@ -724,6 +724,13 @@ def _q_ts_bpe(spark, sf_dir):
     return TS.bpe_merges(_documents(spark, sf_dir), n_merges=6)
 
 
+def _q_ts_bpe_encode(spark, sf_dir):
+    """BPE encode over the self-trained merge table: per-doc piece and
+    OOV-token counts via one vocab-lookup join (never a per-token
+    re-fold)."""
+    return TS.bpe_encode_counts(_documents(spark, sf_dir), n_merges=6)
+
+
 def _q_ann_kmeans(spark, sf_dir):
     """Distributed Lloyd's k-means (k=8, 4 fixed rounds) over quantized
     integer embeddings: first-k init, exact integer L2 argmin, DIV
@@ -1626,6 +1633,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_transitions": _q_ev_transitions,
         "ts_ngram_lm": _q_ts_ngram_lm,
         "ts_bpe": _q_ts_bpe,
+        "ts_bpe_encode": _q_ts_bpe_encode,
     }
 
 
@@ -2984,43 +2992,90 @@ def _lsh_bucket_sql(n_planes: int, table: int) -> str:
 def _bpe_ctes(tok: str, n_merges: int = 6) -> str:
     """Unrolled BPE merge-training rounds mirroring textstats.bpe_merges:
     count-weighted word vocabulary, overlapping adjacent-pair counts,
-    argmax (ties lexicographic), left-to-right non-overlapping replace —
-    DuckDB's replace shares Spark's semantics, so the merge tables are
-    bit-identical."""
+    argmax (ties lexicographic), GREEDY left-to-right merge — the real
+    BPE rule ('aaaa' + (a,a) → aa,aa), realised here as gaps-and-islands
+    window parity (odd positions within each run of matching pairs
+    merge), bit-identical to the engine's aggregate fold."""
     pairs = (
-        "SELECT unnest([{'l': y[i], 'r': y[i + 1]}"
-        " for i in range(1, greatest(len(y) - 1, 0) + 1)]) AS p, n"
+        "SELECT unnest([{'l': syms[i], 'r': syms[i + 1]}"
+        " for i in range(1, greatest(len(syms) - 1, 0) + 1)]) AS p, n"
     )
     parts = [
         f"tk AS (SELECT {tok} AS t FROM documents)",
         """wd AS (SELECT u.w AS w, count(*)::BIGINT AS n FROM tk, unnest(t) AS u(w)
   WHERE regexp_matches(u.w, '^[a-z0-9]+$') GROUP BY u.w)""",
-        r"""s0 AS (SELECT '|' || regexp_replace(w, '(.)', '\1|', 'g') AS seq, n
+        """s0 AS (SELECT w, [w[i] for i in range(1, len(w) + 1)] AS syms, n
   FROM wd)""",
     ]
     for t in range(1, n_merges + 1):
         parts.append(
             f"""p{t} AS (SELECT q.p.l AS l, q.p.r AS r, sum(q.n)::BIGINT AS pn FROM (
   {pairs}
-  FROM (SELECT list_filter(string_split(seq, '|'), x -> x <> '') AS y, n
-        FROM s{t - 1})) q GROUP BY 1, 2)"""
+  FROM s{t - 1}) q GROUP BY 1, 2)"""
         )
         parts.append(
             f"m{t} AS MATERIALIZED (SELECT l, r, pn FROM p{t}"
             f" ORDER BY pn DESC, l, r LIMIT 1)"
         )
-        if t < n_merges:
-            parts.append(
-                f"""s{t} AS MATERIALIZED (SELECT replace(seq,
-    '|' || (SELECT l FROM m{t}) || '|' || (SELECT r FROM m{t}) || '|',
-    '|' || (SELECT l FROM m{t}) || (SELECT r FROM m{t}) || '|') AS seq, n
-  FROM s{t - 1})"""
-            )
+        parts.append(
+            f"""x{t} AS (SELECT w, n, u.s.i AS pos, u.s.x AS sym FROM (
+    SELECT w, n, [{{'i': i, 'x': syms[i]}}
+                  for i in range(1, len(syms) + 1)] AS l FROM s{t - 1}
+  ), unnest(l) AS u(s))"""
+        )
+        parts.append(
+            f"""g{t} AS (SELECT w, n, pos, sym,
+    (sym = (SELECT l FROM m{t})
+     AND coalesce(lead(sym) OVER (PARTITION BY w ORDER BY pos), '')
+         = (SELECT r FROM m{t})) AS m
+  FROM x{t})"""
+        )
+        parts.append(
+            f"""h{t} AS (SELECT w, n, pos, sym, m,
+    CASE WHEN m THEN pos - row_number() OVER (PARTITION BY w, m ORDER BY pos)
+         END AS grp
+  FROM g{t})"""
+        )
+        parts.append(
+            f"""k{t} AS (SELECT w, n, pos, sym, m,
+    m AND (row_number() OVER (PARTITION BY w, grp ORDER BY pos) % 2 = 1) AS gm
+  FROM h{t})"""
+        )
+        parts.append(
+            f"""r{t} AS (SELECT w, n, pos,
+    CASE WHEN gm THEN sym || lead(sym) OVER (PARTITION BY w ORDER BY pos)
+         WHEN coalesce(lag(gm) OVER (PARTITION BY w ORDER BY pos), FALSE)
+         THEN NULL ELSE sym END AS nsym
+  FROM k{t})"""
+        )
+        parts.append(
+            f"""s{t} AS MATERIALIZED (
+  SELECT w, list(nsym ORDER BY pos) FILTER (WHERE nsym IS NOT NULL) AS syms, n
+  FROM r{t} GROUP BY w, n)"""
+        )
     union = "\nUNION ALL ".join(
         f"SELECT {t} AS step, l AS \"left\", r AS \"right\", pn AS n FROM m{t}"
         for t in range(1, n_merges + 1)
     )
     return "WITH " + ",\n".join(parts) + "\n" + union
+
+
+def _bpe_encode_sql(tok: str, n_merges: int = 6) -> str:
+    """Encode-by-lookup oracle: the training CTEs' FINAL vocab state
+    gives each word's piece count; docs join their (collapsed) token
+    stream against it — OOV = tokens outside the ^[a-z0-9]+$ rule."""
+    train = _bpe_ctes(tok, n_merges)
+    ctes = train[: train.rindex("\nSELECT 1 AS step")]
+    return f"""{ctes},
+pieces AS (SELECT w, len(syms)::BIGINT AS pieces FROM s{n_merges}),
+dt AS (SELECT doc_id, u.w AS w FROM (
+         SELECT doc_id, {tok} AS t FROM documents), unnest(t) AS u(w))
+SELECT doc_id,
+       sum(CASE WHEN p.pieces IS NOT NULL THEN p.pieces ELSE 0 END)::BIGINT
+         AS n_pieces,
+       sum(CASE WHEN p.pieces IS NULL THEN 1 ELSE 0 END)::BIGINT
+         AS n_oov_tokens
+FROM dt LEFT JOIN pieces p USING (w) GROUP BY doc_id"""
 
 
 def _kmeans_ctes(qv: str, k: int = 8, n_iter: int = 4) -> str:
@@ -3951,6 +4006,7 @@ FROM tn JOIN cx USING (w1, w2)""",
         # BPE merge training: unrolled argmax + replace rounds over the
         # count-weighted word vocabulary (see textstats.bpe_merges)
         "ts_bpe": _bpe_ctes(tok, 6),
+        "ts_bpe_encode": _bpe_encode_sql(tok, 6),
     }
     # recall@10 composed from the SAME per-method oracle SQL (nested WITH
     # as derived tables) — the approximate families' recall vs brute truth

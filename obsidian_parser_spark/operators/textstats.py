@@ -654,65 +654,44 @@ def ngram_lm_counts(
     return tri.join(ctx, ["w1", "w2"]).select("w1", "w2", "w3", "n", "ctx_n")
 
 
-def bpe_merges(
-    documents: DataFrame,
-    n_merges: int = 6,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-) -> DataFrame:
-    """Byte-pair-encoding merge TRAINING (Sennrich et al. 2016; the GPT-2
-    tokenizer's learning phase), distributed: → (step, left, right, n) —
-    the ordered merge table a BPE tokenizer replays at encode time.
+def _bpe_fold_expr(l: str, r: str) -> str:
+    """Greedy left-to-right merge of adjacent (l, r) symbol pairs — the
+    REAL BPE merge rule: within a run of repeated occurrences every other
+    pair merges ('banana' + (a,n) -> b,an,an,a; 'aaaa' + (a,a) ->
+    aa,aa).  A pure JVM ``aggregate`` fold; ``l``/``r`` are ^[a-z0-9]+$
+    so literal inlining is injection-safe."""
+    return (
+        "aggregate(syms, cast(array() as array<string>), (acc, x) -> "
+        f"CASE WHEN size(acc) > 0 AND element_at(acc, -1) = '{l}' AND x = '{r}' "
+        f"THEN concat(slice(acc, 1, size(acc) - 1), array('{l}{r}')) "
+        "ELSE concat(acc, array(x)) END)"
+    )
 
-    Algorithm (the real one, at word level like every production BPE):
-    the corpus collapses ONCE to the count-weighted word vocabulary
-    (merge statistics depend only on (word, count) — the classic trick
-    that makes BPE training corpus-size-independent); each word starts as
-    its character sequence; per round, count adjacent symbol pairs
-    weighted by word count (overlapping occurrences counted, the
-    standard), pick the max pair (ties → lexicographic smallest), and
-    merge every left-to-right non-overlapping occurrence.
 
-    Determinism contract: merging is a string ``replace`` of '|l|r|' with
-    '|lr|' on the '|'-delimited symbol string — Spark's replace and
-    DuckDB's replace share left-to-right non-overlap semantics, so both
-    engines learn the IDENTICAL merge table.  Words are restricted to
-    ^[a-z0-9]+$ so the delimiter never collides (documented vocabulary
-    rule; non-alnum tokens carry their own segmentation anyway).
+_BPE_PAIRS = (
+    "CASE WHEN size(syms) < 2 THEN array() "
+    "ELSE transform(sequence(1, size(syms) - 1),"
+    " i -> struct(element_at(syms, i) AS l, element_at(syms, i + 1) AS r)) END"
+)
 
-    Scale shape: after the one corpus pass, every round runs on the
-    VOCABULARY (≤ a few million rows at any corpus size) — explode
-    adjacent pairs → map-side-combined weighted sum → a 1-row TakeOrdered
-    collected to the driver (the scalar-collect class) and inlined as a
-    literal in the next round's replace; the vocab frame is lineage-cut
-    per round like every other fixpoint.
-    """
+
+def _bpe_train(documents, n_merges, id_col, text_col):
+    """Shared BPE training loop → (merges list, final vocab frame
+    (w, syms, n)).  See ``bpe_merges`` for the contract."""
     from ..checkpointing import cut_lineage
 
     toks = documents.select(F.expr(_TOKENS.format(t=text_col)).alias("_t"))
-    words = (
+    vocab = cut_lineage(
         toks.select(F.explode("_t").alias("w"))
         .filter(F.col("w").rlike("^[a-z0-9]+$"))
         .groupBy("w")
         .agg(F.count("*").alias("n"))
-        .select(
-            F.concat(
-                F.lit("|"), F.regexp_replace("w", "(.)", "$1|")
-            ).alias("seq"),
-            "n",
-        )
-    )
-    vocab = cut_lineage(words)
-    syms = "filter(split(seq, '\\\\|'), x -> x != '')"
-    pairs_expr = (
-        f"CASE WHEN size({syms}) < 2 THEN array() "
-        f"ELSE transform(sequence(1, size({syms}) - 1),"
-        f" i -> struct(element_at({syms}, i) AS l, element_at({syms}, i + 1) AS r)) END"
+        .select("w", F.expr("filter(split(w, ''), x -> x != '')").alias("syms"), "n")
     )
     merges = []
     for step in range(1, n_merges + 1):
         top = (
-            vocab.select(F.explode(F.expr(pairs_expr)).alias("p"), "n")
+            vocab.select(F.explode(F.expr(_BPE_PAIRS)).alias("p"), "n")
             .groupBy("p.l", "p.r")
             .agg(F.sum("n").alias("pn"))
             .orderBy(F.col("pn").desc(), "l", "r")
@@ -724,14 +703,89 @@ def bpe_merges(
         l, r, pn = top[0]["l"], top[0]["r"], int(top[0]["pn"])
         merges.append((step, l, r, pn))
         vocab = cut_lineage(
-            vocab.select(
-                F.expr(
-                    "replace(seq, '|{l}|{r}|', '|{l}{r}|')".format(l=l, r=r)
-                ).alias("seq"),
-                "n",
-            )
+            vocab.select("w", F.expr(_bpe_fold_expr(l, r)).alias("syms"), "n")
         )
+    return merges, vocab
+
+
+def bpe_merges(
+    documents: DataFrame,
+    n_merges: int = 6,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Byte-pair-encoding merge TRAINING (Sennrich et al. 2016; the GPT-2
+    tokenizer's learning phase), distributed: -> (step, left, right, n) —
+    the ordered merge table a BPE tokenizer replays at encode time.
+
+    Algorithm (the real one, at word level like every production BPE):
+    the corpus collapses ONCE to the count-weighted word vocabulary
+    (merge statistics depend only on (word, count) — the classic trick
+    that makes BPE training corpus-size-independent); each word starts as
+    its character sequence; per round, count adjacent symbol pairs
+    weighted by word count (overlapping occurrences counted, the
+    standard), pick the max pair (ties -> lexicographic smallest), and
+    GREEDILY merge left-to-right — every other occurrence within a
+    repeated run ('aaaa' + (a,a) -> aa,aa; 'banana' + (a,n) ->
+    b,an,an,a), exactly the reference BPE semantics.
+
+    Determinism contract: the merge is a pure ``aggregate`` fold over the
+    symbol array with (l, r) inlined as literals; the DuckDB oracle
+    reproduces the same greedy rule via gaps-and-islands window parity —
+    both engines learn the IDENTICAL merge table.  Words are restricted
+    to ^[a-z0-9]+$ (documented vocabulary rule).
+
+    Scale shape: after the one corpus pass, every round runs on the
+    VOCABULARY (<= a few million rows at any corpus size) — explode
+    adjacent pairs -> map-side-combined weighted sum -> a 1-row
+    TakeOrdered collected to the driver (the scalar-collect class) and
+    inlined in the next round's fold; the vocab frame is lineage-cut per
+    round like every other fixpoint.
+    """
+    merges, _ = _bpe_train(documents, n_merges, id_col, text_col)
     spark = documents.sparkSession
     return spark.createDataFrame(
         merges, "step int, left string, right string, n long"
     )
+
+
+def bpe_encode_counts(
+    documents: DataFrame,
+    n_merges: int = 6,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """BPE ENCODE over the self-trained merge table: -> (doc_id,
+    n_pieces, n_oov_tokens) — per document, the total piece count after
+    replaying the ``n_merges`` learned merges on every ^[a-z0-9]+$ word
+    (joined from the trained vocabulary — encode-by-lookup, the
+    production fast path) plus, separately, the count of tokens outside
+    the vocabulary rule (each carrying its own downstream segmentation).
+
+    Scale shape: training cost as in ``bpe_merges``; encoding is ONE
+    equi-join of the exploded (doc, word) stream — collapsed map-side to
+    (doc, word, count) first — against the vocab's (word, n_pieces),
+    never a per-token re-fold.
+    """
+    merges, vocab = _bpe_train(documents, n_merges, id_col, text_col)
+    pieces = vocab.select("w", F.size("syms").cast("long").alias("pieces"))
+    toks = documents.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.expr(_TOKENS.format(t=text_col))).alias("w"),
+    )
+    per = (
+        toks.groupBy("doc_id", "w")
+        .agg(F.count("*").alias("c"))
+        .join(pieces, "w", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.when(F.col("pieces").isNotNull(), F.col("c") * F.col("pieces"))
+                .otherwise(F.lit(0))
+            ).cast("long").alias("n_pieces"),
+            F.sum(
+                F.when(F.col("pieces").isNull(), F.col("c")).otherwise(F.lit(0))
+            ).cast("long").alias("n_oov_tokens"),
+        )
+    )
+    return per

@@ -239,3 +239,29 @@ def test_bpe_merges_hand_checked(spark):
     )
     got = [(r.step, r.left, r.right, r.n) for r in bpe_merges(docs, 3).collect()]
     assert got == [(1, "a", "a", 6), (2, "a", "b", 3), (3, "aa", "ab", 3)]
+
+
+def test_bpe_greedy_run_semantics_and_encode(spark):
+    """'banana': merging (a,n) must produce b,an,an,a (BOTH occurrences,
+    the real-BPE greedy rule a single delimiter-replace pass would miss);
+    encode reports the final piece counts by vocabulary lookup."""
+    from obsidian_parser_spark.operators.textstats import (
+        bpe_encode_counts,
+        bpe_merges,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "banana banana"), (2, "banana ???")], "doc_id long, text string"
+    )
+    got = [(r.step, r.left, r.right, r.n) for r in bpe_merges(docs, 2).collect()]
+    # (a,n) and (n,a) tie at 6 -> lexicographic left wins; after the
+    # greedy merge the (an,an) adjacency EXISTS (it wouldn't under a
+    # single non-overlapping string replace)
+    assert got[0] == (1, "a", "n", 6)
+    assert got[1] == (2, "an", "a", 3)
+    enc = {
+        r.doc_id: (r.n_pieces, r.n_oov_tokens)
+        for r in bpe_encode_counts(docs, n_merges=2).collect()
+    }
+    # after 2 merges banana = [b, an, ana] -> 3 pieces
+    assert enc == {1: (6, 0), 2: (3, 1)}
