@@ -288,6 +288,16 @@ def main() -> None:
             .collect(),
             repeat=2,
         )
+        # BPE training runs on the count-weighted VOCABULARY after one
+        # corpus pass — the stage times the corpus collapse + 4 argmax/
+        # merge rounds (each a map-side-combined agg + 1-row TakeOrdered)
+        timed(
+            "ts_bpe_vault",
+            lambda: TS.bpe_merges(vault_text, n_merges=4)
+            .agg(F.sum("n"))
+            .collect(),
+            repeat=2,
+        )
 
         # driver-table queries (small, fixed size — latency floor); only
         # when the sf_dir carries the driver tables (vault-only sfs don't)
@@ -297,6 +307,13 @@ def main() -> None:
                 "ann_topk",
                 lambda: SIM.brute_force_topk(emb, k=10, n_queries=10)
                 .agg(F.sum("score"))
+                .collect(),
+                repeat=2,
+            )
+            timed(
+                "ann_kmeans",
+                lambda: SIM.kmeans_assign(emb, k=8, n_iter=4)
+                .agg(F.sum("d2"))
                 .collect(),
                 repeat=2,
             )
@@ -313,7 +330,14 @@ def main() -> None:
     # r04 added stages (kg_triangles, kg_walks, dd_dupspans_vault); this
     # sums only the pre-r04 stage set so cross-round totals stay
     # like-for-like
-    _new_r04 = {"kg_triangles", "kg_walks", "dd_dupspans_vault", "kg_mentions"}
+    _new_r04 = {
+        "kg_triangles",
+        "kg_walks",
+        "dd_dupspans_vault",
+        "kg_mentions",
+        "ts_bpe_vault",
+        "ann_kmeans",
+    }
     total_legacy = round(
         sum(
             v
