@@ -731,6 +731,21 @@ def _q_ts_bpe_encode(spark, sf_dir):
     return TS.bpe_encode_counts(_documents(spark, sf_dir), n_merges=6)
 
 
+def _q_ts_lm_coverage(spark, sf_dir):
+    """Per-doc coverage under the corpus' own head-trigram LM — exact
+    (n_trigrams, n_in_lm) integers; low coverage flags novel/outlier
+    text, the same join against an external benchmark is
+    decontamination."""
+    return TS.lm_coverage(_documents(spark, sf_dir), min_count=3)
+
+
+def _q_ev_distinct_sketch(spark, sf_dir):
+    """Linear-counting distinct sketch (m=1024 md5 buckets) per event
+    type, exact ground-truth count beside it — bounded count-distinct
+    state at any cardinality."""
+    return EV.distinct_sketch(_events(spark, sf_dir), m=1024)
+
+
 def _q_ann_kmeans(spark, sf_dir):
     """Distributed Lloyd's k-means (k=8, 4 fixed rounds) over quantized
     integer embeddings: first-k init, exact integer L2 argmin, DIV
@@ -1634,6 +1649,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_ngram_lm": _q_ts_ngram_lm,
         "ts_bpe": _q_ts_bpe,
         "ts_bpe_encode": _q_ts_bpe_encode,
+        "ts_lm_coverage": _q_ts_lm_coverage,
+        "ev_distinct_sketch": _q_ev_distinct_sketch,
     }
 
 
@@ -3531,6 +3548,18 @@ SELECT (epoch_us(ts) // {EV.WINDOW_US}) * {EV.WINDOW_US} AS window_start_us,
        count(*)::BIGINT AS n_events,
        sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS value_cents
 FROM events GROUP BY 1, 2""",
+        # linear-counting sketch: md5 nibble bucket (salt 'sketch', m=1024)
+        "ev_distinct_sketch": f"""
+WITH b AS (SELECT event_type, user_id,
+  ({" + ".join(
+    "(strpos('0123456789abcdef', substr(md5(CAST(user_id AS VARCHAR)"
+    f" || 'sketch'), {i + 1}, 1)) - 1) * {16 ** (3 - i)}"
+    for i in range(4)
+  )}) % 1024 AS bkt
+  FROM events)
+SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_exact,
+       count(DISTINCT bkt)::BIGINT AS n_buckets_hit
+FROM b GROUP BY 1""",
         # first-order Markov transitions per user sequence, (ts, event_id)
         # ordered — the tie-break both engines share
         "ev_transitions": """
@@ -4007,6 +4036,25 @@ FROM tn JOIN cx USING (w1, w2)""",
         # count-weighted word vocabulary (see textstats.bpe_merges)
         "ts_bpe": _bpe_ctes(tok, 6),
         "ts_bpe_encode": _bpe_encode_sql(tok, 6),
+        # head-trigram LM coverage per doc; spanless/short docs emit (0, 0)
+        "ts_lm_coverage": f"""
+WITH tk AS (SELECT doc_id, {tok} AS t FROM documents),
+tri AS (SELECT doc_id,
+               CASE WHEN len(t) < 3 THEN []
+                    ELSE [array_to_string(t[i:i+2], chr(1))
+                          for i in range(1, len(t) - 1)] END AS gs
+        FROM tk),
+dg AS (SELECT doc_id, g, count(*)::BIGINT AS c FROM (
+         SELECT doc_id, unnest(gs) AS g FROM tri) GROUP BY 1, 2),
+head AS (SELECT g FROM (SELECT unnest(gs) AS g FROM tri) x
+         GROUP BY g HAVING count(*) >= 3),
+cov AS (SELECT dg.doc_id, sum(dg.c)::BIGINT AS n_trigrams,
+               sum(CASE WHEN h.g IS NOT NULL THEN dg.c ELSE 0 END)::BIGINT
+                 AS n_in_lm
+        FROM dg LEFT JOIN head h USING (g) GROUP BY dg.doc_id)
+SELECT d.doc_id, coalesce(cov.n_trigrams, 0)::BIGINT AS n_trigrams,
+       coalesce(cov.n_in_lm, 0)::BIGINT AS n_in_lm
+FROM documents d LEFT JOIN cov USING (doc_id)""",
     }
     # recall@10 composed from the SAME per-method oracle SQL (nested WITH
     # as derived tables) — the approximate families' recall vs brute truth

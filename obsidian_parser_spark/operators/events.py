@@ -380,3 +380,33 @@ def transition_counts(events: DataFrame) -> DataFrame:
         .groupBy("prev_type", F.col("event_type").alias("next_type"))
         .agg(F.count("*").alias("n"))
     )
+
+
+def distinct_sketch(events: DataFrame, m: int = 1024) -> DataFrame:
+    """Linear (probabilistic) counting sketch per event type
+    (Whang et al. 1990): hash every user into an ``m``-bucket bitmap and
+    report → (event_type, n_exact, n_buckets_hit) — the estimator
+    −m·ln(1 − hit/m) is the caller's one float; the ENGINE emits only
+    exact integers, so the sketch itself is bit-identical across engines
+    (the md5-derived bucket is the deterministic hash family every
+    sampling/split operator here shares).  n_exact rides along as the
+    ground truth the sketch's error is judged against.
+
+    Scale shape: the real point of the sketch — count-distinct state is
+    capped at ``m`` bits per group regardless of cardinality, so a
+    10^12-event stream rolls up map-side to ≤ m rows per type (the exact
+    column is the expensive one; drop it in production and keep only the
+    bitmap).  Both aggregations here are distinct-style groupBys on
+    bounded-key domains, map-side combinable.
+    """
+    from .sampling import hash_bucket
+
+    b = events.select(
+        "event_type",
+        "user_id",
+        hash_bucket("user_id", buckets=m, salt="sketch").alias("bkt"),
+    )
+    return b.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("long").alias("n_exact"),
+        F.countDistinct("bkt").cast("long").alias("n_buckets_hit"),
+    )

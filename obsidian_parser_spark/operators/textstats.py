@@ -789,3 +789,58 @@ def bpe_encode_counts(
         )
     )
     return per
+
+
+def lm_coverage(
+    documents: DataFrame,
+    min_count: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document coverage under the corpus' own head-trigram LM
+    (``ngram_lm_counts``): → (doc_id, n_trigrams, n_in_lm) exact
+    integers — the fraction n_in_lm/n_trigrams separates formulaic
+    in-distribution text from novel/outlier documents (a quality and
+    near-duplicate-of-corpus signal; the same join against an EXTERNAL
+    benchmark's table is the decontamination scan, see
+    ``dd_contamination``).  Docs with < 3 tokens emit (0, 0).
+
+    Scale shape: the doc trigram stream collapses map-side to
+    (doc, gram, c) before the one equi-join against the head table
+    (which the min_count HAVING keeps Zipf-head-sized); the final
+    rollup re-uses the doc_id partitioning.
+    """
+    toks = documents.select(
+        F.col(id_col).alias("doc_id"),
+        F.expr(_TOKENS.format(t=text_col)).alias("_t"),
+    )
+    tris = (
+        "CASE WHEN size(_t) < 3 THEN array() "
+        "ELSE transform(sequence(1, size(_t) - 2),"
+        " i -> concat_ws(chr(1), slice(_t, i, 3))) END"
+    )
+    dg = (
+        toks.select("doc_id", F.explode_outer(F.expr(tris)).alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count("*").alias("c"))
+    )
+    head = (
+        documents.select(F.expr(_TOKENS.format(t=text_col)).alias("_t"))
+        .select(F.explode(F.expr(tris)).alias("g"))
+        .groupBy("g")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= min_count)
+        .select("g", F.lit(True).alias("_hit"))
+    )
+    return (
+        dg.join(head, "g", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.when(F.col("g").isNotNull(), F.col("c")).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("n_trigrams"),
+            F.sum(F.when(F.col("_hit"), F.col("c")).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("n_in_lm"),
+        )
+    )

@@ -265,3 +265,40 @@ def test_bpe_greedy_run_semantics_and_encode(spark):
     }
     # after 2 merges banana = [b, an, ana] -> 3 pieces
     assert enc == {1: (6, 0), 2: (3, 1)}
+
+
+def test_lm_coverage_hand_checked(spark):
+    from obsidian_parser_spark.operators.textstats import lm_coverage
+
+    docs = spark.createDataFrame(
+        [
+            (1, "x y z x y z x y z"),
+            (2, "p q"),  # < 3 tokens -> (0, 0)
+            (3, "x y z only once here now"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.n_trigrams, r.n_in_lm)
+        for r in lm_coverage(docs, min_count=3).collect()
+    }
+    # corpus trigram counts: 'x y z' 4x (head), everything else < 3
+    assert got == {1: (7, 3), 2: (0, 0), 3: (5, 1)}
+
+
+def test_distinct_sketch_bounds(spark):
+    from obsidian_parser_spark.operators.events import distinct_sketch
+
+    ev = spark.createDataFrame(
+        [(i, "2024-01-01 00:00:00", i % 7, "view") for i in range(50)]
+        + [(100 + i, "2024-01-01 00:00:00", i, "click") for i in range(3)],
+        "event_id long, ts string, user_id long, event_type string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    got = {
+        r.event_type: (r.n_exact, r.n_buckets_hit)
+        for r in distinct_sketch(ev, m=1024).collect()
+    }
+    assert got["view"][0] == 7 and got["click"][0] == 3
+    # bitmap never exceeds the true cardinality and never empties
+    for n_exact, hits in got.values():
+        assert 1 <= hits <= n_exact
