@@ -1543,6 +1543,55 @@ def _q_ts_bm25(spark, sf_dir):
     return TS.retrieval_stats(_documents(spark, sf_dir), _BM25_TERMS, k=10)
 
 
+def _q_kg_sssp(spark, sf_dir):
+    """Weighted shortest paths (Bellman-Ford, 6 fixed synchronous rounds)
+    from note_1 over the link graph; edge weight = tie strength
+    max(1, 5 − min(n_links, 4)) derived from the multigraph's parallel
+    link counts, so heavily re-linked pairs are closer.  A pure integer
+    function of the edge set — the oracle unrolls the identical
+    relaxation rounds as CTEs and must match bit-for-bit."""
+    from obsidian_parser_spark.operators.components import weighted_sssp
+
+    g = _graph(spark, sf_dir)
+    d = weighted_sssp(A.link_edges(g.edges), root="note_1", rounds=6)
+    return d.select("id", F.col("dist").cast("long").alias("dist"))
+
+
+def _q_kg_biased_walks(spark, sf_dir):
+    """node2vec-style SECOND-ORDER biased walk corpus: from step 2 the
+    next hop is argmin of (tier, md5('n2v:t:u>v'), v) with tier 0 for
+    triangle-closing moves (prev→v is an edge), 1 for exploration, 2 for
+    immediate backtracking — the deterministic analog of node2vec p/q
+    biasing (Grover & Leskovec 2016), still a pure function of the edge
+    set; the oracle replays the tier rule with per-step LEFT-JOIN CTEs."""
+    from obsidian_parser_spark.operators.walks import biased_walks
+
+    g = _graph(spark, sf_dir)
+    w = biased_walks(A.link_edges(g.edges), n_steps=3)
+    return w.select("start", F.col("step").cast("long").alias("step"), "node")
+
+
+def _q_ev_heavyhitters(spark, sf_dir):
+    """Count-Min-sketch heavy hitters (Cormode & Muthukrishnan 2005):
+    top-10 users by event count with the d=4 × w=512 CMS estimate beside
+    the exact truth (n_est ≥ n_exact, one-sided error) — bounded-state
+    frequency estimation, the md5 bucket family shared with every
+    sampling/sketch operator so the oracle rebuilds the identical
+    sketch."""
+    return EV.heavy_hitters_cms(_events(spark, sf_dir), d=4, w=512, k=10)
+
+
+def _q_dd_containment(spark, sf_dir):
+    """ASYMMETRIC shingle containment (Broder 1997): ordered pairs where
+    ≥ 80% of a's distinct word-3-grams appear in b — catches a-inside-b
+    leakage (quotes, anthologies, boilerplate-wrapped copies) that
+    symmetric Jaccard misses when b is much larger.  Exact integer
+    (inter, sza, szb); candidates via the df-capped inverted index,
+    never all-pairs.  The derived corpus' exact copies are guaranteed
+    containment-1.0 positives."""
+    return DD.containment_pairs(_dedup_corpus(spark, sf_dir), threshold=0.8)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_edges": _q_kg_edges,
@@ -1651,6 +1700,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_bpe_encode": _q_ts_bpe_encode,
         "ts_lm_coverage": _q_ts_lm_coverage,
         "ev_distinct_sketch": _q_ev_distinct_sketch,
+        "kg_sssp": _q_kg_sssp,
+        "kg_biased_walks": _q_kg_biased_walks,
+        "ev_heavyhitters": _q_ev_heavyhitters,
+        "dd_containment": _q_dd_containment,
     }
 
 
@@ -2377,6 +2430,75 @@ def _walks_ctes(n_steps: int, salt: str = "w") -> str:
     return ctes + "\n" + union
 
 
+def _sssp_ctes(root: str, rounds: int) -> str:
+    """Unrolled Bellman-Ford relaxation mirroring
+    operators/components.py:weighted_sssp — weight = tie strength
+    greatest(1, 5 − least(n_links, 4)) from the multigraph counts; per
+    round every edge relaxes the previous distance table and the min is
+    kept."""
+    parts = [
+        "sw AS MATERIALIZED (SELECT subj AS src, obj AS dst,"
+        " greatest(1, 5 - least(count(*), 4))::BIGINT AS w"
+        " FROM link_edges GROUP BY subj, obj)",
+        f"sd0 AS (SELECT '{root}' AS id, 0::BIGINT AS dist)",
+    ]
+    for t in range(1, rounds + 1):
+        parts.append(
+            f"""sd{t} AS MATERIALIZED (
+  SELECT id, min(dist)::BIGINT AS dist FROM (
+    SELECT id, dist FROM sd{t - 1}
+    UNION ALL
+    SELECT e.dst AS id, d.dist + e.w AS dist
+    FROM sd{t - 1} d JOIN sw e ON d.id = e.src) GROUP BY id)"""
+        )
+    return ",\n".join(parts) + f"\nSELECT id, dist FROM sd{rounds}"
+
+
+def _biased_walks_ctes(
+    n_steps: int,
+    salt: str = "n2v",
+    tier_return: int = 2,
+    tier_common: int = 0,
+    tier_far: int = 1,
+) -> str:
+    """Unrolled second-order biased-walk rounds mirroring
+    operators/walks.py:biased_walks — step 1 is the first-order
+    hash-argmin; from step 2 the ORDER BY leads with the node2vec-style
+    tier (return / triangle-closing / exploration), the tier test being
+    one LEFT JOIN of the candidate (prev, v) pair against the edge
+    set."""
+    parts = [
+        "bwe AS MATERIALIZED (SELECT DISTINCT subj AS u, obj AS v"
+        " FROM link_edges)",
+        "bw0 AS MATERIALIZED (SELECT DISTINCT u AS start, u AS node,"
+        " CAST(NULL AS VARCHAR) AS prev FROM bwe)",
+        f"""bw1 AS MATERIALIZED (
+  SELECT start, node, prev FROM (
+    SELECT w.start, e.v AS node, w.node AS prev,
+           row_number() OVER (PARTITION BY w.start
+             ORDER BY md5('{salt}:1:' || w.node || '>' || e.v), e.v) AS rn
+    FROM bw0 w JOIN bwe e ON e.u = w.node) WHERE rn = 1)""",
+    ]
+    for t in range(2, n_steps + 1):
+        parts.append(
+            f"""bw{t} AS MATERIALIZED (
+  SELECT start, node, prev FROM (
+    SELECT w.start, e.v AS node, w.node AS prev,
+           row_number() OVER (PARTITION BY w.start
+             ORDER BY CASE WHEN e.v = w.prev THEN {tier_return}
+                           WHEN ce.u IS NOT NULL THEN {tier_common}
+                           ELSE {tier_far} END,
+                      md5('{salt}:{t}:' || w.node || '>' || e.v), e.v) AS rn
+    FROM bw{t - 1} w JOIN bwe e ON e.u = w.node
+    LEFT JOIN bwe ce ON ce.u = w.prev AND ce.v = e.v) WHERE rn = 1)"""
+        )
+    selects = [
+        f"SELECT start, {t}::BIGINT AS step, node FROM bw{t}"
+        for t in range(n_steps + 1)
+    ]
+    return ",\n".join(parts) + "\n" + "\nUNION ALL ".join(selects)
+
+
 def _egonets_ctes(fanouts, seed_mod: int = 8, salt: str = "ego") -> str:
     """Unrolled fanout-sampled ego-net expansion mirroring
     operators/gnn.py:sampled_egonets — hop-t sampled adjacency = per-u
@@ -2575,6 +2697,8 @@ SELECT 8::INTEGER AS n_buckets, 2::INTEGER AS n_resumed, 6::INTEGER AS n_skipped
         + ",\n"
         + _bfs_ctes("note_1", 6)
         + "\nSELECT id, dist FROM bfs_final",
+        "kg_sssp": c + ",\n" + _sssp_ctes("note_1", 6),
+        "kg_biased_walks": c + ",\n" + _biased_walks_ctes(3),
         "kg_closeness": c
         + ",\n"
         + _ms_bfs_ctes(8, 6)
@@ -3297,6 +3421,19 @@ s AS (
 )"""
 
 
+def _cms_bkt_sql(col: str, row_expr: str, w: int) -> str:
+    """sampling.hash_bucket mirror with the per-row CMS salt
+    'cm' || row: first 16 bits of md5(CAST(col AS VARCHAR) || salt),
+    mod ``w``."""
+    arg = f"CAST({col} AS VARCHAR) || 'cm' || CAST({row_expr} AS VARCHAR)"
+    nibs = " + ".join(
+        f"(strpos('0123456789abcdef', substr(md5({arg}), {i + 1}, 1)) - 1)"
+        f" * {16 ** (3 - i)}"
+        for i in range(4)
+    )
+    return f"(({nibs}) % {w})"
+
+
 def _datapipe_oracles() -> dict[str, str]:
     tok = r"list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')"
     # sampling.hash_bucket mirror: first 16 bits of md5(id || salt) mod m
@@ -3379,6 +3516,23 @@ SELECT i.a, i.b,
        round(i.inter / (sa.sz + sb.sz - i.inter), 6) AS jaccard
 FROM inter i JOIN sizes sa ON sa.doc_id = i.a JOIN sizes sb ON sb.doc_id = i.b
 WHERE i.inter / (sa.sz + sb.sz - i.inter) >= 0.8""",
+        # asymmetric containment: ORDERED pairs, threshold against |S(a)|
+        # only — sizes over ALL distinct shingles, intersection over the
+        # df-capped index (the engine's exact rule)
+        "dd_containment": f"""
+WITH {_DD_SQL.strip()},
+sh AS (SELECT DISTINCT doc_id, unnest({shingles}) AS shingle FROM dd),
+df AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 1000),
+shc AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN df USING (shingle)),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS a, b.doc_id AS b, count(*)::BIGINT AS inter
+  FROM shc a JOIN shc b USING (shingle) WHERE a.doc_id <> b.doc_id
+  GROUP BY 1, 2 HAVING count(*) >= 2
+)
+SELECT i.a, i.b, i.inter, sa.sz::BIGINT AS sza, sb.sz::BIGINT AS szb
+FROM inter i JOIN sizes sa ON sa.doc_id = i.a JOIN sizes sb ON sb.doc_id = i.b
+WHERE i.inter >= 0.8 * sa.sz""",
         "dd_minhash_lsh": f"""
 WITH {_DD_SQL.strip()},
 sh AS (SELECT DISTINCT doc_id, unnest({shingles}) AS shingle FROM dd),
@@ -3560,6 +3714,21 @@ WITH b AS (SELECT event_type, user_id,
 SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_exact,
        count(DISTINCT bkt)::BIGINT AS n_buckets_hit
 FROM b GROUP BY 1""",
+        # Count-Min sketch (d=4 salted md5 rows × w=512 buckets) rebuilt
+        # bucket-for-bucket; est = min over rows, truth beside it
+        "ev_heavyhitters": f"""
+WITH hb AS (
+  SELECT r.r AS row, {_cms_bkt_sql("e.user_id", "r.r", 512)} AS bkt,
+         count(*)::BIGINT AS cnt
+  FROM events e, (VALUES (0), (1), (2), (3)) r(r)
+  GROUP BY 1, 2),
+top AS (
+  SELECT user_id, count(*)::BIGINT AS n_exact FROM events
+  GROUP BY user_id ORDER BY n_exact DESC, user_id LIMIT 10)
+SELECT t.user_id, t.n_exact, min(s.cnt)::BIGINT AS n_est
+FROM top t, (VALUES (0), (1), (2), (3)) r(r)
+JOIN hb s ON s.row = r.r AND s.bkt = {_cms_bkt_sql("t.user_id", "r.r", 512)}
+GROUP BY t.user_id, t.n_exact""",
         # first-order Markov transitions per user sequence, (ts, event_id)
         # ordered — the tie-break both engines share
         "ev_transitions": """

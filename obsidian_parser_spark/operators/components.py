@@ -286,3 +286,53 @@ def closeness_stats(
         F.sum("dist").cast("long").alias("sum_dist"),
         F.min("dist").cast("long").alias("min_dist"),
     )
+
+
+def weighted_sssp(
+    edges: DataFrame,
+    root: str,
+    rounds: int = 6,
+) -> DataFrame:
+    """Weighted single-source shortest paths (Bellman-Ford relaxation,
+    ``rounds`` fixed synchronous rounds) from ``root`` over the link
+    graph: → (id, dist) with dist = the minimum total WEIGHT over paths
+    of ≤ ``rounds`` hops; unreachable nodes are absent, the root is 0.
+
+    Edge weight is derived from the multigraph itself — tie STRENGTH:
+    w(u, v) = max(1, 5 − min(n_links(u→v), 4)) ∈ 1..4, so heavily
+    re-linked note pairs are "closer" than single mentions.  The weight
+    is an exact integer and a pure function of the edge list, which is
+    what lets an independent SQL oracle unroll the identical relaxation
+    rounds bit-for-bit (the reference's analyzer stops at unweighted
+    degree stats, examples/analyzer.rs:60-96; weighted distance is the
+    KG-proximity query its users graduate to).
+
+    Scale shape: per round ONE equi-join of the current distance table
+    onto the weighted edge list (key-partitioned on the source) and one
+    map-side-combined min-aggregate — the classic distributed
+    Bellman-Ford, no driver state beyond the loop counter.  The distance
+    table is per-round checkpointed (``cut_lineage``) like the CC/BFS
+    fixpoints, so round N's plan never contains rounds 0..N−1.  A
+    10^7-degree hub fans out through the partial min, never a single
+    reducer.  Fixed synchronous rounds (no early exit) keep the result a
+    pure function of (edge set, root, rounds)."""
+    w = F.greatest(F.lit(1), F.lit(5) - F.least(F.count("*"), F.lit(4)))
+    we = cut_lineage(
+        edges.groupBy(
+            F.col("subj").alias("src"), F.col("obj").alias("dst")
+        ).agg(w.cast("long").alias("w"))
+    )
+    spark = edges.sparkSession
+    dist = cut_lineage(
+        spark.createDataFrame([(root, 0)], "id string, dist long")
+    )
+    for _ in range(rounds):
+        relaxed = (
+            we.join(dist.select(F.col("id").alias("src"), "dist"), "src")
+            .select(F.col("dst").alias("id"), (F.col("dist") + F.col("w")).alias("dist"))
+            .unionByName(dist)
+            .groupBy("id")
+            .agg(F.min("dist").alias("dist"))
+        )
+        dist = cut_lineage(relaxed)
+    return dist

@@ -747,3 +747,55 @@ def winnow_pairs(
     sa = sizes.select(F.col("doc_id").alias("a"), F.col("sz").alias("n_a"))
     sb = sizes.select(F.col("doc_id").alias("b"), F.col("sz").alias("n_b"))
     return shared.join(sa, "a").join(sb, "b").select("a", "b", "n_shared", "n_a", "n_b")
+
+
+def containment_pairs(
+    documents: DataFrame,
+    threshold: float = 0.8,
+    n: int = 3,
+    min_inter: int = 2,
+    max_shingle_df: int = 1000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """ASYMMETRIC near-duplicate detection — shingle containment
+    (Broder 1997's other resemblance measure): → (a, b, inter, sza, szb)
+    for every ORDERED pair a ≠ b with |S(a) ∩ S(b)| ≥ threshold·|S(a)|,
+    i.e. document a is (nearly) CONTAINED in document b.  Jaccard misses
+    these when b is much larger — a quoted passage, a doc embedded in an
+    anthology, a prompt wrapped in boilerplate — which is exactly the
+    train-set leakage shape symmetric dedup passes over.  Counts are
+    exact integers; containment = inter/sza is the caller's one float.
+
+    Scale shape: identical inverted-index discipline to
+    ``ngram_jaccard_pairs`` — candidates come ONLY from the shingle
+    index (never all-pairs), boilerplate shingles are df-capped, the
+    intersection is one map-side-combined count, and the two size
+    attaches are key-partitioned joins.  The ordered output is the same
+    pair set materialized both ways, a 2× constant, not a new asymptotic
+    term."""
+    sh = distinct_shingles(documents, n=n, id_col=id_col, text_col=text_col)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    df_cap = sh.groupBy("shingle").agg(F.count("*").alias("df")).filter(
+        F.col("df") <= max_shingle_df
+    )
+    sh = sh.join(df_cap.select("shingle"), "shingle")
+    a = sh.select(F.col("doc_id").alias("a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("a") != F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").cast("long").alias("inter"))
+        .filter(F.col("inter") >= min_inter)
+    )
+    sa = sizes.select(F.col("doc_id").alias("a"), F.col("sz").alias("sza"))
+    sb = sizes.select(F.col("doc_id").alias("b"), F.col("sz").alias("szb"))
+    return (
+        inter.join(sa, "a")
+        .join(sb, "b")
+        .filter(F.col("inter") >= F.lit(threshold) * F.col("sza"))
+        .select("a", "b", "inter",
+                F.col("sza").cast("long").alias("sza"),
+                F.col("szb").cast("long").alias("szb"))
+    )

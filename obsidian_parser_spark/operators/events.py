@@ -410,3 +410,51 @@ def distinct_sketch(events: DataFrame, m: int = 1024) -> DataFrame:
         F.countDistinct("user_id").cast("long").alias("n_exact"),
         F.countDistinct("bkt").cast("long").alias("n_buckets_hit"),
     )
+
+
+def heavy_hitters_cms(
+    events: DataFrame,
+    d: int = 4,
+    w: int = 512,
+    k: int = 10,
+) -> DataFrame:
+    """Count-Min sketch (Cormode & Muthukrishnan 2005) heavy hitters:
+    → (user_id, n_exact, n_est) for the top-``k`` users by event count
+    (ties → smaller user_id), with the CMS estimate beside the exact
+    truth.  n_est ≥ n_exact always (CMS errs one-sided); the gap is the
+    collision error a production deployment would tolerate in exchange
+    for bounded state.  Hash family = the engine's shared md5 bucket
+    (salts 'cm0'..'cm{d-1}'), so the sketch is a pure integer function of
+    the data — bit-identical across engines and SQL-oracle-verifiable.
+
+    Scale shape: the sketch is d·w counters REGARDLESS of key cardinality
+    — the whole point.  One scan computes all d buckets per event
+    (posexplode of a d-array, no d× re-scan), the counter build is a
+    map-side-combined groupBy over a ≤ d·w key domain, and the tiny
+    sketch broadcast-joins back onto the k query keys.  The exact column
+    is the expensive one (full per-key groupBy) and rides along here only
+    because it is the ground truth the sketch's error is judged against —
+    production keeps the sketch alone."""
+    from .sampling import hash_bucket
+
+    buckets = F.array(*[hash_bucket("user_id", w, f"cm{r}") for r in range(d)])
+    hashed = events.select(
+        F.posexplode(buckets).alias("row", "bkt")
+    )
+    sketch = hashed.groupBy("row", "bkt").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    top = (
+        events.groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_exact"))
+        .orderBy(F.col("n_exact").desc(), "user_id")
+        .limit(k)
+    )
+    probes = top.select(
+        "user_id", "n_exact", F.posexplode(buckets).alias("row", "bkt")
+    )
+    return (
+        probes.join(F.broadcast(sketch), ["row", "bkt"])
+        .groupBy("user_id", "n_exact")
+        .agg(F.min("cnt").cast("long").alias("n_est"))
+    )

@@ -172,3 +172,75 @@ def hash_negative_samples(
         )
         out = cand if out is None else out.unionByName(cand)
     return out
+
+
+def biased_walks(
+    edges: DataFrame,
+    n_steps: int = 3,
+    salt: str = "n2v",
+    tier_return: int = 2,
+    tier_common: int = 0,
+    tier_far: int = 1,
+) -> DataFrame:
+    """node2vec-style SECOND-ORDER biased walks, deterministic: → (start,
+    step, node) like ``deterministic_walks``, but from step 2 on the next
+    hop is chosen by argmin of (tier(v), md5('{salt}:{t}:u>v'), v) where
+
+        tier(v) = tier_return  if v == prev           (node2vec 1/p)
+                  tier_common  if (prev → v) is an edge (distance-1 stay)
+                  tier_far     otherwise                (node2vec 1/q)
+
+    — the deterministic analog of node2vec's p/q biasing (Grover &
+    Leskovec 2016): the defaults (2, 0, 1) prefer triangle-closing local
+    moves, then exploration, and immediate backtracking last, i.e. a
+    BFS-flavored p>1, q<1 regime.  Step 1 has no predecessor and falls
+    back to the first-order hash-argmin rule, so walk tables remain a
+    pure function of the edge set — bit-identical across engines and
+    cluster sizes, SQL-oracle-verifiable.
+
+    Scale shape: the walk state carries (start, prev, node) — still ≤ 1
+    row per start.  Per step: one equi-join frontier×edges on the current
+    node (key-partitioned), one LEFT join of the candidate (prev, v)
+    pairs against the edge list for the tier test (key-partitioned on
+    prev), one map-side-combined min-struct per start.  The second-order
+    memory costs exactly one extra equi-join per step — no adjacency
+    broadcast, no per-row Python."""
+    e = cut_lineage(
+        edges.select(F.col("subj").alias("u"), F.col("obj").alias("v")).distinct()
+    )
+    starts = e.select(F.col("u").alias("start")).distinct()
+    cur = starts.select(
+        "start", F.col("start").alias("node"), F.lit(None).cast("string").alias("prev")
+    )
+    out = [cur.select("start", F.lit(0).alias("step"), "node")]
+    for t in range(1, n_steps + 1):
+        h = F.md5(F.concat(F.lit(f"{salt}:{t}:"), F.col("u"), F.lit(">"), F.col("v")))
+        cand = cur.join(e, cur["node"] == e["u"]).select(
+            "start", "prev", F.col("node").alias("_from"), h.alias("h"), F.col("v")
+        )
+        if t == 1:
+            scored = cand.withColumn("tier", F.lit(tier_far))
+        else:
+            pe = e.select(F.col("u").alias("prev"), F.col("v").alias("v"),
+                          F.lit(1).alias("_pc"))
+            scored = cand.join(pe, ["prev", "v"], "left").withColumn(
+                "tier",
+                F.when(F.col("v") == F.col("prev"), F.lit(tier_return))
+                .when(F.col("_pc").isNotNull(), F.lit(tier_common))
+                .otherwise(F.lit(tier_far)),
+            )
+        stepped = (
+            scored.groupBy("start")
+            .agg(F.min(F.struct("tier", "h", "v", "_from")).alias("_m"))
+            .select(
+                "start",
+                F.col("_m.v").alias("node"),
+                F.col("_m._from").alias("prev"),
+            )
+        )
+        cur = cut_lineage(stepped)
+        out.append(cur.select("start", F.lit(t).alias("step"), "node"))
+    result = out[0]
+    for frame in out[1:]:
+        result = result.unionByName(frame)
+    return result
