@@ -1592,6 +1592,59 @@ def _q_dd_containment(spark, sf_dir):
     return DD.containment_pairs(_dedup_corpus(spark, sf_dir), threshold=0.8)
 
 
+def _vault_content(spark, sf_dir):
+    from obsidian_parser_spark.operators.tokenize import reconstruct_text
+
+    docs = spark.read.parquet(_vault_path(sf_dir))
+    return reconstruct_text(docs).select("doc_id", "content")
+
+
+def _q_kg_outline(spark, sf_dir):
+    """ATX heading outline per note — (doc_id, heading_ord, level,
+    title) in document order: the section structure the reference's
+    anchored links (`#heading`) point INTO; pure JVM line regexp, order
+    from one posexplode index."""
+    from obsidian_parser_spark.operators.structure import outline
+
+    return outline(_vault_content(spark, sf_dir))
+
+
+def _q_kg_tasks(spark, sf_dir):
+    """GFM task-list items — (doc_id, task_ord, checked, title): the
+    item-level refinement of the reference's whole-note is_todo flag
+    (src/note/mod.rs); checked state from the `[x]` marker."""
+    from obsidian_parser_spark.operators.structure import task_items
+
+    return task_items(_vault_content(spark, sf_dir))
+
+
+def _q_kg_inline_fields(spark, sf_dir):
+    """Dataview-style `key:: value` inline fields as typed properties —
+    and, when the value is a [[wikilink]], as TYPED TRIPLES (pred = the
+    field name) resolved through the SAME two-level first-wins alias
+    dictionary as the edge build (resolution reuses resolve_mentions,
+    no second codepath); the oracle replays extraction + dict join in
+    SQL."""
+    from obsidian_parser_spark.operators.structure import inline_fields
+
+    g = _graph(spark, sf_dir)
+    return inline_fields(_vault_content(spark, sf_dir), g.alias_dict)
+
+
+def _q_kg_fuzzy_targets(spark, sf_dir):
+    """Fuzzy link suggestion over the DANGLING targets the reference
+    silently drops (graph_builder.rs:160-161): note stems within edit
+    distance 2 of each unresolved target, candidates blocked by a
+    df-capped character-3-gram inverted index (never targets × stems);
+    the corpus' typo-shaped dangles ([[note_Nx]]) are the guaranteed
+    positives.  F.levenshtein ≡ DuckDB levenshtein keeps the operator
+    SQL-oracle-exact."""
+    from obsidian_parser_spark.operators.structure import fuzzy_link_suggestions
+
+    g = _graph(spark, sf_dir)
+    return fuzzy_link_suggestions(g.dangling, g.nodes)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_edges": _q_kg_edges,
@@ -1704,6 +1757,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_biased_walks": _q_kg_biased_walks,
         "ev_heavyhitters": _q_ev_heavyhitters,
         "dd_containment": _q_dd_containment,
+        "kg_outline": _q_kg_outline,
+        "kg_tasks": _q_kg_tasks,
+        "kg_inline_fields": _q_kg_inline_fields,
+        "kg_fuzzy_targets": _q_kg_fuzzy_targets,
     }
 
 
@@ -2699,6 +2756,68 @@ SELECT 8::INTEGER AS n_buckets, 2::INTEGER AS n_resumed, 6::INTEGER AS n_skipped
         + "\nSELECT id, dist FROM bfs_final",
         "kg_sssp": c + ",\n" + _sssp_ctes("note_1", 6),
         "kg_biased_walks": c + ",\n" + _biased_walks_ctes(3),
+        "kg_outline": c + r""",
+ol AS (SELECT doc_id, generate_subscripts(ls, 1) AS pos, unnest(ls) AS line
+       FROM (SELECT doc_id, string_split(content, chr(10)) AS ls FROM notes)),
+oh AS (SELECT doc_id, pos,
+              length(regexp_extract(line, '^(#{1,6}) (.+)$', 1))::INTEGER AS level,
+              regexp_extract(line, '^(#{1,6}) (.+)$', 2) AS title
+       FROM ol WHERE regexp_matches(line, '^#{1,6} .+$'))
+SELECT doc_id,
+       row_number() OVER (PARTITION BY doc_id ORDER BY pos)::BIGINT AS heading_ord,
+       level, title
+FROM oh""",
+        "kg_tasks": c + r""",
+tl AS (SELECT doc_id, generate_subscripts(ls, 1) AS pos, unnest(ls) AS line
+       FROM (SELECT doc_id, string_split(content, chr(10)) AS ls FROM notes)),
+tt AS (SELECT doc_id, pos,
+              regexp_extract(line, '^- \[( |x)\] (.+)$', 1) = 'x' AS checked,
+              regexp_extract(line, '^- \[( |x)\] (.+)$', 2) AS title
+       FROM tl WHERE regexp_matches(line, '^- \[( |x)\] (.+)$'))
+SELECT doc_id,
+       row_number() OVER (PARTITION BY doc_id ORDER BY pos)::BIGINT AS task_ord,
+       checked, title
+FROM tt""",
+        "kg_inline_fields": c + r""",
+fl AS (SELECT doc_id, generate_subscripts(ls, 1) AS pos, unnest(ls) AS line
+       FROM (SELECT doc_id, string_split(content, chr(10)) AS ls FROM notes)),
+ff AS (SELECT doc_id, pos,
+              regexp_extract(line, '^([a-z][a-z0-9_]*):: (.*)$', 1) AS field,
+              regexp_extract(line, '^([a-z][a-z0-9_]*):: (.*)$', 2) AS value
+       FROM fl WHERE regexp_matches(line, '^[a-z][a-z0-9_]*:: ')),
+fo AS (SELECT doc_id, row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS field_ord,
+              field, value FROM ff),
+ft AS (SELECT *, CASE WHEN regexp_matches(value, '^\[\[.*\]\]$')
+         THEN trim(split_part(split_part(split_part(
+                regexp_extract(value, '^\[\[(.*)\]\]$', 1), '#', 1), '^', 1), '|', 1))
+       END AS tgt FROM fo)
+SELECT f.doc_id, f.field_ord::BIGINT AS field_ord, f.field, f.value,
+       coalesce(d1.canonical, d2.canonical) AS obj
+FROM ft f
+LEFT JOIN dict d1 ON d1.alias = f.tgt
+  AND d1.kind = CASE WHEN contains(f.tgt, '/') THEN 'full' ELSE 'short' END
+LEFT JOIN dict d2 ON d2.kind = 'alias' AND d2.alias = f.tgt
+  AND d1.canonical IS NULL""",
+        "kg_fuzzy_targets": c + r""",
+fz_t AS (SELECT DISTINCT raw_target AS s FROM dangling),
+fz_c AS (SELECT DISTINCT note_name AS s FROM notes),
+fz_tg AS (SELECT s, unnest(list_distinct(list_transform(
+            generate_series(1, greatest(length(s) - 2, 0)),
+            i -> substr(s, i::INTEGER, 3)))) AS g FROM fz_t),
+fz_cg AS (SELECT s AS c, unnest(list_distinct(list_transform(
+            generate_series(1, greatest(length(s) - 2, 0)),
+            i -> substr(s, i::INTEGER, 3)))) AS g FROM fz_c),
+fz_df AS (SELECT g FROM fz_cg GROUP BY g HAVING count(*) <= 1000),
+fz_tk AS (SELECT t.* FROM fz_tg t JOIN fz_df USING (g)),
+fz_ck AS (SELECT cg.* FROM fz_cg cg JOIN fz_df USING (g)),
+fz_p AS (SELECT t.s AS raw_target, k.c AS candidate,
+                count(*)::BIGINT AS n_shared
+         FROM fz_tk t JOIN fz_ck k USING (g)
+         GROUP BY 1, 2 HAVING count(*) >= 2)
+SELECT raw_target, candidate,
+       levenshtein(raw_target, candidate)::BIGINT AS lev, n_shared
+FROM fz_p
+WHERE levenshtein(raw_target, candidate) <= 2 AND raw_target <> candidate""",
         "kg_closeness": c
         + ",\n"
         + _ms_bfs_ctes(8, 6)

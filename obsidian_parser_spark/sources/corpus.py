@@ -18,7 +18,12 @@ deterministically with the features the engine must exercise: nested dirs +
 full-path links, duplicate short names, frontmatter tags/aliases (canonical
 flow style so a DuckDB oracle can re-parse them with regex), inline tags,
 embeds with media refs, markdown links, dangling targets, alias-only
-targets, hub-skewed (Zipf-ish) backlink targets, exact-duplicate contents.
+targets, hub-skewed (Zipf-ish) backlink targets, exact-duplicate contents,
+and (v6) markdown structure: ATX headings, GFM task checkboxes,
+Dataview-style ``key:: value`` inline fields (link values as their own
+wikilink spans — [[..]] never hides inside a text span, the corpus
+contract that keeps span-kind oracles and content-scan engines in
+agreement), plus typo-shaped dangles one edit from a real stem.
 
 Everything is seeded numpy — same (sf, seed) ⇒ byte-identical parquet.
 No external data.
@@ -83,7 +88,7 @@ def ensure_vault_corpus(
     pq_path = documents_parquet_path(sf_name, base)
     marker = os.path.join(out_dir, "_GENERATED.json")
     params = {
-        "version": 5,
+        "version": 6,
         "seed": seed,
         "num_files": num_files_for_sf(sf_name),
         "links_per_file": links_per_file,
@@ -456,7 +461,24 @@ def generate_vault_corpus(
             )
             add("frontmatter", fm, None)
 
+        # Dataview-style inline fields (v6): plain value + a LINK value —
+        # the link is its own wikilink span (the corpus contract: [[..]]
+        # never hides inside a text span, so span-kind oracles and the
+        # engine's content scan agree)
+        if i % 6 == 2:
+            add("text", f"status:: {('active', 'draft', 'archived')[i % 3]}\n")
+            add("text", "owner:: ")
+            add("wikilink", f"[[note_{(i + 2) % n}]]")
+            add("text", "\n")
+
+        # markdown heading outline (v6): a top-level title heading here,
+        # a section heading mid-document (inside the block loop below)
+        if i % 5 == 1:
+            add("text", f"# intro {i % 7}\n")
+
         for j in range(k):
+            if j == k // 2 and i % 5 == 1:
+                add("text", f"## sec {i % 11}\n")
             filler = "TEST DATA\n" * int(fills[i, j])
             if j == 0 and i % 7 == 0:
                 filler += f"#inline_{i % 20} "
@@ -495,6 +517,16 @@ def generate_vault_corpus(
                 add("wikilink", f"[[note_{t}^blk{t % 7}]]")
             else:
                 add("wikilink", f"[[note_{t}]]")
+            add("text", "\n")
+
+        # task list items (v6): checked + unchecked GFM checkboxes
+        if i % 9 == 4:
+            add("text", f"- [ ] follow up {i % 13}\n- [x] drafted {i % 17}\n")
+
+        # typo-shaped dangling link (v6): one edit away from a real stem —
+        # the guaranteed positive for fuzzy link suggestion
+        if i % 23 == 3:
+            add("wikilink", f"[[note_{(i * 7) % n}x]]")
             add("text", "\n")
 
         if i % 17 == 0:  # opaque media span: empty text, ref only
