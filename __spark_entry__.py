@@ -1645,6 +1645,29 @@ def _q_kg_fuzzy_targets(spark, sf_dir):
     return fuzzy_link_suggestions(g.dangling, g.nodes)
 
 
+def _q_kg_cocitation(spark, sf_dir):
+    """Co-citation pairs (Small 1973) — notes cited by ≥ 2 common
+    distinct sources, the dual of kg_related's bibliographic coupling;
+    same inverted-index + df-cap discipline with the roles swapped
+    (hub SOURCES are dropped, not hub targets)."""
+    g = _graph(spark, sf_dir)
+    return A.cocitation_pairs(g.edges).select(
+        "a", "b", F.col("shared").cast("long").alias("shared")
+    )
+
+
+def _q_dd_incremental(spark, sf_dir):
+    """Incremental ingest dedup — the production shape: the derived
+    corpus' copy docs (doc_id ≥ 10^6) play the incoming batch, probed
+    against the base corpus' shingle inverted index ONLY (the base never
+    re-pairs with itself); exact copies are the guaranteed jaccard-1.0
+    positives."""
+    corpus = _dedup_corpus(spark, sf_dir)
+    base = corpus.filter(F.col("doc_id") < 1000000)
+    batch = corpus.filter(F.col("doc_id") >= 1000000)
+    return DD.incremental_jaccard_pairs(base, batch, threshold=0.8)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_edges": _q_kg_edges,
@@ -1761,6 +1784,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_tasks": _q_kg_tasks,
         "kg_inline_fields": _q_kg_inline_fields,
         "kg_fuzzy_targets": _q_kg_fuzzy_targets,
+        "kg_cocitation": _q_kg_cocitation,
+        "dd_incremental": _q_dd_incremental,
     }
 
 
@@ -3191,6 +3216,15 @@ SELECT a.subj AS a, b.subj AS b, count(*)::BIGINT AS shared
 FROM lek a JOIN lek b ON a.obj = b.obj AND a.subj < b.subj
 GROUP BY a.subj, b.subj
 HAVING count(*) >= 2""",
+        "kg_cocitation": c
+        + """,
+cle AS (SELECT DISTINCT subj, obj FROM link_edges),
+ckeep AS (SELECT subj FROM cle GROUP BY subj HAVING count(*) <= 100),
+clek AS (SELECT cle.subj, cle.obj FROM cle JOIN ckeep USING (subj))
+SELECT a.obj AS a, b.obj AS b, count(*)::BIGINT AS shared
+FROM clek a JOIN clek b ON a.subj = b.subj AND a.obj < b.obj
+GROUP BY a.obj, b.obj
+HAVING count(*) >= 2""",
     }
 
 
@@ -3652,6 +3686,27 @@ inter AS (
 SELECT i.a, i.b, i.inter, sa.sz::BIGINT AS sza, sb.sz::BIGINT AS szb
 FROM inter i JOIN sizes sa ON sa.doc_id = i.a JOIN sizes sb ON sb.doc_id = i.b
 WHERE i.inter >= 0.8 * sa.sz""",
+        # incremental ingest: batch (copies, id >= 1e6) probes the BASE
+        # shingle index only; df-cap on the base distribution
+        "dd_incremental": f"""
+WITH {_DD_SQL.strip()},
+shb AS (SELECT DISTINCT doc_id, unnest({shingles}) AS shingle FROM dd
+        WHERE doc_id < 1000000),
+shq AS (SELECT DISTINCT doc_id, unnest({shingles}) AS shingle FROM dd
+        WHERE doc_id >= 1000000),
+cap AS (SELECT shingle FROM shb GROUP BY shingle HAVING count(*) <= 1000),
+sb AS (SELECT doc_id, count(*) AS sz FROM shb GROUP BY doc_id),
+sq AS (SELECT doc_id, count(*) AS sz FROM shq GROUP BY doc_id),
+inter AS (
+  SELECT q.doc_id AS batch_id, b.doc_id AS base_id, count(*) AS inter
+  FROM (SELECT shq.* FROM shq JOIN cap USING (shingle)) q
+  JOIN (SELECT shb.* FROM shb JOIN cap USING (shingle)) b USING (shingle)
+  GROUP BY 1, 2
+)
+SELECT i.batch_id, i.base_id,
+       round(i.inter / (sq.sz + sb.sz - i.inter), 6) AS jaccard
+FROM inter i JOIN sq ON sq.doc_id = i.batch_id JOIN sb ON sb.doc_id = i.base_id
+WHERE i.inter / (sq.sz + sb.sz - i.inter) >= 0.8""",
         "dd_minhash_lsh": f"""
 WITH {_DD_SQL.strip()},
 sh AS (SELECT DISTINCT doc_id, unnest({shingles}) AS shingle FROM dd),

@@ -168,3 +168,33 @@ def related_notes(
         .agg(F.count("*").alias("shared"))
         .filter(F.col("shared") >= min_shared)
     )
+
+
+def cocitation_pairs(
+    edges: DataFrame, min_shared: int = 2, max_source_df: int = 100
+) -> DataFrame:
+    """Co-citation (Small 1973): note pairs (a, b, shared) CITED BY at
+    least ``min_shared`` common distinct sources, a < b — the dual of
+    ``related_notes``' bibliographic coupling (coupling relates the
+    CITING notes, co-citation the CITED ones; together they are the
+    classic similarity pair over a citation graph).
+
+    Scale shape: mirror of ``related_notes`` with the roles swapped —
+    inverted index keyed on the SOURCE, with sources whose distinct
+    out-link count exceeds ``max_source_df`` dropped first (a note that
+    links to everything vouches for nothing, and would make the
+    self-join quadratic).  Map-side partial aggs; no driver state."""
+    le = link_edges(edges).select("subj", "obj").distinct()
+    keep = le.groupBy("subj").agg(F.count("*").alias("_df")).filter(
+        F.col("_df") <= max_source_df
+    )
+    le = le.join(keep.select("subj"), "subj")
+    a = le.select(F.col("obj").alias("a"), "subj")
+    b = le.select(F.col("obj").alias("b"), "subj")
+    return (
+        a.join(b, "subj")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("shared"))
+        .filter(F.col("shared") >= min_shared)
+    )

@@ -799,3 +799,54 @@ def containment_pairs(
                 F.col("sza").cast("long").alias("sza"),
                 F.col("szb").cast("long").alias("szb"))
     )
+
+
+def incremental_jaccard_pairs(
+    base: DataFrame,
+    batch: DataFrame,
+    threshold: float = 0.8,
+    n: int = 3,
+    max_shingle_df: int = 1000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """INCREMENTAL dedup — the production ingest shape: near-duplicate
+    pairs between an INCOMING ``batch`` and the EXISTING ``base`` corpus
+    only, → (batch_id, base_id, jaccard).  The base never re-pairs with
+    itself: ingesting a daily batch into a 10^12-document corpus must
+    cost O(batch × index probe), not a full-corpus self-join — this is
+    what dd_ngram_jaccard becomes once the corpus is too big to re-scan
+    per ingest.
+
+    Scale shape: the base side is exactly the persisted shingle inverted
+    index a production deployment maintains (df-capped on the BASE
+    distribution, the stable one); the batch side probes it with one
+    key-partitioned equi-join, and the intersection count + two size
+    attaches are the same map-side-combined aggs as the batch-free
+    version.  Nothing here is quadratic in either side."""
+    shb = distinct_shingles(base, n=n, id_col=id_col, text_col=text_col)
+    shq = distinct_shingles(batch, n=n, id_col=id_col, text_col=text_col)
+    sb = shb.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    sq = shq.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    cap = shb.groupBy("shingle").agg(F.count("*").alias("df")).filter(
+        F.col("df") <= max_shingle_df
+    ).select("shingle")
+    a = shq.join(cap, "shingle").select(F.col("doc_id").alias("batch_id"), "shingle")
+    b = shb.join(cap, "shingle").select(F.col("doc_id").alias("base_id"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .groupBy("batch_id", "base_id")
+        .agg(F.count("*").alias("inter"))
+    )
+    qa = sq.select(F.col("doc_id").alias("batch_id"), F.col("sz").alias("szq"))
+    ba = sb.select(F.col("doc_id").alias("base_id"), F.col("sz").alias("szb"))
+    return (
+        inter.join(qa, "batch_id")
+        .join(ba, "base_id")
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("szq") + F.col("szb") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("batch_id", "base_id", F.round("jaccard", 6).alias("jaccard"))
+    )

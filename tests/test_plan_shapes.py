@@ -276,3 +276,84 @@ def test_graph_diff_semantics_and_single_key_shuffle(spark):
     assert plan.count("Exchange hashpartitioning") <= 2, plan
     for marker in PY_MARKERS:
         assert marker not in plan, marker
+
+
+def test_round4_operator_plans_are_jvm_only(spark):
+    """The round-4 additions (structure extraction, fuzzy suggestion,
+    containment, CMS, SSSP, biased walks) stay JVM-side and never fall
+    back to a cartesian/nested-loop join."""
+    from datetime import datetime
+
+    from obsidian_parser_spark.operators.components import weighted_sssp
+    from obsidian_parser_spark.operators.dedup import containment_pairs
+    from obsidian_parser_spark.operators.events import heavy_hitters_cms
+    from obsidian_parser_spark.operators.structure import (
+        fuzzy_link_suggestions,
+        inline_fields,
+        outline,
+        task_items,
+    )
+    from obsidian_parser_spark.operators.walks import biased_walks
+
+    content = spark.createDataFrame(
+        [("a", "# h\nk:: [[b]]\n- [ ] t\n[[b]]\n"), ("b", "x\n")],
+        "doc_id string, content string",
+    )
+    d = spark.createDataFrame(
+        [("b", "short", "b")], "alias string, kind string, canonical string"
+    )
+    dang = spark.createDataFrame(
+        [("a", 1, "links_to", "bx")],
+        "subj string, mention_ord int, pred string, raw_target string",
+    )
+    notes = spark.createDataFrame([("b",)], "note_name string")
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "a")], "subj string, obj string"
+    )
+    docs = spark.createDataFrame(
+        [(1, "one two three four"), (2, "one two three four five")],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame(
+        [(1, datetime(2024, 1, 1), 7, "view", 1.0, "{}")],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    frames = [
+        outline(content),
+        task_items(content),
+        inline_fields(content, d),
+        fuzzy_link_suggestions(dang, notes),
+        containment_pairs(docs),
+        heavy_hitters_cms(ev, k=2),
+        weighted_sssp(edges, "a", rounds=2),
+        biased_walks(edges, n_steps=2),
+    ]
+    for df in frames:
+        df.collect()  # force executed plan
+        plan = _plan(df)
+        for marker in PY_MARKERS:
+            assert marker not in plan, marker
+        assert "MapInPandas" not in plan
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_cms_sketch_join_is_broadcast(spark):
+    """The d·w-bounded CMS sketch must come back to the query keys as a
+    broadcast join, never a shuffle."""
+    from datetime import datetime
+
+    from obsidian_parser_spark.operators.events import heavy_hitters_cms
+
+    rows = [
+        (i, datetime(2024, 1, 1), i % 3, "view", 1.0, "{}") for i in range(30)
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    df = heavy_hitters_cms(ev, k=3)
+    df.collect()
+    assert "BroadcastHashJoin" in _plan(df)

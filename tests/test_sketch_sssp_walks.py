@@ -184,3 +184,39 @@ def test_containment_exact_copy_both_directions(spark):
     )
     got = {(r["a"], r["b"]) for r in containment_pairs(docs).collect()}
     assert got == {(1, 2), (2, 1)}  # mutual containment, both orders
+
+
+# --- co-citation / incremental dedup ----------------------------------------
+
+
+def test_cocitation_dual_of_coupling(spark):
+    from obsidian_parser_spark.operators.analytics import cocitation_pairs
+
+    # s1 and s2 both cite x and y ⇒ (x, y) co-cited with shared=2;
+    # z cited once ⇒ no pair
+    edges = spark.createDataFrame(
+        [("s1", "links_to", "x"), ("s1", "links_to", "y"),
+         ("s2", "links_to", "x"), ("s2", "links_to", "y"),
+         ("s2", "links_to", "z")],
+        "subj string, pred string, obj string",
+    )
+    got = [tuple(r) for r in cocitation_pairs(edges).collect()]
+    assert got == [("x", "y", 2)]
+
+
+def test_incremental_pairs_batch_vs_base_only(spark):
+    from obsidian_parser_spark.operators.dedup import incremental_jaccard_pairs
+
+    t = "one two three four five six"
+    base = spark.createDataFrame(
+        [(1, t), (2, t), (3, "unrelated words entirely here")],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame([(100, t)], "doc_id long, text string")
+    got = sorted(
+        (r["batch_id"], r["base_id"], r["jaccard"])
+        for r in incremental_jaccard_pairs(base, batch).collect()
+    )
+    # the batch copy pairs with BOTH identical base docs — but the two
+    # identical base docs never pair with each other (no base self-join)
+    assert got == [(100, 1, 1.0), (100, 2, 1.0)]
