@@ -1668,6 +1668,31 @@ def _q_dd_incremental(spark, sf_dir):
     return DD.incremental_jaccard_pairs(base, batch, threshold=0.8)
 
 
+def _q_kg_sections(spark, sf_dir):
+    """Section-level link density — mentions ([[..]] links + embeds) per
+    heading SECTION per note (preamble lines under '(preamble)'):
+    the heading outline joined to the link layer by a running
+    last(heading) window per doc, mention counts by pure string
+    arithmetic."""
+    from obsidian_parser_spark.operators.structure import section_mention_counts
+
+    return section_mention_counts(_vault_content(spark, sf_dir))
+
+
+def _q_ts_zipf(spark, sf_dir):
+    """Corpus Zipf head: top-50 vocabulary by frequency with dense ranks
+    (ties lexicographic) — map-side-combined vocab counts, rank window
+    over the k-bounded top only, never a global vocabulary sort."""
+    return TS.zipf_table(_documents(spark, sf_dir), k=50)
+
+
+def _q_ev_bursts(spark, sf_dir):
+    """Burst detection: the busiest tumbling hour per event type as one
+    deterministic struct-argmax over the windowed rollup (ties to the
+    later window — a total order both engines share)."""
+    return EV.burst_windows(_events(spark, sf_dir))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_edges": _q_kg_edges,
@@ -1786,6 +1811,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_fuzzy_targets": _q_kg_fuzzy_targets,
         "kg_cocitation": _q_kg_cocitation,
         "dd_incremental": _q_dd_incremental,
+        "kg_sections": _q_kg_sections,
+        "ts_zipf": _q_ts_zipf,
+        "ev_bursts": _q_ev_bursts,
     }
 
 
@@ -2779,6 +2807,24 @@ SELECT 8::INTEGER AS n_buckets, 2::INTEGER AS n_resumed, 6::INTEGER AS n_skipped
         + ",\n"
         + _bfs_ctes("note_1", 6)
         + "\nSELECT id, dist FROM bfs_final",
+        "kg_sections": c + r""",
+sl AS (SELECT doc_id, generate_subscripts(ls, 1) AS pos, unnest(ls) AS line
+       FROM (SELECT doc_id, string_split(content, chr(10)) AS ls FROM notes)),
+sh AS (SELECT doc_id, pos, line,
+              CASE WHEN regexp_matches(line, '^#{1,6} .+$')
+                   THEN regexp_extract(line, '^(#{1,6}) (.+)$', 2) END AS h
+       FROM sl),
+sr AS (SELECT doc_id, line,
+              coalesce(last_value(h IGNORE NULLS) OVER (
+                PARTITION BY doc_id ORDER BY pos
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                '(preamble)') AS section
+       FROM sh),
+sm AS (SELECT doc_id, section,
+              ((length(line) - length(replace(line, '[[', ''))) // 2)::BIGINT AS n
+       FROM sr)
+SELECT doc_id, section, sum(n)::BIGINT AS n_mentions
+FROM sm GROUP BY doc_id, section HAVING sum(n) > 0""",
         "kg_sssp": c + ",\n" + _sssp_ctes("note_1", 6),
         "kg_biased_walks": c + ",\n" + _biased_walks_ctes(3),
         "kg_outline": c + r""",
@@ -3903,6 +3949,22 @@ SELECT t.user_id, t.n_exact, min(s.cnt)::BIGINT AS n_est
 FROM top t, (VALUES (0), (1), (2), (3)) r(r)
 JOIN hb s ON s.row = r.r AND s.bkt = {_cms_bkt_sql("t.user_id", "r.r", 512)}
 GROUP BY t.user_id, t.n_exact""",
+        "ts_zipf": f"""
+WITH zv AS (SELECT unnest({tok}) AS word FROM documents),
+zn AS (SELECT word, count(*)::BIGINT AS n FROM zv GROUP BY word)
+SELECT row_number() OVER (ORDER BY n DESC, word)::BIGINT AS rank, word, n
+FROM zn ORDER BY n DESC, word LIMIT 50""",
+        # busiest tumbling hour per type; ties to the LATER window
+        "ev_bursts": f"""
+WITH bp AS (
+  SELECT event_type,
+         ((epoch_us(ts) // {EV.WINDOW_US}) * {EV.WINDOW_US})::BIGINT AS w,
+         count(*)::BIGINT AS n
+  FROM events GROUP BY 1, 2)
+SELECT event_type, w AS peak_window_start_us, n AS peak_events FROM (
+  SELECT *, row_number() OVER (PARTITION BY event_type
+                               ORDER BY n DESC, w DESC) AS rn
+  FROM bp) WHERE rn = 1""",
         # first-order Markov transitions per user sequence, (ts, event_id)
         # ordered — the tie-break both engines share
         "ev_transitions": """

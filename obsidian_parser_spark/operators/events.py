@@ -458,3 +458,28 @@ def heavy_hitters_cms(
         .groupBy("user_id", "n_exact")
         .agg(F.min("cnt").cast("long").alias("n_est"))
     )
+
+
+def burst_windows(events: DataFrame) -> DataFrame:
+    """→ (event_type, peak_window_start_us, peak_events): the single
+    busiest tumbling hour per event type — burst detection as one
+    deterministic argmax (max of the (n, window) struct: ties break to
+    the LATER window, a total order both engines share).
+
+    Scale shape: reuses the tumbling-window rollup (map-side-combined
+    count per (type, window)), then one ≤-|windows|-row max per type —
+    no event-level window function, no sort."""
+    per = events.select(
+        "event_type",
+        (
+            F.floor(F.unix_micros(F.col("ts").cast("timestamp")) / WINDOW_US)
+            * WINDOW_US
+        ).cast("long").alias("w"),
+    ).groupBy("event_type", "w").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    return per.groupBy("event_type").agg(
+        F.max(F.struct("n", "w")).alias("_m")
+    ).select(
+        "event_type",
+        F.col("_m.w").alias("peak_window_start_us"),
+        F.col("_m.n").alias("peak_events"),
+    )

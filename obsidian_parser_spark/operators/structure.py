@@ -179,3 +179,40 @@ def fuzzy_link_suggestions(
     ).filter(
         (F.col("lev") <= max_lev) & (F.col("raw_target") != F.col("candidate"))
     ).select("raw_target", "candidate", "lev", "n_shared")
+
+
+def section_mention_counts(content_df: DataFrame) -> DataFrame:
+    """→ (doc_id, section, n_mentions): how many ``[[..]]`` mentions
+    (links + embeds) each heading SECTION of a note contains — the
+    join between the heading outline and the link layer: section-level
+    link density locates where a note actually connects to the graph
+    (lines before any heading aggregate under '(preamble)').
+
+    Scale shape: one posexplode + one running ``last(heading)`` window
+    per document (partitioned on doc_id — never a global window) + a
+    map-side-combined count; the mention count per line is pure string
+    arithmetic ((len − len(replace))/2), no regex backtracking, no
+    Python."""
+    lines = _lines(content_df)
+    heading = F.when(
+        F.col("line").rlike(_HEADING_RE), F.regexp_extract("line", _HEADING_RE, 2)
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sec = lines.select(
+        "doc_id",
+        F.coalesce(F.last(heading, ignorenulls=True).over(w), F.lit("(preamble)"))
+        .alias("section"),
+        (
+            (F.length("line") - F.length(F.replace(F.col("line"), F.lit("[["), F.lit(""))))
+            / 2
+        ).cast("long").alias("n"),
+    )
+    return (
+        sec.groupBy("doc_id", "section")
+        .agg(F.sum("n").cast("long").alias("n_mentions"))
+        .filter(F.col("n_mentions") > 0)
+    )

@@ -844,3 +844,31 @@ def lm_coverage(
             .alias("n_in_lm"),
         )
     )
+
+
+def zipf_table(
+    documents: DataFrame,
+    k: int = 50,
+    text_col: str = "text",
+) -> DataFrame:
+    """→ (rank, word, n): the top-``k`` corpus vocabulary by frequency
+    with dense ranks (ties → lexicographically smaller word first, so
+    the table is a pure function of the corpus) — the Zipf head every
+    corpus-linguistics report starts from, and the stopword-list
+    candidate generator for the df-cap family.
+
+    Scale shape: the token explode collapses map-side to (word, n)
+    before any shuffle; the rank window runs over the top-``k``-bounded
+    frame only (TakeOrdered, then a ≤ k-row window) — never a global
+    sort of the vocabulary."""
+    from pyspark.sql import Window
+
+    toks = documents.select(
+        F.explode(F.expr(_TOKENS.format(t=text_col))).alias("word")
+    )
+    vocab = toks.groupBy("word").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    top = vocab.orderBy(F.col("n").desc(), "word").limit(k)
+    w = Window.orderBy(F.col("n").desc(), "word")
+    return top.select(
+        F.row_number().over(w).cast("long").alias("rank"), "word", "n"
+    )

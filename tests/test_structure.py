@@ -99,3 +99,61 @@ def test_fuzzy_df_cap_drops_boilerplate_grams(spark):
         [("note_1",), ("note_2",)], "note_name string"
     )
     assert fuzzy_link_suggestions(dang, notes, max_gram_df=1).count() == 0
+
+
+def test_section_mention_counts(spark):
+    c = _content(
+        spark,
+        [
+            ("a", "[[pre1]] text\n# one\n[[x]] and ![[y]]\nnone\n"
+                  "## two\n[[z]]\n"),
+            ("b", "no headings [[q]]\n"),
+        ],
+    )
+    from obsidian_parser_spark.operators.structure import section_mention_counts
+
+    got = {(r["doc_id"], r["section"]): r["n_mentions"]
+           for r in section_mention_counts(c).collect()}
+    assert got == {
+        ("a", "(preamble)"): 1,
+        ("a", "one"): 2,
+        ("a", "two"): 1,
+        ("b", "(preamble)"): 1,
+    }
+
+
+def test_zipf_ranks_and_ties(spark):
+    from obsidian_parser_spark.operators.textstats import zipf_table
+
+    docs = spark.createDataFrame(
+        [(1, "b b b a a c"), (2, "a c")], "doc_id long, text string"
+    )
+    got = [tuple(r) for r in zipf_table(docs, k=3).collect()]
+    # a and b tie at 3 → lexicographic: a first
+    assert got == [(1, "a", 3), (2, "b", 3), (3, "c", 2)]
+
+
+def test_burst_windows_argmax_tiebreak(spark):
+    from datetime import datetime, timedelta
+
+    from obsidian_parser_spark.operators.events import burst_windows
+
+    base = datetime(2024, 1, 1)
+    rows = []
+    # hour 0: 2 views; hour 2: 2 views (tie → later window wins);
+    # hour 1: 3 clicks (unique peak)
+    for i, h in enumerate([0, 0, 2, 2]):
+        rows.append((i, base + timedelta(hours=h), 1, "view", 1.0, "{}"))
+    for i, h in enumerate([1, 1, 1]):
+        rows.append((10 + i, base + timedelta(hours=h), 1, "click", 1.0, "{}"))
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    got = {r["event_type"]: (r["peak_window_start_us"], r["peak_events"])
+           for r in burst_windows(ev).collect()}
+    us = 3_600 * 1_000_000
+    epoch = int(base.timestamp()) * 1_000_000
+    assert got["click"] == (epoch + 1 * us, 3)
+    assert got["view"] == (epoch + 2 * us, 2)  # tie → later window
