@@ -1693,6 +1693,18 @@ def _q_ev_bursts(spark, sf_dir):
     return EV.burst_windows(_events(spark, sf_dir))
 
 
+def _q_kg_ntriples(spark, sf_dir):
+    """RDF N-Triples export of the full edge table (links/embeds as
+    <urn:note:> URIs with percent-escaping, tags as UTF-8 literals with
+    backslash/quote escaping) — the W3C interchange a triple store
+    ingests directly; pure string expressions, byte-identical across
+    engines."""
+    from obsidian_parser_spark.operators.export import to_ntriples
+
+    g = _graph(spark, sf_dir)
+    return to_ntriples(g.edges)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_edges": _q_kg_edges,
@@ -1814,6 +1826,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sections": _q_kg_sections,
         "ts_zipf": _q_ts_zipf,
         "ev_bursts": _q_ev_bursts,
+        "kg_ntriples": _q_kg_ntriples,
     }
 
 
@@ -2721,6 +2734,26 @@ def _negatives_ctes(n_trials: int, target_bucket_size: int = 16) -> str:
     return ",\n".join(parts) + "\n" + "\nUNION ALL ".join(selects)
 
 
+def _ntriples_uri_sql(col: str) -> str:
+    """Chained-replace IRI percent-escape mirroring export._URI_ESCAPES
+    (same order — '%' first so escapes don't re-escape)."""
+    expr = col
+    for ch, code in (
+        ("%", "%25"), (" ", "%20"), ("<", "%3C"), (">", "%3E"), ('"', "%22"),
+        ("|", "%7C"), ("^", "%5E"), ("`", "%60"), ("{", "%7B"), ("}", "%7D"),
+        ("\\", "%5C"),
+    ):
+        expr = f"replace({expr}, '{ch}', '{code}')"
+    return expr
+
+
+def _ntriples_lit_sql(col: str) -> str:
+    bs = "\\"
+    return (
+        f"replace(replace({col}, '{bs}', '{bs}{bs}'), '\"', '{bs}\"')"
+    )
+
+
 def _kg_oracles(path: str) -> dict[str, str]:
     c = _kg_cte(path)
     mpath = os.path.join(os.path.dirname(path), "media.parquet")
@@ -2807,6 +2840,16 @@ SELECT 8::INTEGER AS n_buckets, 2::INTEGER AS n_resumed, 6::INTEGER AS n_skipped
         + ",\n"
         + _bfs_ctes("note_1", 6)
         + "\nSELECT id, dist FROM bfs_final",
+        "kg_ntriples": c + f""",
+nt AS (SELECT DISTINCT
+  '<urn:note:' || {_ntriples_uri_sql('subj')} || '> <urn:rel:' || pred
+  || '> ' ||
+  CASE WHEN pred = 'tagged'
+       THEN '"' || {_ntriples_lit_sql('obj')} || '"'
+       ELSE '<urn:note:' || {_ntriples_uri_sql('obj')} || '>' END
+  || ' .' AS line
+FROM edges)
+SELECT line FROM nt""",
         "kg_sections": c + r""",
 sl AS (SELECT doc_id, generate_subscripts(ls, 1) AS pos, unnest(ls) AS line
        FROM (SELECT doc_id, string_split(content, chr(10)) AS ls FROM notes)),

@@ -51,3 +51,52 @@ def read_jsonl_corpus(spark, path: str, schema=None) -> DataFrame:
     if schema is not None:
         r = r.schema(schema)
     return r.json(path)
+
+
+_URI_ESCAPES = (
+    ("%", "%25"),  # first — escapes must not re-escape their own output
+    (" ", "%20"), ("<", "%3C"), (">", "%3E"), ('"', "%22"),
+    ("|", "%7C"), ("^", "%5E"), ("`", "%60"),
+    ("{", "%7B"), ("}", "%7D"), ("\\", "%5C"),
+)
+
+
+def _uri_escape(col):
+    from pyspark.sql import functions as F
+
+    c = col
+    for ch, code in _URI_ESCAPES:
+        c = F.replace(c, F.lit(ch), F.lit(code))
+    return c
+
+
+def to_ntriples(edges) -> "DataFrame":
+    """(subj, pred, obj) edge rows → one-column (line) N-Triples export,
+    DISTINCT — the W3C interchange format every RDF/KG toolchain
+    ingests, so the engine's triples load straight into a triple store.
+    Note ids become ``<urn:note:...>`` URIs (percent-escaped per the
+    IRI character rules, '%' first so escapes don't re-escape); tag
+    objects are UTF-8 string LITERALS with backslash/quote escaping —
+    tags are labels, not nodes.
+
+    Pure string expressions (chained replace + concat, no regex, no
+    Python), so the export is byte-identical across engines and the
+    whole serialization is SQL-oracle-checkable; the DISTINCT is one
+    map-side-combinable shuffle."""
+    from pyspark.sql import functions as F
+
+    s = F.concat(F.lit("<urn:note:"), _uri_escape(F.col("subj")), F.lit(">"))
+    p = F.concat(F.lit("<urn:rel:"), F.col("pred"), F.lit(">"))
+    lit = F.replace(
+        F.replace(F.col("obj"), F.lit("\\"), F.lit("\\\\")),
+        F.lit('"'),
+        F.lit('\\"'),
+    )
+    o = F.when(
+        F.col("pred") == "tagged", F.concat(F.lit('"'), lit, F.lit('"'))
+    ).otherwise(F.concat(F.lit("<urn:note:"), _uri_escape(F.col("obj")), F.lit(">")))
+    return (
+        edges.select(
+            F.concat(s, F.lit(" "), p, F.lit(" "), o, F.lit(" .")).alias("line")
+        ).distinct()
+    )

@@ -220,3 +220,34 @@ def test_incremental_pairs_batch_vs_base_only(spark):
     # the batch copy pairs with BOTH identical base docs — but the two
     # identical base docs never pair with each other (no base self-join)
     assert got == [(100, 1, 1.0), (100, 2, 1.0)]
+
+
+# --- randomized parity (seeded, like test_components' random graphs) ---------
+
+
+def _rand_pairs(seed, n_nodes=30, n_edges=120):
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    a = rng.integers(0, n_nodes, size=n_edges)
+    b = rng.integers(0, n_nodes, size=n_edges)
+    return [(f"n{x}", f"n{y}") for x, y in zip(a, b)]
+
+
+def test_weighted_sssp_random_graph_parity(spark):
+    for seed in (7, 19):
+        pairs = _rand_pairs(seed)
+        root = pairs[0][0]
+        got = sorted(
+            map(tuple, weighted_sssp(_edges(spark, pairs), root, rounds=5).collect())
+        )
+        assert got == _py_sssp(pairs, root, 5), f"seed {seed}"
+
+
+def test_biased_walks_random_graph_parity(spark):
+    for seed in (11, 23):
+        pairs = _rand_pairs(seed, n_nodes=20, n_edges=60)
+        got = sorted(
+            map(tuple, biased_walks(_edges(spark, pairs), 3).collect())
+        )
+        assert got == _py_biased(pairs, 3), f"seed {seed}"

@@ -157,3 +157,30 @@ def test_burst_windows_argmax_tiebreak(spark):
     epoch = int(base.timestamp()) * 1_000_000
     assert got["click"] == (epoch + 1 * us, 3)
     assert got["view"] == (epoch + 2 * us, 2)  # tie → later window
+
+
+def test_ntriples_escaping_and_literals(spark):
+    from obsidian_parser_spark.operators.export import to_ntriples
+
+    edges = spark.createDataFrame(
+        [("a b", "links_to", "c<d>"), ("a b", "tagged", 'say "hi" \\ there'),
+         ("a b", "links_to", "c<d>")],  # duplicate collapses
+        "subj string, pred string, obj string",
+    )
+    got = sorted(r["line"] for r in to_ntriples(edges).collect())
+    assert got == [
+        '<urn:note:a%20b> <urn:rel:links_to> <urn:note:c%3Cd%3E> .',
+        '<urn:note:a%20b> <urn:rel:tagged> "say \\"hi\\" \\\\ there" .',
+    ]
+
+
+def test_ntriples_percent_escape_is_idempotent_safe(spark):
+    from obsidian_parser_spark.operators.export import to_ntriples
+
+    # a literal '%20' in an id must NOT collide with an escaped space
+    edges = spark.createDataFrame(
+        [("x%20y", "links_to", "x y")], "subj string, pred string, obj string"
+    )
+    (line,) = [r["line"] for r in to_ntriples(edges).collect()]
+    assert line.startswith("<urn:note:x%2520y> ")
+    assert "<urn:note:x%20y> ." in line
