@@ -1693,6 +1693,20 @@ def _q_ev_bursts(spark, sf_dir):
     return EV.burst_windows(_events(spark, sf_dir))
 
 
+def _q_dd_cluster_stats(spark, sf_dir):
+    """Dedup-impact audit: the duplicate-cluster SIZE histogram
+    (cluster_size, n_clusters) over the MinHash-LSH transitive clusters
+    — what a curation run would actually remove, and in what shapes
+    (many pairs vs few large families); two map-side-combined rollups
+    over the dd_clusters output."""
+    pairs = DD.minhash_lsh_pairs(_dedup_corpus(spark, sf_dir), k=12, bands=4)
+    cl = DD.dedup_clusters(pairs)
+    sizes = cl.groupBy("cluster").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).cast("long").alias("n_clusters")
+    ).select(F.col("cluster_size").cast("long").alias("cluster_size"), "n_clusters")
+
+
 def _q_kg_ntriples(spark, sf_dir):
     """RDF N-Triples export of the full edge table (links/embeds as
     <urn:note:> URIs with percent-escaping, tags as UTF-8 literals with
@@ -1827,6 +1841,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_zipf": _q_ts_zipf,
         "ev_bursts": _q_ev_bursts,
         "kg_ntriples": _q_kg_ntriples,
+        "dd_cluster_stats": _q_dd_cluster_stats,
     }
 
 
@@ -4321,6 +4336,30 @@ l0 AS MATERIALIZED (SELECT DISTINCT u AS id, u AS lbl FROM sym),
 {_label_prop_rounds(8)}
 SELECT id AS doc_id, component AS cluster, (id = component) AS is_keeper
 FROM cc""",
+        # same chain, rolled up twice: how much would dedup actually
+        # remove, and in what cluster shapes
+        "dd_cluster_stats": f"""
+WITH {_DD_SQL.strip()},
+sh AS (SELECT DISTINCT doc_id, unnest({shingles}) AS shingle FROM dd),
+sigs AS (SELECT doc_id, {sig_expr} FROM sh GROUP BY doc_id),
+banded AS ({band_expr}),
+small AS (
+  SELECT band, key FROM banded GROUP BY band, key HAVING count(*) <= 200
+),
+kept AS (SELECT banded.* FROM banded JOIN small USING (band, key)),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+  FROM kept a JOIN kept b ON a.band = b.band AND a.key = b.key
+  WHERE a.doc_id < b.doc_id
+),
+sym AS MATERIALIZED (SELECT a AS u, b AS v FROM pairs
+                     UNION SELECT b, a FROM pairs),
+l0 AS MATERIALIZED (SELECT DISTINCT u AS id, u AS lbl FROM sym),
+{_label_prop_rounds(8)},
+cs AS (SELECT component, count(*)::BIGINT AS cluster_size
+       FROM cc GROUP BY component)
+SELECT cluster_size, count(*)::BIGINT AS n_clusters
+FROM cs GROUP BY cluster_size""",
         "dd_contamination": f"""
 WITH {_DD_SQL.strip()},
 tdoc AS (SELECT doc_id, text FROM dd
