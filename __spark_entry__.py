@@ -1693,6 +1693,37 @@ def _q_ev_bursts(spark, sf_dir):
     return EV.burst_windows(_events(spark, sf_dir))
 
 
+def _q_ann_pq(spark, sf_dir):
+    """Product-quantization ADC top-10 (Jégou et al. 2011): m=2
+    subspace codebooks (the deterministic Lloyd's contract), per-vector
+    code tuples, query scoring by LUT lookups + adds — never a
+    dim-length dot product at query time; the oracle unrolls both
+    k-means chains and the ADC join."""
+    return SIM.pq_topk(
+        _embeddings(spark, sf_dir), dim=EMB_DIM, m=2, k_cb=8,
+        n_iter=4, k=10, n_queries=10,
+    )
+
+
+def _q_kg_anchors(spark, sf_dir):
+    """Broken-anchor detection: every distinct heading-anchored link
+    ([[note#heading]]) validated against the target note's REAL heading
+    outline (anchor_exists iff the title matches exactly) — corpus v7
+    seeds '### section m' headings in the same format the anchored
+    wikilinks use, so both true and broken anchors occur
+    deterministically.  One left equi-join on (obj, qualifier), no
+    broadcast assumption."""
+    from obsidian_parser_spark.operators.linking import qualified_link_edges
+    from obsidian_parser_spark.operators.structure import anchor_validation
+
+    docs = spark.read.parquet(_vault_path(sf_dir))
+    g = _graph(spark, sf_dir)
+    from obsidian_parser_spark.operators.structure import outline
+
+    q = qualified_link_edges(docs, g.alias_dict)
+    return anchor_validation(q, outline(_vault_content(spark, sf_dir)))
+
+
 def _q_dd_cluster_stats(spark, sf_dir):
     """Dedup-impact audit: the duplicate-cluster SIZE histogram
     (cluster_size, n_clusters) over the MinHash-LSH transitive clusters
@@ -1842,6 +1873,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_bursts": _q_ev_bursts,
         "kg_ntriples": _q_kg_ntriples,
         "dd_cluster_stats": _q_dd_cluster_stats,
+        "kg_anchors": _q_kg_anchors,
+        "ann_pq": _q_ann_pq,
     }
 
 
@@ -2855,6 +2888,39 @@ SELECT 8::INTEGER AS n_buckets, 2::INTEGER AS n_resumed, 6::INTEGER AS n_skipped
         + ",\n"
         + _bfs_ctes("note_1", 6)
         + "\nSELECT id, dist FROM bfs_final",
+        "kg_anchors": c + r""",
+aqraw AS (
+  SELECT doc_id AS subj,
+         regexp_extract(text, '\[\[(.*)\]\]', 1) AS lk
+  FROM flat WHERE kind IN ('wikilink', 'embed')
+),
+aqanch AS (
+  SELECT subj,
+         trim(split_part(split_part(split_part(lk, '#', 1), '^', 1),
+                         '|', 1)) AS raw_target,
+         trim(split_part(split_part(
+                substr(lk, strpos(lk, '#') + 1), '^', 1), '|', 1)) AS qualifier
+  FROM aqraw WHERE contains(lk, '#')
+),
+aqres AS (
+  SELECT DISTINCT q.subj, coalesce(d1.canonical, d2.canonical) AS obj,
+         q.qualifier
+  FROM aqanch q
+  LEFT JOIN dict d1 ON d1.alias = q.raw_target
+    AND d1.kind = CASE WHEN contains(q.raw_target, '/')
+                       THEN 'full' ELSE 'short' END
+  LEFT JOIN dict d2 ON d2.kind = 'alias' AND d2.alias = q.raw_target
+    AND d1.canonical IS NULL
+),
+ahl AS (SELECT doc_id, unnest(string_split(content, chr(10))) AS line
+        FROM notes),
+ah AS (SELECT DISTINCT doc_id AS obj,
+              regexp_extract(line, '^(#{1,6}) (.+)$', 2) AS qualifier
+       FROM ahl WHERE regexp_matches(line, '^#{1,6} .+$'))
+SELECT r.subj, r.obj, r.qualifier,
+       (ah.obj IS NOT NULL) AS anchor_exists
+FROM (SELECT * FROM aqres WHERE obj IS NOT NULL) r
+LEFT JOIN ah ON ah.obj = r.obj AND ah.qualifier = r.qualifier""",
         "kg_ntriples": c + f""",
 nt AS (SELECT DISTINCT
   '<urn:note:' || {_ntriples_uri_sql('subj')} || '> <urn:rel:' || pred
@@ -3476,52 +3542,124 @@ SELECT doc_id,
 FROM dt LEFT JOIN pieces p USING (w) GROUP BY doc_id"""
 
 
-def _kmeans_ctes(qv: str, k: int = 8, n_iter: int = 4) -> str:
+_KM_D2 = (
+    "CAST(list_sum([(z.q[i] - c.c[i]) * (z.q[i] - c.c[i])"
+    " for i in range(1, len(z.q) + 1)]) AS BIGINT)"
+)
+
+
+def _kmeans_ctes(
+    qv: str | None,
+    k: int = 8,
+    n_iter: int = 4,
+    prefix: str = "",
+    src: str | None = None,
+) -> str:
     """Unrolled Lloyd's k-means mirroring similarity.kmeans_assign:
     first-k-ids init, exact integer squared-L2 argmin (ties → smaller
     cid), integer truncated-division centroid update (DuckDB // ≡ Spark
-    DIV, both toward zero), empty clusters keep the previous centroid."""
-    d2 = (
-        "CAST(list_sum([(z.q[i] - c.c[i]) * (z.q[i] - c.c[i])"
-        " for i in range(1, len(z.q) + 1)]) AS BIGINT)"
-    )
+    DIV, both toward zero), empty clusters keep the previous centroid.
+    ``prefix``/``src`` let a caller instantiate several independent
+    chains in one query (product quantization runs one per subspace)."""
+    p = prefix
+    d2 = _KM_D2
+    src_sql = src or f"SELECT vec_id AS vid, {qv} AS q FROM embeddings"
     parts = [
-        f"qz AS MATERIALIZED (SELECT vec_id AS vid, {qv} AS q FROM embeddings)",
-        f"c0 AS (SELECT CAST(vid AS BIGINT) AS cid, q AS c FROM qz WHERE vid < {k})",
+        f"{p}qz AS MATERIALIZED ({src_sql})",
+        f"{p}c0 AS (SELECT CAST(vid AS BIGINT) AS cid, q AS c"
+        f" FROM {p}qz WHERE vid < {k})",
     ]
     for t in range(1, n_iter + 1):
         parts.append(
-            f"""a{t} AS MATERIALIZED (
+            f"""{p}a{t} AS MATERIALIZED (
   SELECT vid, cid, d2 FROM (
     SELECT z.vid, c.cid, {d2} AS d2,
            row_number() OVER (PARTITION BY z.vid
                               ORDER BY {d2}, c.cid) AS rn
-    FROM qz z CROSS JOIN c{t - 1} c
+    FROM {p}qz z CROSS JOIN {p}c{t - 1} c
   ) WHERE rn = 1)"""
         )
         if t == n_iter:
             break
         parts.append(
-            f"""e{t} AS (
+            f"""{p}e{t} AS (
   SELECT cid, u.s.i AS i, u.s.x AS x FROM (
     SELECT a.cid, [{{'i': i, 'x': z.q[i]}}
                    for i in range(1, len(z.q) + 1)] AS l
-    FROM a{t} a JOIN qz z USING (vid)
+    FROM {p}a{t} a JOIN {p}qz z USING (vid)
   ), unnest(l) AS u(s))""",
         )
         parts.append(
-            f"""u{t} AS (
+            f"""{p}u{t} AS (
   SELECT cid, list_transform(list_sort(list({{'i': i, 'v': s // n}})),
                              r -> r.v) AS cn
   FROM (SELECT cid, i, sum(x)::BIGINT AS s, count(*)::BIGINT AS n
-        FROM e{t} GROUP BY cid, i) GROUP BY cid)"""
+        FROM {p}e{t} GROUP BY cid, i) GROUP BY cid)"""
         )
         parts.append(
-            f"""c{t} AS (SELECT c.cid, coalesce(u.cn, c.c) AS c
-  FROM c{t - 1} c LEFT JOIN u{t} u USING (cid))"""
+            f"""{p}c{t} AS (SELECT c.cid, coalesce(u.cn, c.c) AS c
+  FROM {p}c{t - 1} c LEFT JOIN {p}u{t} u USING (cid))"""
         )
-    parts.append(f"km_final AS (SELECT vid AS vec_id, cid, d2 FROM a{n_iter})")
+    parts.append(
+        f"{p}km_final AS (SELECT vid AS vec_id, cid, d2 FROM {p}a{n_iter})"
+    )
     return ",\n".join(parts)
+
+
+def _pq_ctes(
+    qv: str,
+    dim: int,
+    m: int = 2,
+    k_cb: int = 8,
+    n_iter: int = 4,
+    k: int = 10,
+    n_queries: int = 10,
+) -> str:
+    """Unrolled product-quantization ADC search mirroring
+    similarity.pq_topk: one prefixed k-means chain per subspace (slice
+    of the quantized vector), per-subspace code assignment =
+    {p}km_final, query LUT = query-slice × FINAL codebook
+    (c{n_iter-1}), ADC = sum of per-subspace LUT distances, top-k per
+    query by (adc, neighbor_id)."""
+    sub = dim // m
+    parts = [
+        f"pqsrc AS MATERIALIZED (SELECT vec_id AS vid, {qv} AS q"
+        " FROM embeddings)"
+    ]
+    for s in range(m):
+        lo, hi = s * sub + 1, (s + 1) * sub
+        parts.append(
+            _kmeans_ctes(
+                None, k_cb, n_iter, prefix=f"p{s}",
+                src=f"SELECT vid, q[{lo}:{hi}] AS q FROM pqsrc",
+            )
+        )
+        parts.append(
+            f"""p{s}lut AS (
+  SELECT z.vid AS qid, c.cid, {_KM_D2} AS d
+  FROM (SELECT vid, q FROM p{s}qz WHERE vid < {n_queries}) z
+  CROSS JOIN p{s}c{n_iter - 1} c)"""
+        )
+    joins = ["p0km_final k0", "p0lut l0 ON l0.cid = k0.cid"]
+    for s in range(1, m):
+        joins.append(f"p{s}km_final k{s} ON k{s}.vec_id = k0.vec_id")
+        joins.append(f"p{s}lut l{s} ON l{s}.qid = l0.qid AND l{s}.cid = k{s}.cid")
+    adc = " + ".join(f"l{s}.d" for s in range(m))
+    parts.append(
+        f"""pqadc AS (
+  SELECT l0.qid AS query_id, k0.vec_id AS neighbor_id,
+         ({adc})::BIGINT AS adc_d2
+  FROM {" JOIN ".join(joins)}
+  WHERE k0.vec_id <> l0.qid)"""
+    )
+    return (
+        ",\n".join(parts)
+        + f"""
+SELECT query_id, neighbor_id, rank, adc_d2 FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY adc_d2, neighbor_id)::BIGINT AS rank
+  FROM pqadc) WHERE rank <= {k}"""
+    )
 
 
 def _dd_embed_cosine_sql(
@@ -3853,6 +3991,7 @@ WHERE i.inter / (sa.sz + sb.sz - i.inter) >= 0.8""",
         "ann_kmeans": "WITH "
         + _kmeans_ctes(qv)
         + "\nSELECT vec_id, cid, d2 FROM km_final",
+        "ann_pq": "WITH " + _pq_ctes(qv, 64),
         "dd_semdedup": _dd_semdedup_sql(qv),
         "dd_simhash": _dd_simhash_oracle(tok),
         "ann_topk": f"""

@@ -245,9 +245,21 @@ def kmeans_assign(
     holds to ~10^11 rows per cluster at 10^4-quantization; past that,
     lower the quantization scale.
     """
+    qz = quantize(embeddings, "embedding").select(F.col(id_col).alias("vid"), "q")
+    _, assign = _lloyd(qz, k, n_iter)
+    return assign.select(
+        F.col("vid").alias(id_col), "cid", "d2"
+    )
+
+
+def _lloyd(qz: DataFrame, k: int, n_iter: int) -> tuple[DataFrame, DataFrame]:
+    """The Lloyd's loop shared by kmeans_assign and pq_topk: ``qz`` is a
+    (vid, q) integer-vector frame → (codebook, assignment) where the
+    codebook is the centroid table the FINAL assignment was scored
+    against (n_iter assigns, n_iter−1 updates — the fixed deterministic
+    contract the SQL oracle unrolls)."""
     from ..checkpointing import cut_lineage
 
-    qz = quantize(embeddings, "embedding").select(F.col(id_col).alias("vid"), "q")
     cent = qz.filter(F.col("vid") < k).select(
         F.col("vid").cast("long").alias("cid"), F.col("q").alias("c")
     )
@@ -261,7 +273,7 @@ def kmeans_assign(
             scored.groupBy("vid")
             .agg(F.min(F.struct("d2", "cid")).alias("b"))
             .select(
-                F.col("vid").alias(id_col),
+                "vid",
                 F.col("b.cid").alias("cid"),
                 F.col("b.d2").cast("long").alias("d2"),
             )
@@ -269,7 +281,7 @@ def kmeans_assign(
         if i == n_iter - 1:
             break
         sums = (
-            qz.join(assign.select(F.col(id_col).alias("vid"), "cid"), "vid")
+            qz.join(assign.select("vid", "cid"), "vid")
             .select("cid", F.posexplode("q").alias("pos", "x"))
             .groupBy("cid", "pos")
             .agg(F.sum("x").alias("s"), F.count("*").alias("n"))
@@ -288,4 +300,78 @@ def kmeans_assign(
                 "cid", F.coalesce("c_new", "c").alias("c")
             )
         )
-    return assign
+    return cent, assign
+
+
+def pq_topk(
+    embeddings: DataFrame,
+    dim: int,
+    m: int = 2,
+    k_cb: int = 8,
+    n_iter: int = 4,
+    k: int = 10,
+    n_queries: int = 10,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Product-quantization ADC search (Jégou et al. 2011) — the memory-
+    compression path FAISS-style systems take at 10^12 vectors: split
+    each vector into ``m`` subspaces, train an independent ``k_cb``-entry
+    codebook per subspace (the same deterministic Lloyd's contract as
+    ``kmeans_assign``), ENCODE every vector as its m nearest-centroid
+    code tuple, and answer queries by Asymmetric Distance Computation —
+    the query's per-subspace distances to every centroid form an m×k_cb
+    lookup table, so scoring a database vector costs m table lookups +
+    adds instead of a dim-length dot product.  → (query_id, neighbor_id,
+    rank, adc_d2): top-``k`` per query by ADC distance (ties → smaller
+    neighbor_id), all exact integers.
+
+    Scale shape: codebook training is the bounded-state Lloyd's loop
+    (broadcast centroids, map-side argmin, k_cb·dim-row update);
+    encoding is one broadcast-scored argmin per subspace; query scoring
+    joins the code table against the TINY broadcast LUT (n_queries ×
+    k_cb rows per subspace) — the vectors themselves are never read
+    again at query time, which is the entire point of PQ.  Codes are m
+    small ints per vector: at 10^12 vectors × m=16 that is ~16 TB of
+    codes vs 512 TB of float32 vectors."""
+    if dim % m != 0:
+        raise ValueError(f"pq_topk: dim {dim} not divisible by m {m}")
+    sub_dim = dim // m
+    qz = quantize(embeddings, "embedding").select(F.col(id_col).alias("vid"), "q")
+    d2q = (
+        "aggregate(zip_with(qv, c, (x, y) -> (x - y) * (x - y)),"
+        " 0L, (acc, v) -> acc + v)"
+    )
+    codes = None
+    luts = []
+    for s in range(m):
+        sub = qz.select("vid", F.slice("q", s * sub_dim + 1, sub_dim).alias("q"))
+        cent, assign = _lloyd(sub, k_cb, n_iter)
+        c = assign.select("vid", F.col("cid").alias(f"code{s}"))
+        codes = c if codes is None else codes.join(c, "vid")
+        qs = sub.filter(F.col("vid") < n_queries).select(
+            F.col("vid").alias("qid"), F.col("q").alias("qv")
+        )
+        luts.append(
+            qs.crossJoin(F.broadcast(cent)).select(
+                "qid",
+                F.col("cid").alias(f"code{s}"),
+                F.expr(d2q).cast("long").alias(f"d{s}"),
+            )
+        )
+    scored = codes
+    for s, lut in enumerate(luts):
+        on = [f"code{s}"] if s == 0 else ["qid", f"code{s}"]
+        scored = scored.join(F.broadcast(lut), on)
+    adc = sum(F.col(f"d{s}") for s in range(m))  # noqa: B905 — column sum
+    scored = scored.filter(F.col("vid") != F.col("qid")).select(
+        F.col("qid").alias("query_id"),
+        F.col("vid").alias("neighbor_id"),
+        adc.cast("long").alias("adc_d2"),
+    )
+    w = Window.partitionBy("query_id").orderBy("adc_d2", "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"),
+                "adc_d2")
+    )

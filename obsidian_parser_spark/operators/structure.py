@@ -216,3 +216,36 @@ def section_mention_counts(content_df: DataFrame) -> DataFrame:
         .agg(F.sum("n").cast("long").alias("n_mentions"))
         .filter(F.col("n_mentions") > 0)
     )
+
+
+def anchor_validation(qualified: DataFrame, outline_df: DataFrame) -> DataFrame:
+    """→ (subj, obj, qualifier, anchor_exists): every DISTINCT
+    heading-anchored link ([[note#heading]]) checked against the target
+    note's REAL heading outline — Obsidian's broken-anchor detection as
+    a KG-quality query.  ``qualified`` is
+    ``linking.qualified_link_edges`` output, ``outline_df`` is
+    ``outline`` output; an anchor exists iff the target note has a
+    heading whose title equals the qualifier exactly.
+
+    Scale shape: two distinct projections and ONE left equi-join on
+    (obj, qualifier) — both sides key-partitioned; no broadcast
+    assumption (at catalog scale the outline table is as big as the
+    note table)."""
+    q = (
+        qualified.filter(F.col("qual_kind") == "heading")
+        .select("subj", "obj", "qualifier")
+        .distinct()
+    )
+    h = (
+        outline_df.select(
+            F.col("doc_id").alias("obj"), F.col("title").alias("qualifier")
+        )
+        .distinct()
+        .withColumn("_ok", F.lit(True))
+    )
+    return q.join(h, ["obj", "qualifier"], "left").select(
+        "subj",
+        "obj",
+        "qualifier",
+        F.coalesce("_ok", F.lit(False)).alias("anchor_exists"),
+    )

@@ -88,7 +88,7 @@ def ensure_vault_corpus(
     pq_path = documents_parquet_path(sf_name, base)
     marker = os.path.join(out_dir, "_GENERATED.json")
     params = {
-        "version": 6,
+        "version": 7,
         "seed": seed,
         "num_files": num_files_for_sf(sf_name),
         "links_per_file": links_per_file,
@@ -479,6 +479,12 @@ def generate_vault_corpus(
         for j in range(k):
             if j == k // 2 and i % 5 == 1:
                 add("text", f"## sec {i % 11}\n")
+                # (v7) heading named in the SAME format the d==3 anchored
+                # wikilinks use — so [[note_t#section m]] anchors VALIDATE
+                # against note_t's real outline iff t % 5 == 1 and
+                # m == t % 3: deterministic true AND false positives for
+                # broken-anchor detection
+                add("text", f"### section {i % 3}\n")
             filler = "TEST DATA\n" * int(fills[i, j])
             if j == 0 and i % 7 == 0:
                 filler += f"#inline_{i % 20} "

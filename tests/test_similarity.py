@@ -116,3 +116,42 @@ def test_kmeans_two_obvious_clusters(spark):
     assert evens in map(set, by_cid.values())
     # distances are exact nonnegative integers
     assert all(isinstance(r.d2, int) and r.d2 >= 0 for r in out)
+
+
+# --- product quantization ----------------------------------------------------
+
+
+def test_pq_separated_clusters_rank_own_cluster_first(spark):
+    from obsidian_parser_spark.operators.similarity import pq_topk
+
+    # two well-separated clusters in 4-dim; ADC must rank same-cluster
+    # vectors strictly above cross-cluster ones
+    rows = []
+    for i in range(8):
+        base = [0.0, 0.0, 0.0, 0.0] if i % 2 == 0 else [9.0, 9.0, 9.0, 9.0]
+        rows.append((i, [v + (i % 3) * 0.01 for v in base], i % 2))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    got = pq_topk(emb, dim=4, m=2, k_cb=2, n_iter=2, k=7, n_queries=2)
+    rank_of = {
+        (r["query_id"], r["neighbor_id"]): r["rank"] for r in got.collect()
+    }
+    for q in (0, 1):
+        same = [n for n in range(8) if n != q and n % 2 == q % 2]
+        other = [n for n in range(8) if n % 2 != q % 2]
+        worst_same = max(rank_of[(q, n)] for n in same)
+        best_other = min(rank_of[(q, n)] for n in other)
+        assert worst_same < best_other
+
+
+def test_pq_dim_not_divisible_raises(spark):
+    import pytest as _pytest
+
+    from obsidian_parser_spark.operators.similarity import pq_topk
+
+    emb = spark.createDataFrame(
+        [(0, [1.0, 2.0, 3.0], 0)], "vec_id long, embedding array<float>, label int"
+    )
+    with _pytest.raises(ValueError, match="not divisible"):
+        pq_topk(emb, dim=3, m=2)

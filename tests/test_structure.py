@@ -184,3 +184,26 @@ def test_ntriples_percent_escape_is_idempotent_safe(spark):
     (line,) = [r["line"] for r in to_ntriples(edges).collect()]
     assert line.startswith("<urn:note:x%2520y> ")
     assert "<urn:note:x%20y> ." in line
+
+
+def test_anchor_validation(spark):
+    from obsidian_parser_spark.operators.structure import anchor_validation
+
+    q = spark.createDataFrame(
+        [("a", "links_to", "b", "heading", "real head"),
+         ("a", "links_to", "b", "heading", "ghost head"),
+         ("a", "links_to", "b", "block", "blk1"),  # blocks not validated
+         ("c", "links_to", "b", "heading", "real head")],
+        "subj string, pred string, obj string, qual_kind string,"
+        " qualifier string",
+    )
+    ol = spark.createDataFrame(
+        [("b", 1, 1, "real head"), ("b", 2, 2, "other")],
+        "doc_id string, heading_ord long, level int, title string",
+    )
+    got = sorted(map(tuple, anchor_validation(q, ol).collect()))
+    assert got == [
+        ("a", "b", "ghost head", False),
+        ("a", "b", "real head", True),
+        ("c", "b", "real head", True),
+    ]
