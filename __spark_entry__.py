@@ -1705,6 +1705,34 @@ def _q_ann_pq(spark, sf_dir):
     )
 
 
+def _q_ann_pq_recall(spark, sf_dir):
+    """Recall@10 of PQ/ADC against the exact squared-L2 brute truth (PQ
+    approximates L2, not inner product, so it gets its own baseline) —
+    one exact-integer row regression-gating the quantity a PQ user
+    actually cares about, like ann_recall does for lsh/ivf."""
+    emb = _embeddings(spark, sf_dir)
+    truth = SIM.brute_force_topk_l2(emb, k=10, n_queries=10).select(
+        "query_id", "neighbor_id"
+    )
+    pq = SIM.pq_topk(emb, dim=EMB_DIM, m=2, k_cb=8, n_iter=4,
+                     k=10, n_queries=10).select("query_id", "neighbor_id")
+    hits = pq.join(truth, ["query_id", "neighbor_id"]).agg(
+        F.count(F.lit(1)).alias("n_hits")
+    )
+    return (
+        pq.agg(F.count(F.lit(1)).alias("n_returned"))
+        .crossJoin(hits)
+        .crossJoin(truth.agg(F.count(F.lit(1)).alias("n_truth")))
+        .select(
+            F.lit("pq").alias("method"),
+            F.col("n_hits").cast("long").alias("n_hits"),
+            F.col("n_returned").cast("long").alias("n_returned"),
+            F.col("n_truth").cast("long").alias("n_truth"),
+            F.round(F.col("n_hits") / F.col("n_truth"), 4).alias("recall"),
+        )
+    )
+
+
 def _q_kg_anchors(spark, sf_dir):
     """Broken-anchor detection: every distinct heading-anchored link
     ([[note#heading]]) validated against the target note's REAL heading
@@ -1875,6 +1903,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd_cluster_stats": _q_dd_cluster_stats,
         "kg_anchors": _q_kg_anchors,
         "ann_pq": _q_ann_pq,
+        "ann_pq_recall": _q_ann_pq_recall,
     }
 
 
@@ -4702,6 +4731,29 @@ SELECT t.method, coalesce(h.n_hits, 0)::BIGINT AS n_hits,
        t.n_returned::BIGINT AS n_returned, tr.n_truth::BIGINT AS n_truth,
        round(coalesce(h.n_hits, 0) / tr.n_truth, 4) AS recall
 FROM tot t LEFT JOIN hit h USING (method), tr"""
+    d2l = (
+        "CAST(list_sum([(q.qv[i] - n.qv[i]) * (q.qv[i] - n.qv[i])"
+        " for i in range(1, len(q.qv) + 1)]) AS BIGINT)"
+    )
+    out["ann_pq_recall"] = f"""
+WITH bq AS (SELECT vec_id, {qv} AS qv FROM embeddings),
+bsc AS (
+  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id, {d2l} AS d2
+  FROM bq q JOIN bq n ON n.vec_id <> q.vec_id
+  WHERE q.vec_id < 10),
+btr AS (SELECT query_id, neighbor_id FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY d2, neighbor_id) AS rn
+  FROM bsc) WHERE rn <= 10),
+pqk AS (SELECT query_id, neighbor_id FROM ({out["ann_pq"]}))
+SELECT 'pq' AS method,
+       (SELECT count(*) FROM pqk JOIN btr
+          USING (query_id, neighbor_id))::BIGINT AS n_hits,
+       (SELECT count(*) FROM pqk)::BIGINT AS n_returned,
+       (SELECT count(*) FROM btr)::BIGINT AS n_truth,
+       round((SELECT count(*) FROM pqk JOIN btr
+                USING (query_id, neighbor_id))
+             / (SELECT count(*) FROM btr), 4) AS recall"""
     # append-mode closure rule: Spark's watermark is the ms-truncated max
     # event time minus the delay; a window is emitted iff its END ≤ that
     out["ev_stream_windowed"] = f"""

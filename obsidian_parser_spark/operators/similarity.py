@@ -375,3 +375,42 @@ def pq_topk(
         .select("query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"),
                 "adc_d2")
     )
+
+
+def brute_force_topk_l2(
+    embeddings: DataFrame,
+    k: int = 10,
+    n_queries: int = 10,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact top-k neighbors by quantized SQUARED-L2 distance for the
+    first ``n_queries`` vec_ids: (query_id, neighbor_id, rank, d2) —
+    the ground truth the PQ/ADC family is measured against (PQ
+    approximates L2, not inner product, so it gets its own exact
+    baseline)."""
+    q = quantize(embeddings, "embedding").select(
+        F.col(id_col).alias("qid"), F.col("q").alias("qv")
+    )
+    queries = q.filter(F.col("qid") < n_queries)
+    base = quantize(embeddings, "embedding").select(
+        F.col(id_col).alias("neighbor_id"), F.col("q").alias("nv")
+    )
+    d2 = (
+        "aggregate(zip_with(qv, nv, (x, y) -> (x - y) * (x - y)),"
+        " 0L, (acc, v) -> acc + v)"
+    )
+    scored = (
+        base.crossJoin(F.broadcast(queries))
+        .filter(F.col("neighbor_id") != F.col("qid"))
+        .select(
+            F.col("qid").alias("query_id"),
+            "neighbor_id",
+            F.expr(d2).cast("long").alias("d2"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy("d2", "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "d2")
+    )
