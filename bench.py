@@ -299,6 +299,33 @@ def main() -> None:
             repeat=2,
         )
 
+        # markdown structure extraction over the same cached text (r04):
+        # heading outline + inline fields, pure JVM line regexps
+        from obsidian_parser_spark.operators import structure as ST
+
+        vault_content = vault_text.select(
+            "doc_id", F.col("text").alias("content")
+        )
+        timed(
+            "kg_structure_vault",
+            lambda: (
+                ST.outline(vault_content).agg(F.sum("level")).collect(),
+                ST.inline_fields(vault_content).count(),
+            ),
+            repeat=2,
+        )
+        # incremental ingest dedup (r04): the dup/ companion docs play the
+        # incoming batch probing the base corpus' shingle index
+        timed(
+            "dd_incremental_vault",
+            lambda: DD.incremental_jaccard_pairs(
+                vault_text.filter(~F.col("doc_id").startswith("dup/")),
+                vault_text.filter(F.col("doc_id").startswith("dup/")),
+                id_col="doc_id",
+            ).count(),
+            repeat=2,
+        )
+
         # driver-table queries (small, fixed size — latency floor); only
         # when the sf_dir carries the driver tables (vault-only sfs don't)
         if os.path.exists(os.path.join(sf_dir, "embeddings.parquet")):
@@ -314,6 +341,13 @@ def main() -> None:
                 "ann_kmeans",
                 lambda: SIM.kmeans_assign(emb, k=8, n_iter=4)
                 .agg(F.sum("d2"))
+                .collect(),
+                repeat=2,
+            )
+            timed(
+                "ann_pq",
+                lambda: SIM.pq_topk(emb, dim=64, m=2, k_cb=8, n_iter=4)
+                .agg(F.sum("adc_d2"))
                 .collect(),
                 repeat=2,
             )
@@ -337,6 +371,9 @@ def main() -> None:
         "kg_mentions",
         "ts_bpe_vault",
         "ann_kmeans",
+        "kg_structure_vault",
+        "dd_incremental_vault",
+        "ann_pq",
     }
     total_legacy = round(
         sum(
