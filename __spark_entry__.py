@@ -1705,6 +1705,18 @@ def _q_ann_pq(spark, sf_dir):
     )
 
 
+def _q_ann_ivfpq(spark, sf_dir):
+    """IVF-PQ — the production ANN composition (FAISS IVFPQ shape): the
+    coarse quantizer prunes to n_probe=2 cells per query and the PQ
+    code table scores candidates by ADC lookups — vectors are never
+    read at query time; the oracle composes the ann_ivf cell rule with
+    the _pq_parts chains."""
+    return SIM.ivfpq_topk(
+        _embeddings(spark, sf_dir), dim=EMB_DIM, m=2, k_cb=8, n_iter=4,
+        n_centroids=8, n_probe=2, k=10, n_queries=10,
+    )
+
+
 def _q_ann_pq_recall(spark, sf_dir):
     """Recall@10 of PQ/ADC against the exact squared-L2 brute truth (PQ
     approximates L2, not inner product, so it gets its own baseline) —
@@ -1904,6 +1916,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_anchors": _q_kg_anchors,
         "ann_pq": _q_ann_pq,
         "ann_pq_recall": _q_ann_pq_recall,
+        "ann_ivfpq": _q_ann_ivfpq,
     }
 
 
@@ -3635,21 +3648,18 @@ def _kmeans_ctes(
     return ",\n".join(parts)
 
 
-def _pq_ctes(
+def _pq_parts(
     qv: str,
     dim: int,
     m: int = 2,
     k_cb: int = 8,
     n_iter: int = 4,
-    k: int = 10,
     n_queries: int = 10,
-) -> str:
-    """Unrolled product-quantization ADC search mirroring
-    similarity.pq_topk: one prefixed k-means chain per subspace (slice
-    of the quantized vector), per-subspace code assignment =
-    {p}km_final, query LUT = query-slice × FINAL codebook
-    (c{n_iter-1}), ADC = sum of per-subspace LUT distances, top-k per
-    query by (adc, neighbor_id)."""
+) -> list[str]:
+    """The shared PQ CTEs: quantized source (pqsrc), one prefixed
+    k-means chain per subspace (codes = {p}km_final, final codebook =
+    {p}c{n_iter-1}), and the query LUT {p}lut — reused by both the flat
+    ADC search (ann_pq) and the IVF-PQ composition (ann_ivfpq)."""
     sub = dim // m
     parts = [
         f"pqsrc AS MATERIALIZED (SELECT vec_id AS vid, {qv} AS q"
@@ -3669,6 +3679,25 @@ def _pq_ctes(
   FROM (SELECT vid, q FROM p{s}qz WHERE vid < {n_queries}) z
   CROSS JOIN p{s}c{n_iter - 1} c)"""
         )
+    return parts
+
+
+def _pq_ctes(
+    qv: str,
+    dim: int,
+    m: int = 2,
+    k_cb: int = 8,
+    n_iter: int = 4,
+    k: int = 10,
+    n_queries: int = 10,
+) -> str:
+    """Unrolled product-quantization ADC search mirroring
+    similarity.pq_topk: one prefixed k-means chain per subspace (slice
+    of the quantized vector), per-subspace code assignment =
+    {p}km_final, query LUT = query-slice × FINAL codebook
+    (c{n_iter-1}), ADC = sum of per-subspace LUT distances, top-k per
+    query by (adc, neighbor_id)."""
+    parts = _pq_parts(qv, dim, m, k_cb, n_iter, n_queries)
     joins = ["p0km_final k0", "p0lut l0 ON l0.cid = k0.cid"]
     for s in range(1, m):
         joins.append(f"p{s}km_final k{s} ON k{s}.vec_id = k0.vec_id")
@@ -3688,6 +3717,68 @@ SELECT query_id, neighbor_id, rank, adc_d2 FROM (
   SELECT *, row_number() OVER (PARTITION BY query_id
                                ORDER BY adc_d2, neighbor_id)::BIGINT AS rank
   FROM pqadc) WHERE rank <= {k}"""
+    )
+
+
+def _ivfpq_ctes(
+    qv: str,
+    dim: int,
+    m: int = 2,
+    k_cb: int = 8,
+    n_iter: int = 4,
+    n_centroids: int = 8,
+    n_probe: int = 2,
+    k: int = 10,
+    n_queries: int = 10,
+) -> str:
+    """Unrolled IVF-PQ mirroring similarity.ivfpq_topk: the IVF coarse
+    rule (first-n-ids centroids, exact-L2 argmin cells, n_probe cells
+    per query — identical to the ann_ivf oracle) prunes the candidate
+    set, and the PQ chains from ``_pq_parts`` score ONLY the candidates
+    by ADC — the vectors are never touched at scoring time."""
+    parts = _pq_parts(qv, dim, m, k_cb, n_iter, n_queries)
+    parts.append(
+        f"ivcent AS (SELECT vid AS cid, q AS cq FROM pqsrc"
+        f" WHERE vid < {n_centroids})"
+    )
+    parts.append(
+        """ivd AS MATERIALIZED (
+  SELECT z.vid, c.cid,
+         CAST(list_sum([(z.q[i] - c.cq[i]) * (z.q[i] - c.cq[i])
+                        for i in range(1, len(z.q) + 1)]) AS BIGINT) AS d2
+  FROM pqsrc z, ivcent c)"""
+    )
+    parts.append(
+        """ivcells AS (SELECT vid, cid FROM (
+  SELECT *, row_number() OVER (PARTITION BY vid ORDER BY d2, cid) AS rn
+  FROM ivd) WHERE rn = 1)"""
+    )
+    parts.append(
+        f"""ivqcells AS (SELECT vid AS qid, cid FROM (
+  SELECT *, row_number() OVER (PARTITION BY vid ORDER BY d2, cid) AS rn
+  FROM ivd WHERE vid < {n_queries}) WHERE rn <= {n_probe})"""
+    )
+    parts.append(
+        """ivcand AS (SELECT qc.qid, ce.vid FROM ivqcells qc
+  JOIN ivcells ce USING (cid) WHERE ce.vid <> qc.qid)"""
+    )
+    joins = ["ivcand c"]
+    for s in range(m):
+        joins.append(f"p{s}km_final k{s} ON k{s}.vec_id = c.vid")
+        joins.append(f"p{s}lut l{s} ON l{s}.qid = c.qid AND l{s}.cid = k{s}.cid")
+    adc = " + ".join(f"l{s}.d" for s in range(m))
+    parts.append(
+        f"""ivadc AS (
+  SELECT c.qid AS query_id, c.vid AS neighbor_id, ({adc})::BIGINT AS adc_d2
+  FROM {" JOIN ".join(joins)})"""
+    )
+    return (
+        ",\n".join(parts)
+        + f"""
+SELECT query_id, neighbor_id, rank, adc_d2 FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY adc_d2, neighbor_id)::BIGINT AS rank
+  FROM ivadc) WHERE rank <= {k}"""
     )
 
 
@@ -4021,6 +4112,7 @@ WHERE i.inter / (sa.sz + sb.sz - i.inter) >= 0.8""",
         + _kmeans_ctes(qv)
         + "\nSELECT vec_id, cid, d2 FROM km_final",
         "ann_pq": "WITH " + _pq_ctes(qv, 64),
+        "ann_ivfpq": "WITH " + _ivfpq_ctes(qv, 64),
         "dd_semdedup": _dd_semdedup_sql(qv),
         "dd_simhash": _dd_simhash_oracle(tok),
         "ann_topk": f"""

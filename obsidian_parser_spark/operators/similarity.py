@@ -414,3 +414,101 @@ def brute_force_topk_l2(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "d2")
     )
+
+
+def ivfpq_topk(
+    embeddings: DataFrame,
+    dim: int,
+    m: int = 2,
+    k_cb: int = 8,
+    n_iter: int = 4,
+    n_centroids: int = 8,
+    n_probe: int = 2,
+    k: int = 10,
+    n_queries: int = 10,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF-PQ — the production composition (the FAISS IVFPQ index shape):
+    the IVF coarse quantizer PRUNES (each query probes its ``n_probe``
+    nearest cells, so only those inverted lists are candidates) and the
+    PQ code table SCORES (ADC lookups + adds — the raw vectors are never
+    read at query time).  → (query_id, neighbor_id, rank, adc_d2),
+    top-``k`` per query among probed-cell candidates.
+
+    This differs from ``ivf_topk`` (exact re-rank inside probed cells —
+    reads vectors) and ``pq_topk`` (ADC over ALL vectors — no pruning):
+    IVF-PQ does both, which is what makes 10^12-vector search tractable —
+    candidate count drops by ~n_centroids/n_probe AND each candidate
+    costs m lookups instead of a dim-length dot product.  Codebooks here
+    quantize the full vectors, not IVF residuals (residual PQ is the
+    refinement; the plumbing is identical).
+
+    Scale shape: cell assignment and PQ encoding are the bounded-state
+    broadcast-argmin passes of ``ivf_topk``/``pq_topk``; query scoring
+    joins the candidate (cell-pruned) code rows against the broadcast
+    LUT — every join is key-partitioned or broadcast, nothing touches
+    the vector column after indexing."""
+    if dim % m != 0:
+        raise ValueError(f"ivfpq_topk: dim {dim} not divisible by m {m}")
+    sub_dim = dim // m
+    qz = quantize(embeddings, "embedding").select(F.col(id_col).alias("vid"), "q")
+    d2c = "aggregate(zip_with(q, cq, (x, y) -> (x - y) * (x - y)), 0L, (acc, v) -> acc + v)"
+    cent = qz.filter(F.col("vid") < n_centroids).select(
+        F.col("vid").alias("cid"), F.col("q").alias("cq")
+    )
+    pairs = qz.crossJoin(F.broadcast(cent)).withColumn("d2", F.expr(d2c))
+    cells = (
+        pairs.groupBy("vid")
+        .agg(F.min(F.struct("d2", "cid")).alias("_m"))
+        .select("vid", F.col("_m.cid").alias("cid"))
+    )
+    wq = Window.partitionBy("vid").orderBy(F.asc("d2"), F.asc("cid"))
+    qcells = (
+        pairs.filter(F.col("vid") < n_queries)
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= n_probe)
+        .select(F.col("vid").alias("qid"), "cid")
+    )
+    d2q = (
+        "aggregate(zip_with(qv, c, (x, y) -> (x - y) * (x - y)),"
+        " 0L, (acc, v) -> acc + v)"
+    )
+    codes = None
+    luts = []
+    for s in range(m):
+        sub = qz.select("vid", F.slice("q", s * sub_dim + 1, sub_dim).alias("q"))
+        cb, assign = _lloyd(sub, k_cb, n_iter)
+        c = assign.select("vid", F.col("cid").alias(f"code{s}"))
+        codes = c if codes is None else codes.join(c, "vid")
+        qs = sub.filter(F.col("vid") < n_queries).select(
+            F.col("vid").alias("qid"), F.col("q").alias("qv")
+        )
+        luts.append(
+            qs.crossJoin(F.broadcast(cb)).select(
+                "qid",
+                F.col("cid").alias(f"code{s}"),
+                F.expr(d2q).cast("long").alias(f"d{s}"),
+            )
+        )
+    cand = (
+        cells.join(F.broadcast(qcells), "cid")
+        .filter(F.col("vid") != F.col("qid"))
+        .select("qid", "vid")
+        .join(codes, "vid")
+    )
+    scored = cand
+    for s, lut in enumerate(luts):
+        scored = scored.join(F.broadcast(lut), ["qid", f"code{s}"])
+    adc = sum(F.col(f"d{s}") for s in range(m))
+    scored = scored.select(
+        F.col("qid").alias("query_id"),
+        F.col("vid").alias("neighbor_id"),
+        adc.cast("long").alias("adc_d2"),
+    )
+    w = Window.partitionBy("query_id").orderBy("adc_d2", "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id",
+                F.col("rank").cast("long").alias("rank"), "adc_d2")
+    )

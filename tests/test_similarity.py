@@ -155,3 +155,32 @@ def test_pq_dim_not_divisible_raises(spark):
     )
     with _pytest.raises(ValueError, match="not divisible"):
         pq_topk(emb, dim=3, m=2)
+
+
+def test_ivfpq_candidates_come_from_probed_cells_only(spark):
+    from obsidian_parser_spark.operators.similarity import ivfpq_topk, pq_topk
+
+    # same separated-cluster fixture as the PQ test: with 2 coarse cells
+    # and n_probe=1, each query may only see same-cell candidates
+    rows = []
+    for i in range(8):
+        base = [0.0, 0.0, 0.0, 0.0] if i % 2 == 0 else [9.0, 9.0, 9.0, 9.0]
+        rows.append((i, [v + (i % 3) * 0.01 for v in base], i % 2))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    got = ivfpq_topk(
+        emb, dim=4, m=2, k_cb=2, n_iter=2, n_centroids=2, n_probe=1,
+        k=7, n_queries=2,
+    ).collect()
+    for r in got:
+        # cells split by parity (centroids are vectors 0 and 1)
+        assert r["neighbor_id"] % 2 == r["query_id"] % 2
+    # probing ALL cells must reproduce flat PQ exactly (pruning is the
+    # only difference between the two operators)
+    full = ivfpq_topk(
+        emb, dim=4, m=2, k_cb=2, n_iter=2, n_centroids=2, n_probe=2,
+        k=7, n_queries=2,
+    )
+    flat = pq_topk(emb, dim=4, m=2, k_cb=2, n_iter=2, k=7, n_queries=2)
+    assert sorted(map(tuple, full.collect())) == sorted(map(tuple, flat.collect()))
