@@ -1131,6 +1131,94 @@ def _q_ev_stream_windowed(spark, sf_dir):
     )
 
 
+def _q_dd_stream(spark, sf_dir):
+    """Streaming dedup under the hard signal: the watermark-bounded
+    ``dedup_stream`` (dropDuplicatesWithinWatermark — state bounded by
+    the horizon, not the stream length) replayed as a REAL availableNow
+    stream over a 3-epoch file split of the derived dedup corpus
+    (originals epoch 0, exact copies epoch 1, near copies epoch 2, one
+    micro-batch per file).  The output is per-content-hash
+    (h, n_input, n_kept): exactly ONE survivor per hash must remain —
+    deterministic regardless of WHICH arrival survived (survivor
+    identity inside a micro-batch is task-order-dependent, so the gate
+    pins the count, the quantity watermark-dedup actually guarantees).
+    Idempotent via marker."""
+    import json
+    import shutil
+
+    from obsidian_parser_spark.streaming.incremental import dedup_stream
+
+    base = os.path.join(os.path.dirname(_vault_path(sf_dir)), "dd_stream")
+    in_dir = os.path.join(base, "in")
+    out_dir = os.path.join(base, "out")
+    marker = os.path.join(base, "_DONE.json")
+    params = {"version": 1, "sf": sf_dir}
+    done = False
+    if os.path.exists(marker):
+        with open(marker) as f:
+            done = json.load(f) == params
+    if not done:
+        shutil.rmtree(base, ignore_errors=True)
+        os.makedirs(in_dir)
+        corpus = _dedup_corpus(spark, sf_dir)
+        for e, cond in enumerate(
+            (
+                F.col("doc_id") < 1000000,
+                (F.col("doc_id") >= 1000000) & (F.col("doc_id") < 2000000),
+                F.col("doc_id") >= 2000000,
+            )
+        ):
+            (
+                corpus.filter(cond)
+                .select(
+                    "doc_id",
+                    F.timestamp_seconds(F.lit(1_700_000_000 + e * 60)).alias("ts"),
+                    "text",
+                )
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(os.path.join(base, f"stage{e}"))
+            )
+            import glob as _glob
+
+            dst = os.path.join(in_dir, f"epoch_{e}.parquet")
+            os.replace(
+                _glob.glob(os.path.join(base, f"stage{e}", "part-*.parquet"))[0],
+                dst,
+            )
+            os.utime(dst, (1_700_000_000 + e, 1_700_000_000 + e))
+            shutil.rmtree(os.path.join(base, f"stage{e}"), ignore_errors=True)
+        stream = (
+            spark.readStream.schema("doc_id long, ts timestamp, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir)
+        )
+        q = (
+            dedup_stream(stream, watermark="1 hour")
+            .writeStream.trigger(availableNow=True)
+            .option("checkpointLocation", os.path.join(base, "ckpt"))
+            .format("parquet")
+            .outputMode("append")
+            .start(out_dir)
+        )
+        if not q.awaitTermination(600):
+            q.stop()
+            raise RuntimeError("dedup stream did not finish within 600s")
+        with open(marker, "w") as f:
+            json.dump(params, f)
+    kept = (
+        spark.read.parquet(out_dir)
+        .groupBy(F.md5("text").alias("h"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_kept"))
+    )
+    inp = (
+        _dedup_corpus(spark, sf_dir)
+        .groupBy(F.md5("text").alias("h"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_input"))
+    )
+    return inp.join(kept, "h").select("h", "n_input", "n_kept")
+
+
 _PPR_SEEDS = ("note_1", "note_2", "note_3")
 
 
@@ -1917,6 +2005,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_pq": _q_ann_pq,
         "ann_pq_recall": _q_ann_pq_recall,
         "ann_ivfpq": _q_ann_ivfpq,
+        "dd_stream": _q_dd_stream,
     }
 
 
@@ -4048,6 +4137,11 @@ inter AS (
 SELECT i.a, i.b, i.inter, sa.sz::BIGINT AS sza, sb.sz::BIGINT AS szb
 FROM inter i JOIN sizes sa ON sa.doc_id = i.a JOIN sizes sb ON sb.doc_id = i.b
 WHERE i.inter >= 0.8 * sa.sz""",
+        # streaming watermark-dedup guarantee: one survivor per hash
+        "dd_stream": f"""
+WITH {_DD_SQL.strip()}
+SELECT md5(text) AS h, count(*)::BIGINT AS n_input, 1::BIGINT AS n_kept
+FROM dd GROUP BY 1""",
         # incremental ingest: batch (copies, id >= 1e6) probes the BASE
         # shingle index only; df-cap on the base distribution
         "dd_incremental": f"""
