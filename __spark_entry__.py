@@ -1852,6 +1852,28 @@ def _q_kg_anchors(spark, sf_dir):
     return anchor_validation(q, outline(_vault_content(spark, sf_dir)))
 
 
+def _q_kg_matching(spark, sf_dir):
+    """Deterministic one-round handshake matching over the undirected
+    link graph (each node proposes to its hash-argmin neighbor, mutual
+    proposals match) — the coarsening primitive of multilevel graph
+    partitioners; a pure function of the edge set, oracle replays the
+    identical rule."""
+    from obsidian_parser_spark.operators.graph_metrics import handshake_matching
+
+    g = _graph(spark, sf_dir)
+    return handshake_matching(A.link_edges(g.edges))
+
+
+def _q_kg_edgecut(spark, sf_dir):
+    """Data-layout audit: the full bucket-pair edge matrix of the
+    distinct link graph under the 8-bucket doc_id-hash layout the
+    materialize plan writes — diagonal = co-bucketed (shuffle-free)
+    mass, off-diagonal = the cut a bucket-pruned read pays; portable
+    md5 bucket family so the oracle recomputes it bit-for-bit."""
+    g = _graph(spark, sf_dir)
+    return A.bucket_edge_cut(g.edges, n_buckets=8)
+
+
 def _q_dd_cluster_stats(spark, sf_dir):
     """Dedup-impact audit: the duplicate-cluster SIZE histogram
     (cluster_size, n_clusters) over the MinHash-LSH transitive clusters
@@ -2006,6 +2028,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_pq_recall": _q_ann_pq_recall,
         "ann_ivfpq": _q_ann_ivfpq,
         "dd_stream": _q_dd_stream,
+        "kg_matching": _q_kg_matching,
+        "kg_edgecut": _q_kg_edgecut,
     }
 
 
@@ -2913,6 +2937,17 @@ def _negatives_ctes(n_trials: int, target_bucket_size: int = 16) -> str:
     return ",\n".join(parts) + "\n" + "\nUNION ALL ".join(selects)
 
 
+def _layout_bkt_sql(col: str, buckets: int, salt: str = "layout") -> str:
+    """sampling.hash_bucket mirror for STRING ids: first 16 bits of
+    md5(col || salt), mod ``buckets``."""
+    nibs = " + ".join(
+        f"(strpos('0123456789abcdef', substr(md5({col} || '{salt}'),"
+        f" {i + 1}, 1)) - 1) * {16 ** (3 - i)}"
+        for i in range(4)
+    )
+    return f"(({nibs}) % {buckets})"
+
+
 def _ntriples_uri_sql(col: str) -> str:
     """Chained-replace IRI percent-escape mirroring export._URI_ESCAPES
     (same order — '%' first so escapes don't re-escape)."""
@@ -3082,6 +3117,22 @@ SELECT doc_id, section, sum(n)::BIGINT AS n_mentions
 FROM sm GROUP BY doc_id, section HAVING sum(n) > 0""",
         "kg_sssp": c + ",\n" + _sssp_ctes("note_1", 6),
         "kg_biased_walks": c + ",\n" + _biased_walks_ctes(3),
+        "kg_matching": c + """,
+mu AS (SELECT DISTINCT least(subj, obj) AS u, greatest(subj, obj) AS v
+       FROM link_edges WHERE subj <> obj),
+ms AS (SELECT u, v FROM mu UNION ALL SELECT v, u FROM mu),
+mp AS (SELECT u, v AS p FROM (
+  SELECT u, v, row_number() OVER (PARTITION BY u
+    ORDER BY md5('match:' || u || '>' || v), v) AS rn
+  FROM ms) WHERE rn = 1)
+SELECT a.u, a.p AS v FROM mp a JOIN mp b ON b.u = a.p AND b.p = a.u
+WHERE a.u < a.p""",
+        "kg_edgecut": c + f""",
+ecl AS (SELECT DISTINCT subj, obj FROM link_edges)
+SELECT {_layout_bkt_sql("subj", 8)} AS bucket_u,
+       {_layout_bkt_sql("obj", 8)} AS bucket_v,
+       count(*)::BIGINT AS n_edges
+FROM ecl GROUP BY 1, 2""",
         "kg_outline": c + r""",
 ol AS (SELECT doc_id, generate_subscripts(ls, 1) AS pos, unnest(ls) AS line
        FROM (SELECT doc_id, string_split(content, chr(10)) AS ls FROM notes)),

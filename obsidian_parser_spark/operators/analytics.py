@@ -198,3 +198,32 @@ def cocitation_pairs(
         .agg(F.count("*").alias("shared"))
         .filter(F.col("shared") >= min_shared)
     )
+
+
+def bucket_edge_cut(
+    edges: DataFrame, n_buckets: int = 8, salt: str = "layout"
+) -> DataFrame:
+    """Data-layout audit for the bucketed materialization: the full
+    bucket-pair edge matrix (bucket_u, bucket_v, n_edges) of the
+    distinct link graph under a ``doc_id``-hash bucket layout — the
+    diagonal is the co-bucketed (shuffle-free-joinable) mass, the
+    off-diagonal is the edge CUT a bucket-pruned subgraph read pays.
+    The bucket here is the engine's portable md5 family
+    (``sampling.hash_bucket``) so the audit is SQL-oracle-checkable;
+    Iceberg's ``bucket(N, doc_id)`` transform uses its own murmur3, but
+    the distributional conclusion (hash layouts cut ~(1-1/N) of edges —
+    graph locality needs a partitioner, not a hash) is identical.
+
+    Scale shape: two pure-expression bucket columns + one map-side
+    combined groupBy over a ≤ N² key domain."""
+    from .sampling import hash_bucket
+
+    le = link_edges(edges).select("subj", "obj").distinct()
+    return (
+        le.select(
+            hash_bucket("subj", n_buckets, salt).alias("bucket_u"),
+            hash_bucket("obj", n_buckets, salt).alias("bucket_v"),
+        )
+        .groupBy("bucket_u", "bucket_v")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    )

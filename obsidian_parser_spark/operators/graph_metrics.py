@@ -450,3 +450,33 @@ def reciprocity_stats(edges: DataFrame) -> DataFrame:
         .crossJoin(loops.agg(F.count(F.lit(1)).alias("n_selfloops")))
         .crossJoin(und.agg(F.count(F.lit(1)).alias("n_undirected")))
     )
+
+
+def handshake_matching(edges: DataFrame, salt: str = "match") -> DataFrame:
+    """Deterministic one-round graph matching — the coarsening primitive
+    of multilevel partitioners (METIS-style): every node PROPOSES to its
+    hash-argmin neighbor (md5('{salt}:'||u||'>'||v), ties → smaller v)
+    over the undirected distinct link graph, and mutual proposals become
+    matched pairs → (u, v) with u < v.  One round yields a valid (not
+    maximal) matching; iterate on the contracted graph for coarsening.
+    A pure function of the edge set — bit-identical across engines and
+    cluster sizes.
+
+    Scale shape: one map-side-combined min-struct per node (the
+    proposal) and ONE self-equi-join of the proposal table for the
+    mutuality test — no windows over the edge list, hub nodes cost one
+    partial-min over their adjacency."""
+    sym = _symmetric(_undirected(edges))
+    h = F.md5(F.concat(F.lit(f"{salt}:"), F.col("u"), F.lit(">"), F.col("v")))
+    prop = (
+        sym.select("u", h.alias("h"), "v")
+        .groupBy("u")
+        .agg(F.min(F.struct("h", "v")).alias("_m"))
+        .select("u", F.col("_m.v").alias("p"))
+    )
+    other = prop.select(F.col("u").alias("p"), F.col("p").alias("u"))
+    return (
+        prop.join(other, ["u", "p"])
+        .filter(F.col("u") < F.col("p"))
+        .select("u", F.col("p").alias("v"))
+    )

@@ -395,3 +395,37 @@ def test_edge_triangle_support_known_graph(spark):
         ("c", "d"): 1,
         ("d", "e"): 0,
     }
+
+
+def test_handshake_matching_is_valid_matching(spark):
+    """Every node appears in at most one matched pair, and every pair is
+    a real edge."""
+    from obsidian_parser_spark.operators.graph_metrics import handshake_matching
+
+    edges = spark.createDataFrame(
+        [("a", "links_to", "b"), ("b", "links_to", "c"),
+         ("c", "links_to", "d"), ("d", "links_to", "a"),
+         ("e", "links_to", "e")],  # self-loop never matches
+        "subj string, pred string, obj string",
+    )
+    pairs = [tuple(r) for r in handshake_matching(edges).collect()]
+    seen = [n for p in pairs for n in p]
+    assert len(seen) == len(set(seen))  # node-disjoint
+    und = {("a", "b"), ("b", "c"), ("c", "d"), ("a", "d")}
+    for u, v in pairs:
+        assert (u, v) in und or (v, u) in und
+    assert all("e" not in p for p in pairs)
+
+
+def test_bucket_edge_cut_totals(spark):
+    from obsidian_parser_spark.operators.analytics import bucket_edge_cut
+
+    edges = spark.createDataFrame(
+        [("a", "links_to", "b"), ("a", "links_to", "b"),  # dup collapses
+         ("b", "links_to", "c"), ("x", "tagged", "t")],   # tags excluded
+        "subj string, pred string, obj string",
+    )
+    rows = bucket_edge_cut(edges, n_buckets=4).collect()
+    assert sum(r["n_edges"] for r in rows) == 2  # distinct link edges only
+    for r in rows:
+        assert 0 <= r["bucket_u"] < 4 and 0 <= r["bucket_v"] < 4
