@@ -1852,6 +1852,54 @@ def _q_kg_anchors(spark, sf_dir):
     return anchor_validation(q, outline(_vault_content(spark, sf_dir)))
 
 
+def _q_dd_minhash_quality(spark, sf_dir):
+    """Estimator-quality gate for the MinHash family: for every LSH
+    candidate pair, the signature AGREEMENT count (of k=12 components —
+    E[n_agree/k] = Jaccard) BESIDE the exact integer intersection and
+    set sizes, so the estimator's error against ground truth is pinned
+    by the hard signal pair-for-pair, not just in expectation."""
+    corpus = _dedup_corpus(spark, sf_dir)
+    pairs = DD.minhash_lsh_pairs(corpus, k=12, bands=4)
+    sig = DD.minhash_signatures(corpus, k=12)
+    sa = sig.select(
+        F.col("doc_id").alias("a"),
+        *[F.col(f"h{i}").alias(f"_a{i}") for i in range(12)],
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("b"),
+        *[F.col(f"h{i}").alias(f"_b{i}") for i in range(12)],
+    )
+    agree = sum(
+        F.when(F.col(f"_a{i}") == F.col(f"_b{i}"), 1).otherwise(0)
+        for i in range(12)
+    )
+    sh = DD.distinct_shingles(corpus)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    inter = (
+        pairs.join(sh.select(F.col("doc_id").alias("a"), "shingle"), "a")
+        .join(
+            sh.select(F.col("doc_id").alias("b"), "shingle"),
+            ["b", "shingle"],
+        )
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        pairs.join(sa, "a")
+        .join(sb, "b")
+        .join(inter, ["a", "b"], "left")
+        .join(sizes.select(F.col("doc_id").alias("a"), F.col("sz").alias("sza")), "a")
+        .join(sizes.select(F.col("doc_id").alias("b"), F.col("sz").alias("szb")), "b")
+        .select(
+            "a", "b",
+            agree.cast("long").alias("n_agree"),
+            F.coalesce("inter", F.lit(0)).cast("long").alias("inter"),
+            F.col("sza").cast("long").alias("sza"),
+            F.col("szb").cast("long").alias("szb"),
+        )
+    )
+
+
 def _q_kg_matching(spark, sf_dir):
     """Deterministic one-round handshake matching over the undirected
     link graph (each node proposes to its hash-argmin neighbor, mutual
@@ -2030,6 +2078,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd_stream": _q_dd_stream,
         "kg_matching": _q_kg_matching,
         "kg_edgecut": _q_kg_edgecut,
+        "dd_minhash_quality": _q_dd_minhash_quality,
     }
 
 
@@ -4226,6 +4275,42 @@ kept AS (SELECT banded.* FROM banded JOIN small USING (band, key))
 SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
 FROM kept a JOIN kept b ON a.band = b.band AND a.key = b.key
 WHERE a.doc_id < b.doc_id""",
+        # estimator quality: signature agreement vs exact intersection
+        "dd_minhash_quality": f"""
+WITH {_DD_SQL.strip()},
+sh AS (SELECT DISTINCT doc_id, unnest({shingles}) AS shingle FROM dd),
+sigs AS (SELECT doc_id, {sig_expr} FROM sh GROUP BY doc_id),
+banded AS ({band_expr}),
+small AS (
+  SELECT band, key FROM banded GROUP BY band, key HAVING count(*) <= 200
+),
+kept AS (SELECT banded.* FROM banded JOIN small USING (band, key)),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+  FROM kept a JOIN kept b ON a.band = b.band AND a.key = b.key
+  WHERE a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT p.a, p.b, count(*) AS inter
+  FROM pairs p
+  JOIN sh x ON x.doc_id = p.a
+  JOIN sh y ON y.doc_id = p.b AND y.shingle = x.shingle
+  GROUP BY p.a, p.b
+)
+SELECT p.a, p.b,
+       ({" + ".join(
+           f"(CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END)"
+           for i in range(12)
+       )})::BIGINT AS n_agree,
+       coalesce(i.inter, 0)::BIGINT AS inter,
+       za.sz::BIGINT AS sza, zb.sz::BIGINT AS szb
+FROM pairs p
+JOIN sigs sa ON sa.doc_id = p.a
+JOIN sigs sb ON sb.doc_id = p.b
+LEFT JOIN inter i ON i.a = p.a AND i.b = p.b
+JOIN sizes za ON za.doc_id = p.a
+JOIN sizes zb ON zb.doc_id = p.b""",
         "dd_lsh_verified": f"""
 WITH {_DD_SQL.strip()},
 sh AS (SELECT DISTINCT doc_id, unnest({shingles}) AS shingle FROM dd),
