@@ -3011,10 +3011,19 @@ def _ntriples_uri_sql(col: str) -> str:
 
 
 def _ntriples_lit_sql(col: str) -> str:
+    """ECHAR escaping mirroring export.to_ntriples: backslash first, then
+    quote and the control characters N-Triples forbids raw (\\n \\r \\t)."""
     bs = "\\"
-    return (
-        f"replace(replace({col}, '{bs}', '{bs}{bs}'), '\"', '{bs}\"')"
-    )
+    expr = col
+    for ch, esc in (
+        (f"'{bs}'", f"'{bs}{bs}'"),
+        ("'\"'", f"'{bs}\"'"),
+        ("chr(10)", f"'{bs}n'"),
+        ("chr(13)", f"'{bs}r'"),
+        ("chr(9)", f"'{bs}t'"),
+    ):
+        expr = f"replace({expr}, {ch}, {esc})"
+    return expr
 
 
 def _kg_oracles(path: str) -> dict[str, str]:
@@ -3127,7 +3136,7 @@ aqres AS (
   LEFT JOIN dict d2 ON d2.kind = 'alias' AND d2.alias = q.raw_target
     AND d1.canonical IS NULL
 ),
-ahl AS (SELECT doc_id, unnest(string_split(content, chr(10))) AS line
+ahl AS (SELECT doc_id, rtrim(unnest(string_split(content, chr(10))), chr(13)) AS line
         FROM notes),
 ah AS (SELECT DISTINCT doc_id AS obj,
               regexp_extract(line, '^(#{1,6}) (.+)$', 2) AS qualifier
@@ -3147,7 +3156,7 @@ nt AS (SELECT DISTINCT
 FROM edges)
 SELECT line FROM nt""",
         "kg_sections": c + r""",
-sl AS (SELECT doc_id, generate_subscripts(ls, 1) AS pos, unnest(ls) AS line
+sl AS (SELECT doc_id, generate_subscripts(ls, 1) AS pos, rtrim(unnest(ls), chr(13)) AS line
        FROM (SELECT doc_id, string_split(content, chr(10)) AS ls FROM notes)),
 sh AS (SELECT doc_id, pos, line,
               CASE WHEN regexp_matches(line, '^#{1,6} .+$')
@@ -3183,7 +3192,7 @@ SELECT {_layout_bkt_sql("subj", 8)} AS bucket_u,
        count(*)::BIGINT AS n_edges
 FROM ecl GROUP BY 1, 2""",
         "kg_outline": c + r""",
-ol AS (SELECT doc_id, generate_subscripts(ls, 1) AS pos, unnest(ls) AS line
+ol AS (SELECT doc_id, generate_subscripts(ls, 1) AS pos, rtrim(unnest(ls), chr(13)) AS line
        FROM (SELECT doc_id, string_split(content, chr(10)) AS ls FROM notes)),
 oh AS (SELECT doc_id, pos,
               length(regexp_extract(line, '^(#{1,6}) (.+)$', 1))::INTEGER AS level,
@@ -3194,7 +3203,7 @@ SELECT doc_id,
        level, title
 FROM oh""",
         "kg_tasks": c + r""",
-tl AS (SELECT doc_id, generate_subscripts(ls, 1) AS pos, unnest(ls) AS line
+tl AS (SELECT doc_id, generate_subscripts(ls, 1) AS pos, rtrim(unnest(ls), chr(13)) AS line
        FROM (SELECT doc_id, string_split(content, chr(10)) AS ls FROM notes)),
 tt AS (SELECT doc_id, pos,
               regexp_extract(line, '^- \[( |x)\] (.+)$', 1) = 'x' AS checked,
@@ -3205,7 +3214,7 @@ SELECT doc_id,
        checked, title
 FROM tt""",
         "kg_inline_fields": c + r""",
-fl AS (SELECT doc_id, generate_subscripts(ls, 1) AS pos, unnest(ls) AS line
+fl AS (SELECT doc_id, generate_subscripts(ls, 1) AS pos, rtrim(unnest(ls), chr(13)) AS line
        FROM (SELECT doc_id, string_split(content, chr(10)) AS ls FROM notes)),
 ff AS (SELECT doc_id, pos,
               regexp_extract(line, '^([a-z][a-z0-9_]*):: (.*)$', 1) AS field,
@@ -3228,11 +3237,13 @@ LEFT JOIN dict d2 ON d2.kind = 'alias' AND d2.alias = f.tgt
 fz_t AS (SELECT DISTINCT raw_target AS s FROM dangling),
 fz_c AS (SELECT DISTINCT note_name AS s FROM notes),
 fz_tg AS (SELECT s, unnest(list_distinct(list_transform(
-            generate_series(1, greatest(length(s) - 2, 0)),
-            i -> substr(s, i::INTEGER, 3)))) AS g FROM fz_t),
+            generate_series(1, length(s) - 2),
+            i -> substr(s, i::INTEGER, 3)))) AS g
+          FROM fz_t WHERE length(s) >= 3),
 fz_cg AS (SELECT s AS c, unnest(list_distinct(list_transform(
-            generate_series(1, greatest(length(s) - 2, 0)),
-            i -> substr(s, i::INTEGER, 3)))) AS g FROM fz_c),
+            generate_series(1, length(s) - 2),
+            i -> substr(s, i::INTEGER, 3)))) AS g
+          FROM fz_c WHERE length(s) >= 3),
 fz_df AS (SELECT g FROM fz_cg GROUP BY g HAVING count(*) <= 1000),
 fz_tk AS (SELECT t.* FROM fz_tg t JOIN fz_df USING (g)),
 fz_ck AS (SELECT cg.* FROM fz_cg cg JOIN fz_df USING (g)),

@@ -801,6 +801,9 @@ def containment_pairs(
     )
 
 
+_CACHED_INDEXES: list = []  # single-slot cache, see incremental_jaccard_pairs
+
+
 def incremental_jaccard_pairs(
     base: DataFrame,
     batch: DataFrame,
@@ -830,10 +833,18 @@ def incremental_jaccard_pairs(
     (sizes, df-cap, probe join) read it, and regenerating shingles is
     the CPU-heavy step (measured 59.5 s → ~20 s on the 100k-doc vault
     bench).  In production the base index is a MATERIALIZED table
-    maintained across ingests — the cache is the single-job stand-in."""
+    maintained across ingests — the cache is the single-job stand-in.
+    Only ONE index is kept cached at a time: a new call unpersists the
+    previous call's (repeat invocations — the bench's repeat=2, the
+    driver's reruns — would otherwise pin a fresh copy of the job's
+    largest intermediate per call; unpersist is lineage-safe, an older
+    returned frame just recomputes)."""
     shb = distinct_shingles(base, n=n, id_col=id_col, text_col=text_col)
     if persist_index:
+        while _CACHED_INDEXES:
+            _CACHED_INDEXES.pop().unpersist()
         shb = shb.persist()
+        _CACHED_INDEXES.append(shb)
     shq = distinct_shingles(batch, n=n, id_col=id_col, text_col=text_col)
     sb = shb.groupBy("doc_id").agg(F.count("*").alias("sz"))
     sq = shq.groupBy("doc_id").agg(F.count("*").alias("sz"))

@@ -87,11 +87,12 @@ def to_ntriples(edges) -> "DataFrame":
 
     s = F.concat(F.lit("<urn:note:"), _uri_escape(F.col("subj")), F.lit(">"))
     p = F.concat(F.lit("<urn:rel:"), F.col("pred"), F.lit(">"))
-    lit = F.replace(
-        F.replace(F.col("obj"), F.lit("\\"), F.lit("\\\\")),
-        F.lit('"'),
-        F.lit('\\"'),
-    )
+    # ECHAR set: backslash FIRST, then quote and the control characters
+    # N-Triples forbids raw inside literals (\n \r \t)
+    lit = F.col("obj")
+    for ch, esc in (("\\", "\\\\"), ('"', '\\"'), ("\n", "\\n"),
+                    ("\r", "\\r"), ("\t", "\\t")):
+        lit = F.replace(lit, F.lit(ch), F.lit(esc))
     o = F.when(
         F.col("pred") == "tagged", F.concat(F.lit('"'), lit, F.lit('"'))
     ).otherwise(F.concat(F.lit("<urn:note:"), _uri_escape(F.col("obj")), F.lit(">")))

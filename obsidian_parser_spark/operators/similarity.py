@@ -333,10 +333,46 @@ def pq_topk(
     again at query time, which is the entire point of PQ.  Codes are m
     small ints per vector: at 10^12 vectors × m=16 that is ~16 TB of
     codes vs 512 TB of float32 vectors."""
-    if dim % m != 0:
-        raise ValueError(f"pq_topk: dim {dim} not divisible by m {m}")
-    sub_dim = dim // m
     qz = quantize(embeddings, "embedding").select(F.col(id_col).alias("vid"), "q")
+    codes, luts = _pq_codebooks(qz, dim, m, k_cb, n_iter, n_queries, "pq_topk")
+    scored = codes
+    for s, lut in enumerate(luts):
+        on = [f"code{s}"] if s == 0 else ["qid", f"code{s}"]
+        scored = scored.join(F.broadcast(lut), on)
+    adc = sum(F.col(f"d{s}") for s in range(m))  # noqa: B905 — column sum
+    scored = scored.filter(F.col("vid") != F.col("qid")).select(
+        F.col("qid").alias("query_id"),
+        F.col("vid").alias("neighbor_id"),
+        adc.cast("long").alias("adc_d2"),
+    )
+    w = Window.partitionBy("query_id").orderBy("adc_d2", "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"),
+                "adc_d2")
+    )
+
+
+def _pq_codebooks(
+    qz: DataFrame,
+    dim: int,
+    m: int,
+    k_cb: int,
+    n_iter: int,
+    n_queries: int,
+    caller: str,
+) -> tuple[DataFrame, list[DataFrame]]:
+    """The PQ encode/LUT contract shared by ``pq_topk`` and
+    ``ivfpq_topk`` (mirrors the oracle side's ``_pq_parts``): per
+    subspace slice, train a codebook with ``_lloyd``, encode every
+    vector as code{s} = its nearest-centroid id, and build the query
+    LUT (qid, code{s}, d{s}) against the FINAL codebook.  Returns
+    (codes, luts): codes = (vid, code0..code{m-1}), luts = one small
+    broadcastable frame per subspace."""
+    if dim % m != 0:
+        raise ValueError(f"{caller}: dim {dim} not divisible by m {m}")
+    sub_dim = dim // m
     d2q = (
         "aggregate(zip_with(qv, c, (x, y) -> (x - y) * (x - y)),"
         " 0L, (acc, v) -> acc + v)"
@@ -358,23 +394,7 @@ def pq_topk(
                 F.expr(d2q).cast("long").alias(f"d{s}"),
             )
         )
-    scored = codes
-    for s, lut in enumerate(luts):
-        on = [f"code{s}"] if s == 0 else ["qid", f"code{s}"]
-        scored = scored.join(F.broadcast(lut), on)
-    adc = sum(F.col(f"d{s}") for s in range(m))  # noqa: B905 — column sum
-    scored = scored.filter(F.col("vid") != F.col("qid")).select(
-        F.col("qid").alias("query_id"),
-        F.col("vid").alias("neighbor_id"),
-        adc.cast("long").alias("adc_d2"),
-    )
-    w = Window.partitionBy("query_id").orderBy("adc_d2", "neighbor_id")
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"),
-                "adc_d2")
-    )
+    return codes, luts
 
 
 def brute_force_topk_l2(
@@ -448,9 +468,6 @@ def ivfpq_topk(
     joins the candidate (cell-pruned) code rows against the broadcast
     LUT — every join is key-partitioned or broadcast, nothing touches
     the vector column after indexing."""
-    if dim % m != 0:
-        raise ValueError(f"ivfpq_topk: dim {dim} not divisible by m {m}")
-    sub_dim = dim // m
     qz = quantize(embeddings, "embedding").select(F.col(id_col).alias("vid"), "q")
     d2c = "aggregate(zip_with(q, cq, (x, y) -> (x - y) * (x - y)), 0L, (acc, v) -> acc + v)"
     cent = qz.filter(F.col("vid") < n_centroids).select(
@@ -469,27 +486,7 @@ def ivfpq_topk(
         .filter(F.col("rn") <= n_probe)
         .select(F.col("vid").alias("qid"), "cid")
     )
-    d2q = (
-        "aggregate(zip_with(qv, c, (x, y) -> (x - y) * (x - y)),"
-        " 0L, (acc, v) -> acc + v)"
-    )
-    codes = None
-    luts = []
-    for s in range(m):
-        sub = qz.select("vid", F.slice("q", s * sub_dim + 1, sub_dim).alias("q"))
-        cb, assign = _lloyd(sub, k_cb, n_iter)
-        c = assign.select("vid", F.col("cid").alias(f"code{s}"))
-        codes = c if codes is None else codes.join(c, "vid")
-        qs = sub.filter(F.col("vid") < n_queries).select(
-            F.col("vid").alias("qid"), F.col("q").alias("qv")
-        )
-        luts.append(
-            qs.crossJoin(F.broadcast(cb)).select(
-                "qid",
-                F.col("cid").alias(f"code{s}"),
-                F.expr(d2q).cast("long").alias(f"d{s}"),
-            )
-        )
+    codes, luts = _pq_codebooks(qz, dim, m, k_cb, n_iter, n_queries, "ivfpq_topk")
     cand = (
         cells.join(F.broadcast(qcells), "cid")
         .filter(F.col("vid") != F.col("qid"))

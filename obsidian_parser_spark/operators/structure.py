@@ -33,13 +33,15 @@ _LINK_VALUE_RE = r"^\[\[(.*)\]\]$"
 
 def _lines(content_df: DataFrame) -> DataFrame:
     """(doc_id, content) → (doc_id, pos, line); pos is the 0-based line
-    index within the document (split on '\\n' — the corpus' canonical
-    line separator; CRLF survives as a trailing '\\r' the patterns'
-    ``$`` does not match, so foreign line endings fail closed, not
-    wrongly)."""
+    index within the document.  Split on '\\n' with any trailing '\\r'
+    STRIPPED, so CRLF vaults extract the same values as LF vaults (Java
+    and RE2 disagree on whether ``$``/``.`` see a trailing CR — stripping
+    it keeps the engine and the SQL oracle byte-identical on both line
+    conventions)."""
+    line = F.regexp_replace(F.col("line"), "\r+$", "")
     return content_df.select(
         "doc_id", F.posexplode(F.split(F.col("content"), "\n")).alias("pos", "line")
-    )
+    ).select("doc_id", "pos", line.alias("line"))
 
 
 def outline(content_df: DataFrame) -> DataFrame:
@@ -149,16 +151,23 @@ def fuzzy_link_suggestions(
     and the unit-cost edit distance (``F.levenshtein`` ≡ DuckDB
     ``levenshtein``) are engine-portable, so the whole operator is
     SQL-oracle-checkable."""
+    # strings shorter than one gram produce no grams and cannot be
+    # blocked — filter them EXPLICITLY on both sides (Spark's
+    # sequence(1, 0) counts DOWN and would fabricate grams; DuckDB's
+    # generate_series(1, 0) is empty — the filter keeps both engines on
+    # the same rule instead of leaning on either quirk)
     grams = F.array_distinct(
-        F.expr("transform(sequence(1, greatest(length(s) - 2, 0)),"
+        F.expr("transform(sequence(1, length(s) - 2),"
                " i -> substring(s, i, 3))")
     )
     t = (
         dangling.select(F.col("raw_target").alias("s")).distinct()
+        .filter(F.length("s") >= 3)
         .select("s", F.explode(grams).alias("g"))
     )
     cand = (
         notes.select(F.col("note_name").alias("s")).distinct()
+        .filter(F.length("s") >= 3)
         .select(F.col("s").alias("c"), F.explode(grams).alias("g"))
     )
     df_cap = (

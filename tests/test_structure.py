@@ -207,3 +207,42 @@ def test_anchor_validation(spark):
         ("a", "b", "real head", True),
         ("c", "b", "real head", True),
     ]
+
+
+def test_crlf_content_extracts_same_as_lf(spark):
+    """CRLF vaults must extract identical values to LF vaults (trailing
+    CR stripped before the line patterns run)."""
+    from obsidian_parser_spark.operators.structure import (
+        inline_fields,
+        outline,
+        task_items,
+    )
+
+    lf = _content(spark, [("a", "# top\nk:: v\n- [x] done\n")])
+    crlf = _content(spark, [("a", "# top\r\nk:: v\r\n- [x] done\r\n")])
+    for fn in (outline, task_items, lambda c: inline_fields(c)):
+        assert sorted(map(tuple, fn(lf).collect())) == sorted(
+            map(tuple, fn(crlf).collect())
+        )
+
+
+def test_fuzzy_short_strings_are_filtered(spark):
+    from obsidian_parser_spark.operators.structure import fuzzy_link_suggestions
+
+    dang = spark.createDataFrame(
+        [("d", 1, "links_to", "ab")],  # 2 chars: no gram, never blocked
+        "subj string, mention_ord int, pred string, raw_target string",
+    )
+    notes = spark.createDataFrame([("ab",), ("abc",)], "note_name string")
+    assert fuzzy_link_suggestions(dang, notes, min_shared=1).count() == 0
+
+
+def test_ntriples_control_chars_escaped(spark):
+    from obsidian_parser_spark.operators.export import to_ntriples
+
+    edges = spark.createDataFrame(
+        [("a", "tagged", "x\ny\tz\rw")], "subj string, pred string, obj string"
+    )
+    (line,) = [r["line"] for r in to_ntriples(edges).collect()]
+    assert "\n" not in line and "\r" not in line and "\t" not in line
+    assert '"x\\ny\\tz\\rw"' in line
