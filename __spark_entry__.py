@@ -1219,6 +1219,84 @@ def _q_dd_stream(spark, sf_dir):
     return inp.join(kept, "h").select("h", "n_input", "n_kept")
 
 
+def _q_kg_stream_stateful(spark, sf_dir):
+    """The custom STATEFUL streaming operator under the hard signal:
+    ``running_backlinks`` (applyInPandasWithState, one counter row of
+    state per target note) replayed as a real availableNow stream over
+    a 3-epoch split of the edge table (epoch = the portable md5 bucket
+    of the SUBJECT, one micro-batch per file, update-mode emissions
+    appended via foreachBatch).  Gated per note on (backlinks = the
+    final running total, n_updates = #epochs that touched it) — both
+    pure functions of the edge set + split rule, so the oracle derives
+    them from SQL while the engine must get cross-batch state
+    restoration right to match.  Idempotent via marker."""
+    import glob as _glob
+    import json
+    import shutil
+
+    from obsidian_parser_spark.operators.sampling import hash_bucket
+    from obsidian_parser_spark.streaming.stateful import running_backlinks
+
+    base = os.path.join(os.path.dirname(_vault_path(sf_dir)), "stateful_replay")
+    in_dir = os.path.join(base, "in")
+    out_dir = os.path.join(base, "out")
+    marker = os.path.join(base, "_DONE.json")
+    params = {"version": 1, "sf": sf_dir}
+    done = False
+    if os.path.exists(marker):
+        with open(marker) as f:
+            done = json.load(f) == params
+    if not done:
+        shutil.rmtree(base, ignore_errors=True)
+        os.makedirs(in_dir)
+        g = _graph(spark, sf_dir)
+        edges = g.edges.filter(F.col("pred") != "tagged").select(
+            "subj", "pred", "obj", hash_bucket("subj", 3, "epoch").alias("_e")
+        )
+        for e in range(3):
+            stage = os.path.join(base, f"stage{e}")
+            (
+                edges.filter(F.col("_e") == e)
+                .drop("_e")
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(stage)
+            )
+            dst = os.path.join(in_dir, f"epoch_{e}.parquet")
+            os.replace(
+                _glob.glob(os.path.join(stage, "part-*.parquet"))[0], dst
+            )
+            os.utime(dst, (1_700_000_000 + e, 1_700_000_000 + e))
+            shutil.rmtree(stage, ignore_errors=True)
+        stream = (
+            spark.readStream.schema("subj string, pred string, obj string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir)
+        )
+
+        def _sink(batch_df, _epoch_id):
+            batch_df.write.mode("append").parquet(out_dir)
+
+        q = (
+            running_backlinks(stream)
+            .writeStream.trigger(availableNow=True)
+            .option("checkpointLocation", os.path.join(base, "ckpt"))
+            .outputMode("update")
+            .foreachBatch(_sink)
+            .start()
+        )
+        if not q.awaitTermination(600):
+            q.stop()
+            raise RuntimeError("stateful stream did not finish within 600s")
+        with open(marker, "w") as f:
+            json.dump(params, f)
+    upd = spark.read.parquet(out_dir)
+    return upd.groupBy("obj").agg(
+        F.max("backlinks").cast("long").alias("backlinks"),
+        F.count(F.lit(1)).cast("long").alias("n_updates"),
+    )
+
+
 _PPR_SEEDS = ("note_1", "note_2", "note_3")
 
 
@@ -2079,6 +2157,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_matching": _q_kg_matching,
         "kg_edgecut": _q_kg_edgecut,
         "dd_minhash_quality": _q_dd_minhash_quality,
+        "kg_stream_stateful": _q_kg_stream_stateful,
     }
 
 
@@ -3185,6 +3264,11 @@ mp AS (SELECT u, v AS p FROM (
   FROM ms) WHERE rn = 1)
 SELECT a.u, a.p AS v FROM mp a JOIN mp b ON b.u = a.p AND b.p = a.u
 WHERE a.u < a.p""",
+        "kg_stream_stateful": c + f"""
+SELECT obj, count(*)::BIGINT AS backlinks,
+       count(DISTINCT {_layout_bkt_sql("subj", 3, "epoch")})::BIGINT
+         AS n_updates
+FROM link_edges GROUP BY obj""",
         "kg_edgecut": c + f""",
 ecl AS (SELECT DISTINCT subj, obj FROM link_edges)
 SELECT {_layout_bkt_sql("subj", 8)} AS bucket_u,
