@@ -1297,6 +1297,65 @@ def _q_kg_stream_stateful(spark, sf_dir):
     )
 
 
+def _q_kg_stream_dict(spark, sf_dir):
+    """Per-epoch MAINTAINED-dictionary streaming under the hard signal
+    (previously pytest-only): the availableNow incremental pipeline with
+    alias_dict=None replayed over a 3-epoch md5-bucket split of the
+    vault — each micro-batch upserts its notes' alias candidates and
+    resolves against the first-wins dedup of ALL candidates accumulated
+    so far, so a note arriving in epoch N is a resolvable TARGET from
+    epoch N (self-resolving batch) onward.  The oracle instantiates
+    THREE full dictionary chains (docs of epochs ≤ e) and resolves each
+    epoch's mentions against its own version — growing-dictionary
+    semantics verified edge-for-edge.  Idempotent via marker."""
+    import glob as _glob
+    import json
+    import shutil
+
+    from obsidian_parser_spark.operators.sampling import hash_bucket
+    from obsidian_parser_spark.streaming.incremental import incremental_graph
+
+    path = _vault_path(sf_dir)
+    base = os.path.join(os.path.dirname(path), "dict_replay")
+    in_dir = os.path.join(base, "in")
+    out_dir = os.path.join(base, "out")
+    marker = os.path.join(base, "_DONE.json")
+    params = {"version": 1, "src": path}
+    done = False
+    if os.path.exists(marker):
+        with open(marker) as f:
+            done = json.load(f) == params
+    if not done:
+        shutil.rmtree(base, ignore_errors=True)
+        os.makedirs(in_dir)
+        docs = spark.read.parquet(path)
+        for e in range(3):
+            stage = os.path.join(base, f"stage{e}")
+            (
+                docs.filter(hash_bucket("doc_id", 3, "dictep") == e)
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(stage)
+            )
+            dst = os.path.join(in_dir, f"epoch_{e}.parquet")
+            os.replace(
+                _glob.glob(os.path.join(stage, "part-*.parquet"))[0], dst
+            )
+            os.utime(dst, (1_700_000_000 + e, 1_700_000_000 + e))
+            shutil.rmtree(stage, ignore_errors=True)
+        q = incremental_graph(
+            spark, in_dir, out_dir, alias_dict=None, max_files_per_trigger=1
+        )
+        if not q.awaitTermination(600):
+            q.stop()
+            raise RuntimeError("dict stream did not finish within 600s")
+        with open(marker, "w") as f:
+            json.dump(params, f)
+    return spark.read.parquet(os.path.join(out_dir, "edges")).select(
+        "subj", "pred", "obj"
+    )
+
+
 _PPR_SEEDS = ("note_1", "note_2", "note_3")
 
 
@@ -2158,6 +2217,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_edgecut": _q_kg_edgecut,
         "dd_minhash_quality": _q_dd_minhash_quality,
         "kg_stream_stateful": _q_kg_stream_stateful,
+        "kg_stream_dict": _q_kg_stream_dict,
     }
 
 
@@ -3177,7 +3237,26 @@ SELECT 8::INTEGER AS n_buckets, 2::INTEGER AS n_resumed, 6::INTEGER AS n_skipped
        (SELECT count(*) FROM dangling)::BIGINT AS total_dangling,
        TRUE AS manifest_matches_full"""
     )
+    # growing-dictionary streaming: one full chain per epoch PREFIX over
+    # docs of epochs ≤ e, each epoch's mentions resolved against its own
+    # dictionary version (the maintained-dict rule: batch self-resolves)
+    de_parts, de_selects = [], []
+    for e in range(3):
+        bkt = _layout_bkt_sql("doc_id", 3, "dictep")
+        src = (
+            f"(SELECT doc_id, spans FROM read_parquet('{path}')"
+            f" WHERE {bkt} <= {e})"
+        )
+        de_parts.append(_kg_cte_chain(path, f"de{e}_", src=src))
+        sbkt = _layout_bkt_sql("subj", 3, "dictep")
+        de_selects.append(
+            f"SELECT subj, pred, obj FROM de{e}_link_edges WHERE {sbkt} = {e}"
+        )
+    kg_stream_dict_sql = (
+        "WITH " + ",\n".join(de_parts) + "\n" + "\nUNION ALL ".join(de_selects)
+    )
     return {
+        "kg_stream_dict": kg_stream_dict_sql,
         "kg_decode": _media_decode_oracle(mpath),
         "kg_pixels": _media_pixels_oracle(mpath),
         "kg_audio": _media_audio_oracle(mpath),
