@@ -297,6 +297,37 @@ def _q_kg_component_count(spark, sf_dir):
     return component_count(_q_kg_components(spark, sf_dir))
 
 
+def _q_kg_component_stats(spark, sf_dir):
+    """Per-component structure rollup — (component, n_nodes, n_edges)
+    over the distinct undirected link graph: the size/density profile
+    that tells a vault how much of it is one giant component vs isolated
+    islands; two map-side-combined rollups joined on the CC output, so
+    the cost beyond the CC fixpoint is one key-partitioned join."""
+    cc = _q_kg_components(spark, sf_dir)
+    sizes = cc.groupBy("component").agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes")
+    )
+    g = _graph(spark, sf_dir)
+    und = (
+        A.link_edges(g.edges)
+        .select(
+            F.least("subj", "obj").alias("u"), F.greatest("subj", "obj").alias("v")
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    ed = (
+        und.join(cc.select(F.col("id").alias("u"), "component"), "u")
+        .groupBy("component")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    )
+    return sizes.join(ed, "component", "left").select(
+        "component",
+        "n_nodes",
+        F.coalesce("n_edges", F.lit(0)).cast("long").alias("n_edges"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # training-data pipeline queries (engine)
 # ---------------------------------------------------------------------------
@@ -2218,6 +2249,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd_minhash_quality": _q_dd_minhash_quality,
         "kg_stream_stateful": _q_kg_stream_stateful,
         "kg_stream_dict": _q_kg_stream_dict,
+        "kg_component_stats": _q_kg_component_stats,
     }
 
 
@@ -3717,6 +3749,17 @@ HAVING count(*) > 1""",
         + ",\n"
         + _cc_ctes()
         + "\nSELECT count(DISTINCT component)::BIGINT AS n_components FROM cc",
+        "kg_component_stats": c
+        + ",\n"
+        + _cc_ctes()
+        + """,
+csz AS (SELECT component, count(*)::BIGINT AS n_nodes FROM cc GROUP BY component),
+cund AS (SELECT DISTINCT least(subj, obj) AS u, greatest(subj, obj) AS v
+         FROM link_edges WHERE subj <> obj),
+ced AS (SELECT cc.component, count(*)::BIGINT AS n_edges
+        FROM cund JOIN cc ON cc.id = cund.u GROUP BY cc.component)
+SELECT s.component, s.n_nodes, coalesce(e.n_edges, 0)::BIGINT AS n_edges
+FROM csz s LEFT JOIN ced e USING (component)""",
         "kg_modality": c
         + f""",
 mod_agg AS (
