@@ -2068,6 +2068,70 @@ def _q_dd_minhash_quality(spark, sf_dir):
     )
 
 
+def _q_kg_tag_cooccurrence(spark, sf_dir):
+    """The TAG co-occurrence graph — (tag_a, tag_b, n_notes) for tag
+    pairs appearing on ≥ 2 common notes (a < b): folksonomy structure as
+    its own KG layer (tag clustering, related-tag suggestion).  Notes
+    carry ≤ a handful of tags, so the per-note pair fan-out is a small
+    constant — the self-join is note-keyed, never tag-keyed, and the
+    rollup is map-side combined."""
+    g = _graph(spark, sf_dir)
+    tags = (
+        g.edges.filter(F.col("pred") == "tagged")
+        .select("subj", F.col("obj").alias("tag"))
+        .distinct()
+    )
+    a = tags.select("subj", F.col("tag").alias("tag_a"))
+    b = tags.select("subj", F.col("tag").alias("tag_b"))
+    return (
+        a.join(b, "subj")
+        .filter(F.col("tag_a") < F.col("tag_b"))
+        .groupBy("tag_a", "tag_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_notes"))
+        .filter(F.col("n_notes") >= 2)
+    )
+
+
+def _q_ts_vocab_growth(spark, sf_dir):
+    """Heaps-law vocabulary growth: distinct-word count at three nested
+    corpus prefixes (the md5 doc buckets < 33 / < 66 / all — a
+    deterministic, order-free 'prefix') → (prefix_pct, n_tokens,
+    n_distinct) — the curve a tokenizer budget is sized from; three
+    map-side-combined aggregations over the same token stream."""
+    from obsidian_parser_spark.operators.sampling import hash_bucket
+
+    docs = _documents(spark, sf_dir)
+    toks = docs.select(
+        hash_bucket("doc_id", 100, "vg").alias("b"),
+        F.explode(F.expr("filter(split(lower(text), '\\\\s+'), x -> x != '')"))
+        .alias("word"),
+    )
+    out = None
+    for pct in (33, 66, 100):
+        t = toks.filter(F.col("b") < pct)
+        row = t.agg(
+            F.lit(pct).alias("prefix_pct"),
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.countDistinct("word").cast("long").alias("n_distinct"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+def _q_ev_hourly_profile(spark, sf_dir):
+    """Diurnal profile: events per UTC hour-of-day per type — hour from
+    pure epoch integer arithmetic ((epoch_us // 3600e6) % 24, never a
+    calendar function), so both engines are bit-identical."""
+    ev = _events(spark, sf_dir)
+    hour = (
+        F.floor(F.unix_micros(F.col("ts").cast("timestamp")) / 3_600_000_000)
+        % 24
+    ).cast("long")
+    return ev.select(hour.alias("hour"), "event_type").groupBy(
+        "hour", "event_type"
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+
+
 def _q_kg_matching(spark, sf_dir):
     """Deterministic one-round handshake matching over the undirected
     link graph (each node proposes to its hash-argmin neighbor, mutual
@@ -2250,6 +2314,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_stream_stateful": _q_kg_stream_stateful,
         "kg_stream_dict": _q_kg_stream_dict,
         "kg_component_stats": _q_kg_component_stats,
+        "kg_tag_cooccurrence": _q_kg_tag_cooccurrence,
+        "ts_vocab_growth": _q_ts_vocab_growth,
+        "ev_hourly_profile": _q_ev_hourly_profile,
     }
 
 
@@ -3345,6 +3412,11 @@ nt AS (SELECT DISTINCT
   || ' .' AS line
 FROM edges)
 SELECT line FROM nt""",
+        "kg_tag_cooccurrence": c + """,
+tga AS (SELECT DISTINCT subj, obj AS tag FROM tag_edges)
+SELECT a.tag AS tag_a, b.tag AS tag_b, count(*)::BIGINT AS n_notes
+FROM tga a JOIN tga b ON a.subj = b.subj AND a.tag < b.tag
+GROUP BY 1, 2 HAVING count(*) >= 2""",
         "kg_sections": c + r""",
 sl AS (SELECT doc_id, generate_subscripts(ls, 1) AS pos, rtrim(unnest(ls), chr(13)) AS line
        FROM (SELECT doc_id, string_split(content, chr(10)) AS ls FROM notes)),
@@ -4714,6 +4786,19 @@ SELECT t.user_id, t.n_exact, min(s.cnt)::BIGINT AS n_est
 FROM top t, (VALUES (0), (1), (2), (3)) r(r)
 JOIN hb s ON s.row = r.r AND s.bkt = {_cms_bkt_sql("t.user_id", "r.r", 512)}
 GROUP BY t.user_id, t.n_exact""",
+        "ts_vocab_growth": f"""
+WITH vt AS (SELECT {_layout_bkt_sql("CAST(doc_id AS VARCHAR)", 100, "vg")} AS b,
+            unnest({tok}) AS word FROM documents)
+"""
+        + "\nUNION ALL ".join(
+            f"""SELECT {pct} AS prefix_pct, count(*)::BIGINT AS n_tokens,
+       count(DISTINCT word)::BIGINT AS n_distinct FROM vt WHERE b < {pct}"""
+            for pct in (33, 66, 100)
+        ),
+        "ev_hourly_profile": """
+SELECT ((epoch_us(ts) // 3600000000) % 24)::BIGINT AS hour, event_type,
+       count(*)::BIGINT AS n_events
+FROM events GROUP BY 1, 2""",
         "ts_zipf": f"""
 WITH zv AS (SELECT unnest({tok}) AS word FROM documents),
 zn AS (SELECT word, count(*)::BIGINT AS n FROM zv GROUP BY word)
