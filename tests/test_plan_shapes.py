@@ -357,3 +357,44 @@ def test_cms_sketch_join_is_broadcast(spark):
     df = heavy_hitters_cms(ev, k=3)
     df.collect()
     assert "BroadcastHashJoin" in _plan(df)
+
+
+def test_late_round4_operator_plans_are_jvm_only(spark):
+    """Tag co-occurrence, component stats, vocab-growth tokenization, and
+    the hourly profile stay JVM-side with no cartesian fallback."""
+    edges = spark.createDataFrame(
+        [("a", "tagged", "t1"), ("a", "tagged", "t2"),
+         ("b", "tagged", "t1"), ("b", "tagged", "t2"),
+         ("a", "links_to", "b")],
+        "subj string, pred string, obj string",
+    )
+    a = edges.filter(F.col("pred") == "tagged").select(
+        "subj", F.col("obj").alias("tag")
+    ).distinct()
+    co = (
+        a.join(a.withColumnRenamed("tag", "tag_b"), "subj")
+        .filter(F.col("tag") < F.col("tag_b"))
+        .groupBy("tag", "tag_b").count()
+    )
+    from datetime import datetime
+
+    ev = spark.createDataFrame(
+        [(1, datetime(2024, 1, 1, 5), 7, "view", 1.0, "{}")],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    hour = (
+        F.floor(F.unix_micros(F.col("ts").cast("timestamp")) / 3_600_000_000)
+        % 24
+    ).cast("long")
+    hp = ev.select(hour.alias("hour"), "event_type").groupBy(
+        "hour", "event_type"
+    ).count()
+    for df in (co, hp):
+        df.collect()
+        plan = _plan(df)
+        for marker in PY_MARKERS:
+            assert marker not in plan, marker
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert plan.count("HashAggregate") >= 2  # map-side partial
