@@ -2184,6 +2184,54 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_edges": _q_kg_edges,
         "kg_backlinks": _q_kg_backlinks,
+        "kg_components": _q_kg_components,
+        "kg_decode": _q_kg_decode,
+        "kg_pixels": _q_kg_pixels,
+        "kg_audio": _q_kg_audio,
+        "kg_gifpixels": _q_kg_gifpixels,
+        "kg_gif": _q_kg_gif,
+        "kg_bmp": _q_kg_bmp,
+        "kg_media_decoded": _q_kg_media_decoded,
+        "kg_pack": _q_kg_pack,
+        "ts_pack": _q_ts_pack,
+        "ann_recall": _q_ann_recall,
+        "ann_pq_recall": _q_ann_pq_recall,
+        "ann_pq": _q_ann_pq,
+        "ann_ivfpq": _q_ann_ivfpq,
+        "ann_kmeans": _q_ann_kmeans,
+        "kg_stream_edges": _q_kg_stream_edges,
+        "kg_stream_stateful": _q_kg_stream_stateful,
+        "kg_stream_dict": _q_kg_stream_dict,
+        "ev_stream_windowed": _q_ev_stream_windowed,
+        "dd_stream": _q_dd_stream,
+        "kg_resume": _q_kg_resume,
+        "kg_triangles": _q_kg_triangles,
+        "kg_kcore": _q_kg_kcore,
+        "kg_truss_support": _q_kg_truss_support,
+        "kg_communities": _q_kg_communities,
+        "kg_clustering": _q_kg_clustering,
+        "kg_modularity": _q_kg_modularity,
+        "kg_distances": _q_kg_distances,
+        "kg_sssp": _q_kg_sssp,
+        "kg_closeness": _q_kg_closeness,
+        "kg_ppr": _q_kg_ppr,
+        "kg_walks": _q_kg_walks,
+        "kg_biased_walks": _q_kg_biased_walks,
+        "kg_walk_pairs": _q_kg_walk_pairs,
+        "kg_negatives": _q_kg_negatives,
+        "kg_egonets": _q_kg_egonets,
+        "kg_ids": _q_kg_ids,
+        "ev_asof": _q_ev_asof,
+        "ev_range": _q_ev_range,
+        "ts_bpe": _q_ts_bpe,
+        "ts_bpe_encode": _q_ts_bpe_encode,
+        "dd_contamination": _q_dd_contamination,
+        "dd_dupspans": _q_dd_dupspans,
+        "dd_incremental": _q_dd_incremental,
+        "dd_minhash_quality": _q_dd_minhash_quality,
+        "ts_chunks": _q_ts_chunks,
+        "ts_bm25": _q_ts_bm25,
+        "kg_matching": _q_kg_matching,
         "kg_out_degree": _q_kg_out_degree,
         "kg_hub": _q_kg_hub,
         "kg_orphans": _q_kg_orphans,
@@ -2203,7 +2251,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_edge_stats": _q_kg_edge_stats,
         "kg_render": _q_kg_render,
         "kg_props_typed": _q_kg_props_typed,
-        "kg_components": _q_kg_components,
         "kg_component_count": _q_kg_component_count,
         "dd_exact": _q_dd_exact,
         "dd_ngram_jaccard": _q_dd_ngram_jaccard,
@@ -2236,43 +2283,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_related": _q_kg_related,
         "kg_hits": _q_kg_hits,
         "kg_identities": _q_kg_identities,
-        "ts_chunks": _q_ts_chunks,
         "ts_stratified": _q_ts_stratified,
-        "kg_decode": _q_kg_decode,
-        "kg_media_decoded": _q_kg_media_decoded,
-        "ts_pack": _q_ts_pack,
-        "kg_pixels": _q_kg_pixels,
-        "kg_audio": _q_kg_audio,
-        "kg_distances": _q_kg_distances,
-        "kg_gif": _q_kg_gif,
-        "kg_pack": _q_kg_pack,
-        "ann_recall": _q_ann_recall,
-        "kg_stream_edges": _q_kg_stream_edges,
-        "kg_resume": _q_kg_resume,
-        "ev_stream_windowed": _q_ev_stream_windowed,
-        "kg_triangles": _q_kg_triangles,
-        "kg_truss_support": _q_kg_truss_support,
-        "kg_kcore": _q_kg_kcore,
-        "kg_communities": _q_kg_communities,
-        "ev_asof": _q_ev_asof,
-        "ev_range": _q_ev_range,
-        "kg_bmp": _q_kg_bmp,
-        "kg_ppr": _q_kg_ppr,
         "kg_assortativity": _q_kg_assortativity,
-        "kg_clustering": _q_kg_clustering,
         "kg_linkpred": _q_kg_linkpred,
         "kg_qualified": _q_kg_qualified,
-        "kg_walks": _q_kg_walks,
-        "kg_modularity": _q_kg_modularity,
-        "kg_walk_pairs": _q_kg_walk_pairs,
-        "kg_negatives": _q_kg_negatives,
-        "dd_contamination": _q_dd_contamination,
-        "dd_dupspans": _q_dd_dupspans,
-        "ts_bm25": _q_ts_bm25,
         "ev_copresence": _q_ev_copresence,
-        "kg_gifpixels": _q_kg_gifpixels,
-        "kg_egonets": _q_kg_egonets,
-        "kg_ids": _q_kg_ids,
         "ev_retention": _q_ev_retention,
         "ev_funnel": _q_ev_funnel,
         "ts_collocations": _q_ts_collocations,
@@ -2280,16 +2295,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_winnowing": _q_ts_winnowing,
         "dd_winnow": _q_dd_winnow,
         "ts_textrank": _q_ts_textrank,
-        "kg_closeness": _q_kg_closeness,
-        "ann_kmeans": _q_ann_kmeans,
         "ev_transitions": _q_ev_transitions,
         "ts_ngram_lm": _q_ts_ngram_lm,
-        "ts_bpe": _q_ts_bpe,
-        "ts_bpe_encode": _q_ts_bpe_encode,
         "ts_lm_coverage": _q_ts_lm_coverage,
         "ev_distinct_sketch": _q_ev_distinct_sketch,
-        "kg_sssp": _q_kg_sssp,
-        "kg_biased_walks": _q_kg_biased_walks,
         "ev_heavyhitters": _q_ev_heavyhitters,
         "dd_containment": _q_dd_containment,
         "kg_outline": _q_kg_outline,
@@ -2297,22 +2306,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_inline_fields": _q_kg_inline_fields,
         "kg_fuzzy_targets": _q_kg_fuzzy_targets,
         "kg_cocitation": _q_kg_cocitation,
-        "dd_incremental": _q_dd_incremental,
         "kg_sections": _q_kg_sections,
         "ts_zipf": _q_ts_zipf,
         "ev_bursts": _q_ev_bursts,
         "kg_ntriples": _q_kg_ntriples,
         "dd_cluster_stats": _q_dd_cluster_stats,
         "kg_anchors": _q_kg_anchors,
-        "ann_pq": _q_ann_pq,
-        "ann_pq_recall": _q_ann_pq_recall,
-        "ann_ivfpq": _q_ann_ivfpq,
-        "dd_stream": _q_dd_stream,
-        "kg_matching": _q_kg_matching,
         "kg_edgecut": _q_kg_edgecut,
-        "dd_minhash_quality": _q_dd_minhash_quality,
-        "kg_stream_stateful": _q_kg_stream_stateful,
-        "kg_stream_dict": _q_kg_stream_dict,
         "kg_component_stats": _q_kg_component_stats,
         "kg_tag_cooccurrence": _q_kg_tag_cooccurrence,
         "ts_vocab_growth": _q_ts_vocab_growth,
