@@ -2124,8 +2124,7 @@ def _q_ev_hourly_profile(spark, sf_dir):
     calendar function), so both engines are bit-identical."""
     ev = _events(spark, sf_dir)
     hour = (
-        F.floor(F.unix_micros(F.col("ts").cast("timestamp")) / 3_600_000_000)
-        % 24
+        F.expr("unix_micros(CAST(ts AS TIMESTAMP)) div 3600000000") % 24
     ).cast("long")
     return ev.select(hour.alias("hour"), "event_type").groupBy(
         "hour", "event_type"
@@ -3396,8 +3395,8 @@ aqres AS (
 ahl AS (SELECT doc_id, rtrim(unnest(string_split(content, chr(10))), chr(13)) AS line
         FROM notes),
 ah AS (SELECT DISTINCT doc_id AS obj,
-              regexp_extract(line, '^(#{1,6}) (.+)$', 2) AS qualifier
-       FROM ahl WHERE regexp_matches(line, '^#{1,6} .+$'))
+              regexp_extract(line, '^ {0,3}(#{1,6}) (.+)$', 2) AS qualifier
+       FROM ahl WHERE regexp_matches(line, '^ {0,3}#{1,6} .+$'))
 SELECT r.subj, r.obj, r.qualifier,
        (ah.obj IS NOT NULL) AS anchor_exists
 FROM (SELECT * FROM aqres WHERE obj IS NOT NULL) r
@@ -3421,8 +3420,8 @@ GROUP BY 1, 2 HAVING count(*) >= 2""",
 sl AS (SELECT doc_id, generate_subscripts(ls, 1) AS pos, rtrim(unnest(ls), chr(13)) AS line
        FROM (SELECT doc_id, string_split(content, chr(10)) AS ls FROM notes)),
 sh AS (SELECT doc_id, pos, line,
-              CASE WHEN regexp_matches(line, '^#{1,6} .+$')
-                   THEN regexp_extract(line, '^(#{1,6}) (.+)$', 2) END AS h
+              CASE WHEN regexp_matches(line, '^ {0,3}#{1,6} .+$')
+                   THEN regexp_extract(line, '^ {0,3}(#{1,6}) (.+)$', 2) END AS h
        FROM sl),
 sr AS (SELECT doc_id, line,
               coalesce(last_value(h IGNORE NULLS) OVER (
@@ -3462,9 +3461,9 @@ FROM ecl GROUP BY 1, 2""",
 ol AS (SELECT doc_id, generate_subscripts(ls, 1) AS pos, rtrim(unnest(ls), chr(13)) AS line
        FROM (SELECT doc_id, string_split(content, chr(10)) AS ls FROM notes)),
 oh AS (SELECT doc_id, pos,
-              length(regexp_extract(line, '^(#{1,6}) (.+)$', 1))::INTEGER AS level,
-              regexp_extract(line, '^(#{1,6}) (.+)$', 2) AS title
-       FROM ol WHERE regexp_matches(line, '^#{1,6} .+$'))
+              length(regexp_extract(line, '^ {0,3}(#{1,6}) (.+)$', 1))::INTEGER AS level,
+              regexp_extract(line, '^ {0,3}(#{1,6}) (.+)$', 2) AS title
+       FROM ol WHERE regexp_matches(line, '^ {0,3}#{1,6} .+$'))
 SELECT doc_id,
        row_number() OVER (PARTITION BY doc_id ORDER BY pos)::BIGINT AS heading_ord,
        level, title
@@ -3473,9 +3472,9 @@ FROM oh""",
 tl AS (SELECT doc_id, generate_subscripts(ls, 1) AS pos, rtrim(unnest(ls), chr(13)) AS line
        FROM (SELECT doc_id, string_split(content, chr(10)) AS ls FROM notes)),
 tt AS (SELECT doc_id, pos,
-              regexp_extract(line, '^- \[( |x)\] (.+)$', 1) = 'x' AS checked,
-              regexp_extract(line, '^- \[( |x)\] (.+)$', 2) AS title
-       FROM tl WHERE regexp_matches(line, '^- \[( |x)\] (.+)$'))
+              lower(regexp_extract(line, '^ {0,3}[-*+] \[( |x|X)\] (.+)$', 1)) = 'x' AS checked,
+              regexp_extract(line, '^ {0,3}[-*+] \[( |x|X)\] (.+)$', 2) AS title
+       FROM tl WHERE regexp_matches(line, '^ {0,3}[-*+] \[( |x|X)\] (.+)$'))
 SELECT doc_id,
        row_number() OVER (PARTITION BY doc_id ORDER BY pos)::BIGINT AS task_ord,
        checked, title

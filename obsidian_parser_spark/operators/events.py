@@ -54,7 +54,7 @@ def windowed_counts(events: DataFrame) -> DataFrame:
     (window_start_us, event_type, n_events, value_cents)."""
     e = events.select(
         F.col("event_type"),
-        (F.floor(F.unix_micros(F.col("ts").cast("timestamp")) / WINDOW_US) * WINDOW_US)
+        (F.expr(f"unix_micros(CAST(ts AS TIMESTAMP)) div {WINDOW_US}") * WINDOW_US)
         .cast("long")
         .alias("window_start_us"),
         F.round(F.col("value") * 100).cast("long").alias("cents"),
@@ -472,7 +472,7 @@ def burst_windows(events: DataFrame) -> DataFrame:
     per = events.select(
         "event_type",
         (
-            F.floor(F.unix_micros(F.col("ts").cast("timestamp")) / WINDOW_US)
+            F.expr(f"unix_micros(CAST(ts AS TIMESTAMP)) div {WINDOW_US}")
             * WINDOW_US
         ).cast("long").alias("w"),
     ).groupBy("event_type", "w").agg(F.count(F.lit(1)).cast("long").alias("n"))

@@ -285,6 +285,11 @@ def qualified_link_edges(
     return hit1.unionByName(hit2)
 
 
+# Driver-side byte budget for the broadcast name dict (~1M typical names);
+# module-level so tests can pin the auto-decision on both sides of it.
+_BROADCAST_BYTE_BUDGET = 64 * 1024 * 1024
+
+
 def unlinked_mentions(
     documents: DataFrame,
     alias_dict: DataFrame,
@@ -310,8 +315,9 @@ def unlinked_mentions(
     (doc, token) groupBy + sort-merge plan AND a broadcast-join-after-
     explode plan cost minutes (measured 215 s / 200 s; the Java regex
     split + generator explode is itself the bottleneck).  When the name
-    table fits (``broadcast_dict=None`` auto-decides with one count,
-    mirroring ``build_graph``), the stage follows the tokenize-stage
+    table fits (``broadcast_dict=None`` auto-decides with one byte-sum
+    agg against a 64 MB driver budget — a row count lies about payload
+    size), the stage follows the tokenize-stage
     design instead: text-kind spans are joined into ONE string per doc
     natively, a single Arrow ``mapInPandas`` pass counts tokens with
     C-speed ``findall``+``Counter`` and keeps only broadcast-name-map
@@ -333,9 +339,25 @@ def unlinked_mentions(
         .select(F.col("alias").alias("token"), F.col("canonical").alias("obj"))
     )
     if broadcast_dict is None:
-        # auto: one count on the (small, usually persisted upstream) name
-        # side decides the join strategy, as in plans.pipeline.build_graph.
-        broadcast_dict = names.count() <= 5_000_000
+        # auto: BYTE-budget the driver-side dict, not a row count — at the
+        # old 5M-row threshold the collected Python strings were ~0.5-1 GB
+        # on the driver (re-pickled per executor), the exact OOM the JVM
+        # fallback exists to avoid.  One agg on the (small, usually
+        # persisted upstream) name side: estimated payload = sum of
+        # alias+canonical bytes; the 64 MB budget is ~1M typical names.
+        est = names.agg(
+            F.coalesce(
+                F.sum(F.length("token") + F.length("obj")), F.lit(0)
+            ).alias("b")
+        ).collect()[0]["b"]
+        broadcast_dict = est <= _BROADCAST_BYTE_BUDGET
+        import logging
+
+        logging.getLogger(__name__).info(
+            "unlinked_mentions: name dict ~%d bytes -> %s path",
+            est,
+            "broadcast/Arrow" if broadcast_dict else "JVM shuffle",
+        )
     if broadcast_dict:
         # Bounded-by-construction collect: the same rows a JVM broadcast
         # would materialize driver-side, shipped once per executor.

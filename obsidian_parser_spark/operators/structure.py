@@ -24,8 +24,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-_HEADING_RE = r"^(#{1,6}) (.+)$"
-_TASK_RE = r"^- \[( |x)\] (.+)$"
+# GFM forms (widened per round-4 advice): headings and list bullets allow
+# up to 3 leading SPACES (4+ = code block; tabs excluded by the spec),
+# bullets are -/*/+, and the checked mark is case-insensitive x.  The
+# indent/bullet are non-capturing so group numbers stay (1=mark/hashes,
+# 2=title) — the DuckDB oracles use the IDENTICAL patterns.
+_HEADING_RE = r"^ {0,3}(#{1,6}) (.+)$"
+_TASK_RE = r"^ {0,3}[-*+] \[( |x|X)\] (.+)$"
 _FIELD_RE = r"^([a-z][a-z0-9_]*):: (.*)$"
 # the parser.rs strip order for link-target suffixes: '#' → '^' → '|'
 _LINK_VALUE_RE = r"^\[\[(.*)\]\]$"
@@ -68,7 +73,7 @@ def task_items(content_df: DataFrame) -> DataFrame:
     return t.select(
         "doc_id",
         F.row_number().over(w).cast("long").alias("task_ord"),
-        (F.regexp_extract("line", _TASK_RE, 1) == "x").alias("checked"),
+        (F.lower(F.regexp_extract("line", _TASK_RE, 1)) == "x").alias("checked"),
         F.regexp_extract("line", _TASK_RE, 2).alias("title"),
     )
 

@@ -285,3 +285,42 @@ def test_alias_conflicts_surfaces_first_wins_losers(spark):
     # 'dup' short name claimed by 3 notes; root-level 'dup' wins (1 segment),
     # losers sorted lexicographically; 'solo' and all 'full' keys absent.
     assert out == {("dup", "short"): ("dup", 3, "a/dup,b/dup")}
+
+
+def test_unlinked_mentions_byte_budget_path_choice(spark, monkeypatch):
+    """The broadcast/JVM auto-decision is a BYTE budget, not a row count:
+    under budget -> Arrow mapInPandas pass (MapInPandas in the plan);
+    over budget -> JVM shuffle fallback (no Python anywhere). Results are
+    identical on both paths."""
+    from obsidian_parser_spark.operators import linking as LKM
+
+    docs = spark.createDataFrame(
+        [
+            ("a", [("text", "see b and b today", None, 0)]),
+            ("d", [("text", "b!", None, 0)]),
+        ],
+        "doc_id string, spans array<struct<kind string, text string, "
+        "media_ref string, offset long>>",
+    )
+    dict_df = spark.createDataFrame(
+        [(x, "short", x) for x in "abd"],
+        "alias string, kind string, canonical string",
+    )
+    linked = spark.createDataFrame(
+        [], "subj string, pred string, obj string"
+    )
+
+    def plan(df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    # under budget (6 bytes of names << default) -> Arrow path
+    under = LKM.unlinked_mentions(docs, dict_df, linked)
+    assert "MapInPandas" in plan(under)
+    # over budget -> JVM fallback, no Python eval in the plan
+    monkeypatch.setattr(LKM, "_BROADCAST_BYTE_BUDGET", 1)
+    over = LKM.unlinked_mentions(docs, dict_df, linked)
+    p = plan(over)
+    assert "MapInPandas" not in p and "BatchEvalPython" not in p
+    want = {("a", "b"): 2, ("d", "b"): 1}
+    assert {(r["subj"], r["obj"]): r["n_mentions"] for r in under.collect()} == want
+    assert {(r["subj"], r["obj"]): r["n_mentions"] for r in over.collect()} == want

@@ -384,8 +384,7 @@ def test_late_round4_operator_plans_are_jvm_only(spark):
         " value double, props string",
     )
     hour = (
-        F.floor(F.unix_micros(F.col("ts").cast("timestamp")) / 3_600_000_000)
-        % 24
+        F.expr("unix_micros(CAST(ts AS TIMESTAMP)) div 3600000000") % 24
     ).cast("long")
     hp = ev.select(hour.alias("hour"), "event_type").groupBy(
         "hour", "event_type"
