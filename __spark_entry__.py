@@ -2179,11 +2179,111 @@ def _q_kg_ntriples(spark, sf_dir):
     return to_ntriples(g.edges)
 
 
+
+
+# ---------------------------------------------------------------------------
+# Hostile parser-parity gate (kg_hostile)
+# ---------------------------------------------------------------------------
+
+# Expected rows for sources.corpus.HOSTILE_CASES, hand-audited against the
+# reference parser semantics (src/note/parser.rs:58-76 closer/trim rules,
+# note_tags.rs:40-58 byte-level '##' + prefix truncation, parser.rs:21-37
+# overlap-exact wikilink scan with '#'->'^'->'|' strip, note_tags.rs:60
+# frontmatter-tags-prepended, the typed error channel).  These are LITERALS,
+# not a re-derivation: the oracle cannot drift with the engine.
+# (doc_id, parse_error, tags_csv, aliases_csv, is_todo, word_count,
+#  byte_count, content_sha, mentions_csv)
+_KG_HOSTILE_EXPECTED = [
+    ("h01_substr_closer", "YamlError", "", "", False, 1, 3, "fcde2b2edba56bf408601fb721fe9b5c338d10ee429ea04fae5511b68fbf8fb9", ""),
+    ("h02_closer_inside_yaml", "", "", "", False, 2, 6, "44eb3304babe762d8030bcb5100463844b1f6c5d2ef7c9d6c32c2cd71b1b14d5", ""),
+    ("h03_leading_space", "", "", "", False, 5, 23, "c2348463bee3d1d1c8e12380645cc810c664a50ef90153b0219f484ea0931db1", ""),
+    ("h04_crlf", "", "a", "", False, 2, 9, "7286b4c154620408bab47bf52de0141ee185a1682ac631a2adb267ebc3f40328", ""),
+    ("h05_unclosed", "NotFoundCloser", "", "", False, 0, 0, "e3b0c44298fc1c149afbf4c8996fb92427ae41e4649b934ca495991b7852b855", ""),
+    ("h06_dashes_alone", "NotFoundCloser", "", "", False, 0, 0, "e3b0c44298fc1c149afbf4c8996fb92427ae41e4649b934ca495991b7852b855", ""),
+    ("h07_body_dashes", "", "", "", False, 6, 27, "0689e0094fba90831994afbde957bdd8bc3b4db35dfdd6466dcd582a48fc8fa0", ""),
+    ("h08_trim", "", "", "", False, 3, 16, "9f2babb03bf00892f5786c69f4ae95de6e3298febeb78bf2e7e1d5e05ac81d91", ""),
+    ("h09_double_hash", "", "real", "", False, 4, 17, "7220bc9e4df59217f17e1572e2c819e0a78e424e57b2b3f89452bcb434cd3fa4", ""),
+    ("h10_cyrillic_tag", "", "татар", "", False, 2, 24, "4e2f09b2126b17a1f39425d5c9f8acfbccd36268f2d5bc1ba98a42c5bd872e26", ""),
+    ("h11_emoji_tag", "", "d\U0001f62dx", "", False, 2, 13, "43fab397f6a5be972b9a58137e0efc33b42edf13748f7fdd63c6bc8e121ec643", ""),
+    ("h12_prefix_trunc", "", "tag|a-b_c", "", False, 3, 19, "fc09da26e5051040712f73443514248e89e6857cb308be72fa49efc8bbd824fa", ""),
+    ("h13_hash_only", "", "", "", False, 5, 19, "9634c6999abdb8c65dd9b8d0f0bf4793bda30c7cc9392b3de597d84d3a1f8786", ""),
+    ("h14_multiline_link", "", "", "", False, 4, 15, "70986a8e98f7fd2f07192a7f3ce2131f45740886e7a8ae099a2bbc0cbfb47ece", "links_to=a\nb"),
+    ("h15_empty_link", "", "", "", False, 2, 12, "d8903687f051494b926ebda0702b807811f12954415aa81a45b947a1a72d499b", "links_to="),
+    ("h16_suffix_link", "", "", "", False, 1, 22, "45dae0d6f295239f89650aa20ec5e37a125359994bce5b4e566385eb0aa52ee0", "links_to=note"),
+    ("h17_overlap_link", "", "", "", False, 3, 17, "9f70c762cced8e7df59a9226bfe4dbfedf34a0815c6aa2b6ae33b836d9d2b366", "links_to=a[[b ; links_to=b"),
+    ("h18_todo", "", "todo", "", True, 1, 4, "230d8358dc8e8890b4c58deeb62912ee2f20357ae92a5cc861b98e68fe31acb5", ""),
+    ("h19_fm_tags_prepended", "", "z|y|a", "", False, 2, 7, "8561fe553c7468a8a4f8931e552f4dbe098a6d58ca514e55906526bfd479ba08", ""),
+    ("h20_tags_not_list", "TagsNotAList", "", "", False, 1, 4, "230d8358dc8e8890b4c58deeb62912ee2f20357ae92a5cc861b98e68fe31acb5", ""),
+    ("h21_bad_yaml", "YamlError", "", "", False, 1, 4, "230d8358dc8e8890b4c58deeb62912ee2f20357ae92a5cc861b98e68fe31acb5", ""),
+    ("h22_embed_vs_link", "", "", "", False, 3, 20, "955a49d2b67cd21bf7b2ecc6efd1038ca923ae167c0d1bf581d3e5e3e2d9ff77", "embeds=pic ; links_to=pic"),
+    ("h23_aliases", "", "", "A1|B2", False, 1, 1, "2d711642b726b04401627ca9fbac32f5c8530fb1903cc4db02258717921a4881", ""),
+    ("h24_aliases_not_list", "AliasesNotAList", "", "", False, 1, 1, "2d711642b726b04401627ca9fbac32f5c8530fb1903cc4db02258717921a4881", ""),
+]
+
+
+def _q_kg_hostile(spark, sf_dir):
+    """Byte-exact parser parity under the hard signal (SURVEY §2.6.1-8, 12):
+    RAW UNSPLIT documents — substring closer, CRLF, leading-space, unclosed
+    fences, Unicode/emoji tags, overlap/multiline/empty links — routed
+    through the engine's OWN frontmatter split
+    (operators/tokenize.py::tokenize_raw_text), not the pre-split span
+    schema; the oracle is a literal expected-row table, so the split / tag /
+    mention rules themselves are what the driver hash certifies."""
+    from obsidian_parser_spark.operators.tokenize import tokenize_raw_text
+    from obsidian_parser_spark.sources.corpus import ensure_hostile_corpus
+
+    raw = spark.read.parquet(ensure_hostile_corpus(_sf_name(sf_dir)))
+    n = tokenize_raw_text(raw)
+    men = F.transform(
+        "mentions", lambda m: F.concat(m["pred"], F.lit("="), m["target"])
+    )
+    return n.select(
+        "doc_id",
+        F.coalesce("parse_error", F.lit("")).alias("parse_error"),
+        F.array_join("tags", "|").alias("tags_csv"),
+        F.array_join("aliases", "|").alias("aliases_csv"),
+        "is_todo",
+        F.col("word_count").cast("long").alias("word_count"),
+        F.col("byte_count").cast("long").alias("byte_count"),
+        "content_sha",
+        F.array_join(men, " ; ").alias("mentions_csv"),
+    )
+
+
+def _kg_hostile_oracle() -> str:
+    """Literal VALUES table; embedded newlines are encoded as chr(10)
+    concats so the SQL itself stays newline-free inside literals."""
+
+    def lit(s: str) -> str:
+        if s == "":
+            return "''"
+        return " || chr(10) || ".join(
+            "'" + part.replace("'", "''") + "'" for part in s.split("\n")
+        )
+
+    rows = ",\n".join(
+        "({}, {}, {}, {}, {}, {}, {}, {}, {})".format(
+            lit(d), lit(e), lit(tg), lit(al), str(td).upper(),
+            wc, bc, lit(sha), lit(m),
+        )
+        for d, e, tg, al, td, wc, bc, sha, m in _KG_HOSTILE_EXPECTED
+    )
+    return (
+        "SELECT doc_id, parse_error, tags_csv, aliases_csv, is_todo,"
+        " CAST(word_count AS BIGINT) AS word_count,"
+        " CAST(byte_count AS BIGINT) AS byte_count, content_sha,"
+        " mentions_csv\nFROM (VALUES\n" + rows + "\n) AS t(doc_id,"
+        " parse_error, tags_csv, aliases_csv, is_todo, word_count,"
+        " byte_count, content_sha, mentions_csv)"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_edges": _q_kg_edges,
         "kg_backlinks": _q_kg_backlinks,
         "kg_components": _q_kg_components,
+        "kg_hostile": _q_kg_hostile,
         "kg_decode": _q_kg_decode,
         "kg_pixels": _q_kg_pixels,
         "kg_audio": _q_kg_audio,
@@ -5395,4 +5495,5 @@ def oracle_sql() -> dict[str, str]:
     ensure_media_corpus(ORACLE_SF)  # kg_decode reads the payload table
     out = _kg_oracles(path)
     out.update(_datapipe_oracles())
+    out["kg_hostile"] = _kg_hostile_oracle()
     return out

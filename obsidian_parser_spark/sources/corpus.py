@@ -630,3 +630,76 @@ def micro_vault_rows() -> list[dict]:
         ),
         spans_from_raw("data/main", "New main. [[link]]"),
     ]
+
+
+# ---------------------------------------------------------------------------
+# Hostile parser-parity corpus (kg_hostile)
+# ---------------------------------------------------------------------------
+
+# RAW UNSPLIT documents exercising the reference parser's byte-exact edge
+# cases (SURVEY §2.6.1-8, 12; src/note/parser.rs:58-76, note_tags.rs:40-58):
+# substring closer, closer inside a YAML value, leading-space
+# non-frontmatter, CRLF frontmatter, unclosed/bare '---', second '---' in
+# the body, .trim() of both slices, byte-level '##' exclusion,
+# Cyrillic/emoji tags, prefix truncation, multiline/empty/overlapping
+# wikilinks, '#'->'^'->'|' strip order, embeds-vs-links, frontmatter tags
+# prepended, and the typed error channel (NotFoundCloser / YamlError /
+# TagsNotAList / AliasesNotAList).  These route through tokenize_raw_text
+# — the engine's own frontmatter split — NOT the pre-split span schema, so
+# the driver's oracle certifies the split itself, not just downstream.
+HOSTILE_CASES: list[tuple[str, str]] = [
+    ("h01_substr_closer", "---\nfoo---bar"),
+    ("h02_closer_inside_yaml", "---\ntopic: a---b\nrest"),
+    ("h03_leading_space", "  ---\ntopic: x\n---\nbody"),
+    ("h04_crlf", "---\r\ntags:\r\n- a\r\n---\r\nCRLF body\r\n"),
+    ("h05_unclosed", "---\nno closer here"),
+    ("h06_dashes_alone", "---"),
+    ("h07_body_dashes", "---\nk: v\n---\nTest data\n---\nTwo test data"),
+    ("h08_trim", "---\n  k: v  \n---\n\n  body with spaces  \n\n"),
+    ("h09_double_hash", "x ##notag y #real"),
+    ("h10_cyrillic_tag", "#татар привет"),
+    ("h11_emoji_tag", "#d\U0001f62dx after"),
+    ("h12_prefix_trunc", "#tag!bang #a-b_c ok"),
+    ("h13_hash_only", "# heading not tag #"),
+    ("h14_multiline_link", "see [[a\nb]] end"),
+    ("h15_empty_link", "[[]] dropped"),
+    ("h16_suffix_link", "[[note#sec^blk|alias]]"),
+    ("h17_overlap_link", "pre [[a[[b]] tail"),
+    ("h18_todo", "---\ntags:\n- todo\n---\nbody"),
+    ("h19_fm_tags_prepended", "---\ntags:\n- z\n- y\n---\n#a text"),
+    ("h20_tags_not_list", "---\ntags: single\n---\nbody"),
+    ("h21_bad_yaml", "---\n{unclosed\n---\nbody"),
+    ("h22_embed_vs_link", "![[pic]] and [[pic]]"),
+    ("h23_aliases", "---\naliases:\n- A1\n- B2\n---\nx"),
+    ("h24_aliases_not_list", "---\naliases: nope\n---\nx"),
+]
+
+
+def hostile_parquet_path(sf_name: str, base: str | None = None) -> str:
+    return os.path.join(vault_corpus_dir(sf_name, base), "hostile.parquet")
+
+
+def ensure_hostile_corpus(sf_name: str, base: str | None = None) -> str:
+    """Write the hostile raw-document table (doc_id, raw_text).  The case
+    set is FIXED (a parser-parity gate, not a scale gate) — the oracle is
+    a literal expected-row table, so any byte-level drift in the split /
+    tag / mention rules fails the driver hash."""
+    out_dir = vault_corpus_dir(sf_name, base)
+    path = hostile_parquet_path(sf_name, base)
+    marker = os.path.join(out_dir, "_HOSTILE_GENERATED.json")
+    params = {"version": 1, "n": len(HOSTILE_CASES)}
+    if os.path.exists(marker) and os.path.exists(path):
+        with open(marker) as f:
+            if json.load(f) == params:
+                return path
+    os.makedirs(out_dir, exist_ok=True)
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([c[0] for c in HOSTILE_CASES], pa.string()),
+            "raw_text": pa.array([c[1] for c in HOSTILE_CASES], pa.string()),
+        }
+    )
+    pq.write_table(tbl, path)
+    with open(marker, "w") as f:
+        json.dump(params, f)
+    return path
