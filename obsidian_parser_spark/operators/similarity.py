@@ -509,3 +509,91 @@ def ivfpq_topk(
         .select("query_id", "neighbor_id",
                 F.col("rank").cast("long").alias("rank"), "adc_d2")
     )
+
+
+# ---------------------------------------------------------------------------
+# Structured (product-clusterable) embeddings — the PQ certification corpus
+# ---------------------------------------------------------------------------
+
+
+def structured_centroid_tables(
+    dim: int, m: int = 4, n_clusters: int = 8
+) -> list[list[list[int]]]:
+    """CENT[s][c][d] ∈ 0..255, md5-derived — deterministic, engine-neutral
+    (inlined as literals on both the Spark and DuckDB sides)."""
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    sub = dim // m
+    return [
+        [
+            [
+                hashlib.md5(f"pqcent:{s}:{c}:{d}".encode()).digest()[0]
+                for d in range(sub)
+            ]
+            for c in range(n_clusters)
+        ]
+        for s in range(m)
+    ]
+
+
+def structured_cluster_expr(s: int, n_clusters: int = 8, id_col: str = "vec_id") -> str:
+    """SQL (Spark + DuckDB-compatible idea; Spark form here): the subspace-s
+    cluster id of a vector.  ``(vec_id + H(vec_id div 8, s)) mod n`` — the
+    ``vec_id mod n`` term guarantees the first ``n`` ids cover every
+    cluster (so Lloyd's first-k init never starts blind to a cluster),
+    while the md5 term decorrelates the per-subspace ids across blocks of
+    ``n`` (two vectors are near iff they agree in EVERY subspace — the
+    product structure PQ exploits)."""
+    h = (
+        f"CAST(conv(substr(md5(concat('pqh:{s}:',"
+        f" CAST({id_col} div 8 AS STRING))), 1, 4), 16, 10) AS BIGINT)"
+    )
+    return f"pmod({id_col} + {h}, {n_clusters})"
+
+
+def structured_embeddings(
+    embeddings: DataFrame,
+    dim: int,
+    m: int = 4,
+    n_clusters: int = 8,
+    cent_scale: int = 100,
+    noise_div: int = 4,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Derive a PRODUCT-STRUCTURED embedding table from the (near-random)
+    driver embeddings: per subspace s, vector v sits at md5-derived
+    integer centroid CENT[s][cs(v)] (scaled ×``cent_scale``) plus a small
+    noise term (the original quantized coordinates ÷``noise_div``).  Real
+    corpus embeddings are compressible — hierarchical topic structure is
+    WHY product quantization works (Jégou et al. 2011 §2); near-random
+    vectors are the one regime where no 2^(m·log2 k) code can preserve
+    neighborhoods, so certifying PQ recall requires data with structure
+    to find.  All arithmetic is exact integers scaled back to doubles
+    that survive the engine's round(x·10⁴) quantization bit-for-bit,
+    and the DuckDB oracle re-derives the same vectors independently.
+
+    → (vec_id, embedding: array<double>): same schema contract as the
+    driver table, so every ANN operator runs on it unchanged.
+
+    Scale shape: one narrow projection — zip_with over the vector column
+    with a broadcast-literal centroid row, no shuffle, no Python."""
+    cents = structured_centroid_tables(dim, m, n_clusters)
+    sub = dim // m
+
+    def arr2(table: list[list[int]]) -> str:
+        rows = ", ".join(
+            "array(" + ", ".join(f"{v}L" for v in row) + ")" for row in table
+        )
+        return f"array({rows})"
+
+    row_parts = []
+    for s in range(m):
+        cs = structured_cluster_expr(s, n_clusters, id_col)
+        row_parts.append(f"element_at({arr2(cents[s])}, CAST({cs} AS INT) + 1)")
+    centrow = "concat(" + ", ".join(row_parts) + ")"
+    sv = (
+        f"zip_with({_QUANT.format(col='embedding')}, {centrow},"
+        f" (x, c) -> c * {cent_scale} + (x div {noise_div}))"
+    )
+    out = f"transform({sv}, v -> CAST(v AS DOUBLE) / 10000.0)"
+    return embeddings.select(F.col(id_col), F.expr(out).alias("embedding"))

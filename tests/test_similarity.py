@@ -184,3 +184,32 @@ def test_ivfpq_candidates_come_from_probed_cells_only(spark):
     )
     flat = pq_topk(emb, dim=4, m=2, k_cb=2, n_iter=2, k=7, n_queries=2)
     assert sorted(map(tuple, full.collect())) == sorted(map(tuple, flat.collect()))
+
+
+def test_structured_pq_recall_floor(spark, emb):
+    """The PQ certification gate (VERDICT r4): on the product-structured
+    derivation, the m=4/k_cb=16 codebook must keep recall@10 >= 0.9 —
+    a number a user could accept, not just correct arithmetic.  Also
+    pins that the structured derivation survives round(x*1e4)
+    quantization exactly (integer vectors by construction)."""
+    from obsidian_parser_spark.operators.similarity import (
+        brute_force_topk_l2,
+        pq_topk,
+        quantize,
+        structured_embeddings,
+    )
+
+    se = structured_embeddings(emb, dim=64).persist()
+    # exact integer roundtrip: embedding * 1e4 is already integral
+    row = quantize(se).select("q", "embedding").first()
+    assert all(
+        abs(e * 10000 - qq) < 1e-6 for e, qq in zip(row.embedding, row.q)
+    )
+    truth = _topk_sets(brute_force_topk_l2(se, k=10, n_queries=10))
+    got = _topk_sets(
+        pq_topk(se, dim=64, m=4, k_cb=16, n_iter=4, k=10, n_queries=10)
+    )
+    hits = sum(len(truth[q] & got.get(q, set())) for q in truth)
+    total = sum(len(v) for v in truth.values())
+    assert hits / total >= 0.9, f"PQ recall@10 regressed: {hits}/{total}"
+    se.unpersist()
