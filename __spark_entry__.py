@@ -1390,6 +1390,139 @@ def _q_kg_stream_dict(spark, sf_dir):
 _PPR_SEEDS = ("note_1", "note_2", "note_3")
 
 
+def _q_kg_stream_resume(spark, sf_dir):
+    """Stateful-streaming RESTART RECOVERY across a real PROCESS boundary
+    (VERDICT r4 item 6; previously pytest-only): epochs 0-1 of the
+    3-epoch edge split are streamed through ``running_backlinks``
+    (applyInPandasWithState) by a CHILD python process with its own
+    SparkSession, which then exits; epoch 2 is appended and THIS process
+    resumes the same checkpoint.  The resumed run must (a) skip the two
+    already-committed files and (b) restore every note's counter state
+    from the state store — its emissions are prev+delta totals, so any
+    state loss breaks max(backlinks) for every note touched both before
+    and after the boundary.  Same split rule and derivation as
+    kg_stream_stateful, so the oracle is the identical SQL — two
+    independent executions (single-process and cross-process) pinned to
+    one truth.  Idempotent via marker."""
+    import glob as _glob
+    import json
+    import shutil
+    import subprocess
+    import sys
+    import textwrap
+
+    from obsidian_parser_spark.operators.sampling import hash_bucket
+    from obsidian_parser_spark.streaming.stateful import running_backlinks
+
+    base = os.path.join(os.path.dirname(_vault_path(sf_dir)), "stateful_resume")
+    in_dir = os.path.join(base, "in")
+    out_dir = os.path.join(base, "out")
+    ckpt = os.path.join(base, "ckpt")
+    marker = os.path.join(base, "_DONE.json")
+    params = {"version": 1, "sf": sf_dir}
+    done = False
+    if os.path.exists(marker):
+        with open(marker) as f:
+            done = json.load(f) == params
+    if not done:
+        shutil.rmtree(base, ignore_errors=True)
+        os.makedirs(in_dir)
+        g = _graph(spark, sf_dir)
+        edges = g.edges.filter(F.col("pred") != "tagged").select(
+            "subj", "pred", "obj", hash_bucket("subj", 3, "epoch").alias("_e")
+        )
+
+        def write_epoch(e: int) -> None:
+            stage = os.path.join(base, f"stage{e}")
+            (
+                edges.filter(F.col("_e") == e)
+                .drop("_e")
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(stage)
+            )
+            dst = os.path.join(in_dir, f"epoch_{e}.parquet")
+            os.replace(_glob.glob(os.path.join(stage, "part-*.parquet"))[0], dst)
+            os.utime(dst, (1_700_000_000 + e, 1_700_000_000 + e))
+            shutil.rmtree(stage, ignore_errors=True)
+
+        write_epoch(0)
+        write_epoch(1)
+        # phase 1: a separate process (own JVM, own session) consumes the
+        # first two epochs and exits — the state store must outlive it.
+        repo = os.path.dirname(os.path.abspath(__file__))
+        child = textwrap.dedent(
+            f"""
+            import sys
+            sys.path.insert(0, {repo!r})
+            from pyspark.sql import SparkSession
+            from obsidian_parser_spark.streaming.stateful import (
+                running_backlinks,
+            )
+            spark = (
+                SparkSession.builder.master("local[4]")
+                .config("spark.sql.shuffle.partitions", "4")
+                .config("spark.ui.enabled", "false")
+                .getOrCreate()
+            )
+            stream = (
+                spark.readStream
+                .schema("subj string, pred string, obj string")
+                .option("maxFilesPerTrigger", 1)
+                .parquet({in_dir!r})
+            )
+            def sink(b, _e):
+                b.write.mode("append").parquet({out_dir!r})
+            q = (
+                running_backlinks(stream)
+                .writeStream.trigger(availableNow=True)
+                .option("checkpointLocation", {ckpt!r})
+                .outputMode("update")
+                .foreachBatch(sink)
+                .start()
+            )
+            assert q.awaitTermination(600), "phase-1 stream timed out"
+            spark.stop()
+            """
+        )
+        script = os.path.join(base, "phase1.py")
+        with open(script, "w") as f:
+            f.write(child)
+        subprocess.run(
+            [sys.executable, script], check=True, timeout=900,
+            env=dict(os.environ),
+        )
+        # phase 2: new data arrives; THIS process resumes the checkpoint.
+        write_epoch(2)
+        stream = (
+            spark.readStream.schema("subj string, pred string, obj string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir)
+        )
+
+        def _sink(batch_df, _epoch_id):
+            batch_df.write.mode("append").parquet(out_dir)
+
+        q = (
+            running_backlinks(stream)
+            .writeStream.trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .outputMode("update")
+            .foreachBatch(_sink)
+            .start()
+        )
+        if not q.awaitTermination(600):
+            q.stop()
+            raise RuntimeError("resumed stream did not finish within 600s")
+        with open(marker, "w") as f:
+            json.dump(params, f)
+    upd = spark.read.parquet(out_dir)
+    return upd.groupBy("obj").agg(
+        F.max("backlinks").cast("long").alias("backlinks"),
+        F.count(F.lit(1)).cast("long").alias("n_updates"),
+    )
+
+
 def _q_kg_ppr(spark, sf_dir):
     """Personalized PageRank from a 3-note seed set (teleport mass returns
     only to the seeds): the "related to these notes" ranking, integer
@@ -2319,6 +2452,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_stream_edges": _q_kg_stream_edges,
         "kg_stream_stateful": _q_kg_stream_stateful,
         "kg_stream_dict": _q_kg_stream_dict,
+        "kg_stream_resume": _q_kg_stream_resume,
         "ev_stream_windowed": _q_ev_stream_windowed,
         "dd_stream": _q_dd_stream,
         "kg_resume": _q_kg_resume,
@@ -3471,7 +3605,7 @@ SELECT 8::INTEGER AS n_buckets, 2::INTEGER AS n_resumed, 6::INTEGER AS n_skipped
     kg_stream_dict_sql = (
         "WITH " + ",\n".join(de_parts) + "\n" + "\nUNION ALL ".join(de_selects)
     )
-    return {
+    out = {
         "kg_stream_dict": kg_stream_dict_sql,
         "kg_decode": _media_decode_oracle(mpath),
         "kg_pixels": _media_pixels_oracle(mpath),
@@ -4033,7 +4167,9 @@ FROM clek a JOIN clek b ON a.subj = b.subj AND a.obj < b.obj
 GROUP BY a.obj, b.obj
 HAVING count(*) >= 2""",
     }
-
+    out["kg_hostile"] = _kg_hostile_oracle()
+    out["kg_stream_resume"] = out["kg_stream_stateful"]
+    return out
 
 def _minhash_sql_parts(k: int = 12, bands: int = 4) -> tuple[str, str]:
     """Unrolled DuckDB expressions mirroring minhash_signatures /
@@ -5556,5 +5692,4 @@ def oracle_sql() -> dict[str, str]:
     ensure_media_corpus(ORACLE_SF)  # kg_decode reads the payload table
     out = _kg_oracles(path)
     out.update(_datapipe_oracles())
-    out["kg_hostile"] = _kg_hostile_oracle()
     return out
