@@ -1621,6 +1621,47 @@ def _q_kg_walks(spark, sf_dir):
     return w.select("start", F.col("step").cast("long").alias("step"), "node")
 
 
+def _q_kg_walk_coverage(spark, sf_dir):
+    """Usefulness gate for the walk family (VERDICT r4 item 7): kg_walks
+    gates determinism, this gates that the SAMPLED steps (step >= 1 — step 0 is the
+    start itself and covers trivially) actually traverse the graph — a sampling bug that strands walks at hubs would leave
+    determinism green while coverage collapses.  One exact-integer row:
+    (n_walks, n_rows, mean_steps_x100, nodes_covered, n_graph_nodes,
+    coverage_bp, coverage_ok) where coverage_bp = covered·10⁴ div |V|
+    (basis points) and coverage_ok pins the ≥20% floor under the driver
+    hash.  Two map-side-combined aggregates over the walk table and the
+    edge endpoints — no new shuffles beyond kg_walks itself."""
+    from obsidian_parser_spark.operators.walks import deterministic_walks
+
+    g = _graph(spark, sf_dir)
+    le = A.link_edges(g.edges)
+    w = deterministic_walks(le, n_steps=_WALK_STEPS)
+    ws = w.agg(
+        F.countDistinct("start").alias("n_walks"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct(
+            F.when(F.col("step") >= 1, F.col("node"))
+        ).alias("nodes_covered"),
+    )
+    verts = (
+        le.select(F.col("subj").alias("id"))
+        .unionAll(le.select(F.col("obj").alias("id")))
+        .distinct()
+        .agg(F.count(F.lit(1)).alias("n_graph_nodes"))
+    )
+    return ws.crossJoin(verts).select(
+        F.col("n_walks").cast("long").alias("n_walks"),
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.expr("(n_rows - n_walks) * 100 div n_walks").alias("mean_steps_x100"),
+        F.col("nodes_covered").cast("long").alias("nodes_covered"),
+        F.col("n_graph_nodes").cast("long").alias("n_graph_nodes"),
+        F.expr("nodes_covered * 10000 div n_graph_nodes").alias("coverage_bp"),
+        (F.expr("nodes_covered * 10000 div n_graph_nodes") >= 2000).alias(
+            "coverage_ok"
+        ),
+    )
+
+
 def _q_kg_modularity(spark, sf_dir):
     """Modularity sufficient statistics per FOLDER — (community, n_nodes,
     internal_edges, sum_degree), all exact integers (the float Q is one
@@ -2467,6 +2508,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_closeness": _q_kg_closeness,
         "kg_ppr": _q_kg_ppr,
         "kg_walks": _q_kg_walks,
+        "kg_walk_coverage": _q_kg_walk_coverage,
         "kg_biased_walks": _q_kg_biased_walks,
         "kg_walk_pairs": _q_kg_walk_pairs,
         "kg_negatives": _q_kg_negatives,
@@ -3902,6 +3944,23 @@ qres AS (
 SELECT subj, pred, obj, qual_kind, qualifier
 FROM qres WHERE obj IS NOT NULL""",
         "kg_walks": c + ",\n" + _walks_ctes(_WALK_STEPS),
+        "kg_walk_coverage": c
+        + ",\n"
+        + _walks_parts(_WALK_STEPS)[0]
+        + f""",
+wk AS ({_walks_parts(_WALK_STEPS)[1]}),
+wstat AS (SELECT count(DISTINCT start)::BIGINT AS n_walks,
+                 count(*)::BIGINT AS n_rows,
+                 count(DISTINCT CASE WHEN step >= 1 THEN node END)::BIGINT
+                   AS nodes_covered FROM wk),
+vst AS (SELECT count(*)::BIGINT AS n_graph_nodes FROM
+        (SELECT u AS id FROM we UNION SELECT v FROM we))
+SELECT n_walks, n_rows,
+       ((n_rows - n_walks) * 100 // n_walks)::BIGINT AS mean_steps_x100,
+       nodes_covered, n_graph_nodes,
+       (nodes_covered * 10000 // n_graph_nodes)::BIGINT AS coverage_bp,
+       (nodes_covered * 10000 // n_graph_nodes) >= 2000 AS coverage_ok
+FROM wstat, vst""",
         "kg_modularity": c
         + """,
 lund AS MATERIALIZED (SELECT DISTINCT least(subj, obj) AS u,
