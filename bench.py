@@ -344,9 +344,15 @@ def main() -> None:
                 .collect(),
                 repeat=2,
             )
+            # new stage NAME (not a redefinition of r4's "ann_pq"): the PQ
+            # family moved to the structured corpus + m=4/k_cb=16 codebook
+            # in r5, so the old key would silently compare unlike work.
             timed(
-                "ann_pq",
-                lambda: SIM.pq_topk(emb, dim=64, m=2, k_cb=8, n_iter=4)
+                "ann_pq_structured",
+                lambda: SIM.pq_topk(
+                    SIM.structured_embeddings(emb, dim=64),
+                    dim=64, m=4, k_cb=16, n_iter=4,
+                )
                 .agg(F.sum("adc_d2"))
                 .collect(),
                 repeat=2,
@@ -360,6 +366,40 @@ def main() -> None:
 
     total = round(
         sum(v for k, v in timings.items() if k != "py_worker_warmup"), 3
+    )
+    # generalized like-for-like line (VERDICT r4 item 8): sum THIS run's
+    # timings over exactly the stage set the newest BENCH_r*.json ran, so
+    # every round's artifact carries its own prev-round comparison even as
+    # stages are added or renamed.
+    prev_round, prev_stages = None, None
+    import glob as _glob
+    import re as _re
+
+    for f in _glob.glob(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_r*.json")
+    ):
+        m = _re.search(r"BENCH_r0*(\d+)\.json$", f)
+        if m and (prev_round is None or int(m.group(1)) > prev_round):
+            try:
+                with open(f) as fh:
+                    d = json.load(fh)
+                # driver artifacts wrap the bench line under "parsed"
+                d = d.get("parsed", d) or {}
+                prev_stages = set(d.get("queries") or {})
+                prev_round = int(m.group(1))
+            except (OSError, json.JSONDecodeError):
+                pass
+    comparable = (
+        round(
+            sum(
+                v
+                for k, v in timings.items()
+                if k != "py_worker_warmup" and k in prev_stages
+            ),
+            3,
+        )
+        if prev_stages
+        else None
     )
     # r04 added stages (kg_triangles, kg_walks, dd_dupspans_vault); this
     # sums only the pre-r04 stage set so cross-round totals stay
@@ -399,6 +439,8 @@ def main() -> None:
         "cpus": cpus,
         "calib_spin_sec": calib,
         "total_pre_r04_stages": total_legacy,
+        "comparable_to_prev_round_sec": comparable,
+        "comparable_prev_round": prev_round,
     }
     print(json.dumps(result))
     spark.stop()
