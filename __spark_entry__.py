@@ -1488,10 +1488,14 @@ def _q_kg_stream_resume(spark, sf_dir):
         script = os.path.join(base, "phase1.py")
         with open(script, "w") as f:
             f.write(child)
-        subprocess.run(
-            [sys.executable, script], check=True, timeout=900,
-            env=dict(os.environ),
+        res = subprocess.run(
+            [sys.executable, script], timeout=900, env=dict(os.environ),
+            capture_output=True, text=True,
         )
+        if res.returncode != 0:
+            raise RuntimeError(
+                f"phase-1 stream process failed: {res.stderr[-2000:]}"
+            )
         # phase 2: new data arrives; THIS process resumes the checkpoint.
         write_epoch(2)
         stream = (
