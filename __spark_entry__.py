@@ -2033,6 +2033,27 @@ def _vault_content(spark, sf_dir):
     return reconstruct_text(docs).select("doc_id", "content")
 
 
+def _q_ts_gopher(spark, sf_dir):
+    """Gopher quality rules (Rae et al. 2021, Table A1) over the
+    reconstructed vault notes: per-document integer features (counts +
+    basis-point ratios via integer div — never a float), the seven
+    individual rule verdicts, and the composite keep flag.  Pure JVM
+    lambda projection — the filter a 100 TB curation pass runs FIRST."""
+    return TS.gopher_rules(
+        _vault_content(spark, sf_dir), text_col="content"
+    )
+
+
+def _q_ts_c4(spark, sf_dir):
+    """C4 line-level cleaning (Raffel et al. 2020 §2.2) over the
+    reconstructed vault notes: terminal-punctuation + ≥5-word +
+    no-'javascript' line survival, 'lorem ipsum' / '{' document
+    blockers, and the ≥-3-kept-lines keep proxy."""
+    return TS.c4_line_stats(
+        _vault_content(spark, sf_dir), text_col="content"
+    )
+
+
 def _q_kg_outline(spark, sf_dir):
     """ATX heading outline per note — (doc_id, heading_ord, level,
     title) in document order: the section structure the reference's
@@ -2480,11 +2501,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_backlinks": _q_kg_backlinks,
         "kg_components": _q_kg_components,
         "kg_hostile": _q_kg_hostile,
+        "ts_gopher": _q_ts_gopher,
+        "ts_c4": _q_ts_c4,
         "kg_decode": _q_kg_decode,
         "kg_pixels": _q_kg_pixels,
         "kg_audio": _q_kg_audio,
         "kg_gifpixels": _q_kg_gifpixels,
-        "kg_gif": _q_kg_gif,
         "kg_bmp": _q_kg_bmp,
         "kg_media_decoded": _q_kg_media_decoded,
         "kg_pack": _q_kg_pack,
@@ -2521,11 +2543,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_asof": _q_ev_asof,
         "ev_range": _q_ev_range,
         "ts_bpe": _q_ts_bpe,
-        "ts_bpe_encode": _q_ts_bpe_encode,
         "dd_contamination": _q_dd_contamination,
         "dd_dupspans": _q_dd_dupspans,
         "dd_incremental": _q_dd_incremental,
         "dd_minhash_quality": _q_dd_minhash_quality,
+        "kg_gif": _q_kg_gif,
+        "ts_bpe_encode": _q_ts_bpe_encode,
         "ts_chunks": _q_ts_chunks,
         "ts_bm25": _q_ts_bm25,
         "kg_matching": _q_kg_matching,
@@ -4229,6 +4252,85 @@ SELECT a.obj AS a, b.obj AS b, count(*)::BIGINT AS shared
 FROM clek a JOIN clek b ON a.subj = b.subj AND a.obj < b.obj
 GROUP BY a.obj, b.obj
 HAVING count(*) >= 2""",
+        "ts_gopher": c
+        + r""",
+gl AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(content), '\s+'), x -> x <> '') AS words,
+         list_filter(list_transform(string_split(content, chr(10)),
+                                    x -> rtrim(x, chr(13))),
+                     x -> trim(x) <> '') AS ne_lines,
+         len(regexp_extract_all(content, '#|\.\.\.|…', 0))::BIGINT AS n_symbols
+  FROM notes),
+gf AS (
+  SELECT doc_id,
+         len(words)::BIGINT AS n_words,
+         list_reduce(list_prepend(0::BIGINT,
+                                  list_transform(words, x -> len(x)::BIGINT)),
+                     (a, b) -> a + b)::BIGINT AS word_chars,
+         n_symbols,
+         len(ne_lines)::BIGINT AS n_lines,
+         len(list_filter(ne_lines,
+                         x -> regexp_matches(ltrim(x), '^(-|\*|•) ')))::BIGINT
+           AS n_bullet_lines,
+         len(list_filter(ne_lines,
+                         x -> regexp_matches(rtrim(x), '(\.\.\.|…)$')))::BIGINT
+           AS n_ellipsis_lines,
+         len(list_filter(words, x -> regexp_matches(x, '[a-z]')))::BIGINT
+           AS n_alpha_words,
+         len(list_intersect(list_distinct(words),
+             ['the','be','to','of','and','that','have','with']))::BIGINT
+           AS n_stop_distinct
+  FROM gl),
+gr AS (
+  SELECT *,
+    (CASE WHEN n_words > 0 THEN (word_chars * 100) // n_words ELSE 0 END)::BIGINT AS mean_word_len_x100,
+    (CASE WHEN n_words > 0 THEN (n_symbols * 10000) // n_words ELSE 0 END)::BIGINT AS symbol_bp,
+    (CASE WHEN n_lines > 0 THEN (n_bullet_lines * 10000) // n_lines ELSE 0 END)::BIGINT AS bullet_bp,
+    (CASE WHEN n_lines > 0 THEN (n_ellipsis_lines * 10000) // n_lines ELSE 0 END)::BIGINT AS ellipsis_bp,
+    (CASE WHEN n_words > 0 THEN (n_alpha_words * 10000) // n_words ELSE 0 END)::BIGINT AS alpha_bp
+  FROM gf),
+gv AS (
+  SELECT *,
+    (n_words >= 50 AND n_words <= 100000) AS ok_words,
+    (mean_word_len_x100 >= 300 AND mean_word_len_x100 <= 1000) AS ok_mean_len,
+    (symbol_bp <= 1000) AS ok_symbols,
+    (bullet_bp <= 9000) AS ok_bullets,
+    (ellipsis_bp <= 3000) AS ok_ellipsis,
+    (alpha_bp >= 8000) AS ok_alpha,
+    (n_stop_distinct >= 2) AS ok_stopwords
+  FROM gr)
+SELECT doc_id, n_words, word_chars, n_symbols, n_lines, n_bullet_lines,
+       n_ellipsis_lines, n_alpha_words, n_stop_distinct, mean_word_len_x100,
+       symbol_bp, bullet_bp, ellipsis_bp, alpha_bp, ok_words, ok_mean_len,
+       ok_symbols, ok_bullets, ok_ellipsis, ok_alpha, ok_stopwords,
+       (ok_words AND ok_mean_len AND ok_symbols AND ok_bullets
+        AND ok_ellipsis AND ok_alpha AND ok_stopwords) AS keep
+FROM gv""",
+        "ts_c4": c
+        + r""",
+c4l AS (
+  SELECT doc_id, content,
+    list_transform(string_split(content, chr(10)), x -> rtrim(x, chr(13))) AS lines
+  FROM notes),
+c4k AS (
+  SELECT doc_id, content, lines,
+    list_filter(lines, x -> regexp_matches(rtrim(x), '[.!?"”]$')
+      AND len(list_filter(string_split_regex(x, '\s+'), w -> w <> '')) >= 5
+      AND NOT contains(lower(x), 'javascript')) AS kept
+  FROM c4l)
+SELECT doc_id,
+  len(lines)::BIGINT AS n_lines,
+  len(kept)::BIGINT AS n_kept_lines,
+  list_reduce(list_prepend(0::BIGINT, list_transform(kept,
+      x -> len(list_filter(string_split_regex(x, '\s+'), w -> w <> ''))::BIGINT)),
+    (a, b) -> a + b)::BIGINT AS kept_words,
+  coalesce(len(array_to_string(kept, chr(10))), 0)::BIGINT AS cleaned_chars,
+  contains(lower(content), 'lorem ipsum') AS has_lorem,
+  contains(content, '{') AS has_brace,
+  (len(kept) >= 3 AND NOT contains(lower(content), 'lorem ipsum')
+   AND NOT contains(content, '{')) AS keep
+FROM c4k""",
     }
     out["kg_hostile"] = _kg_hostile_oracle()
     out["kg_stream_resume"] = out["kg_stream_stateful"]

@@ -276,6 +276,25 @@ def main() -> None:
             lambda: TS.quality_scores(vault_text).agg(F.sum("quality")).collect(),
             repeat=2,
         )
+        # one pass of both published-ruleset filters; summing `keep` (which
+        # depends on every rule column) + one ratio keeps Catalyst from
+        # pruning the feature computation away
+        timed(
+            "ts_gopher_c4_vault",
+            lambda: (
+                TS.gopher_rules(vault_text)
+                .agg(
+                    F.sum(F.col("keep").cast("long")), F.sum("alpha_bp")
+                )
+                .collect(),
+                TS.c4_line_stats(vault_text)
+                .agg(
+                    F.sum(F.col("keep").cast("long")), F.sum("cleaned_chars")
+                )
+                .collect(),
+            ),
+            repeat=2,
+        )
         timed(
             "ts_fingerprint_vault",
             lambda: TS.fingerprints(vault_text).agg(F.sum("fingerprint")).collect(),

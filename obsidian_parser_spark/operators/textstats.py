@@ -872,3 +872,185 @@ def zipf_table(
     return top.select(
         F.row_number().over(w).cast("long").alias("rank"), "word", "n"
     )
+
+
+# ---------------------------------------------------------------------------
+# Published-ruleset quality filters: Gopher rules and C4 line cleaning
+# ---------------------------------------------------------------------------
+
+# Gopher (Rae et al. 2021, Table A1) required stop words: a document must
+# contain at least 2 distinct members to pass the stop-word rule.
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+# "symbols" in the Gopher symbol-to-word-ratio rule: hash marks and
+# ellipses (both the three-dot spelling and the Unicode character).
+_GOPHER_SYMBOL_RE = "#|\\\\.\\\\.\\\\.|…"
+
+# lines are CR-stripped before any rule so CRLF corpora grade identically
+_LINES = "transform(split({t}, '\\n'), x -> regexp_replace(x, '\\r+$', ''))"
+
+
+def gopher_rules(
+    documents: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document Gopher quality-rule evaluation (Rae et al. 2021,
+    Table A1) → one row per doc with the integer features, the seven
+    individual rule verdicts, and the composite ``keep`` flag.
+
+    Every ratio is integer basis points via ``div`` (never a float), so
+    the row set is bit-deterministic across engines — the repo's
+    determinism contract.  Thresholds (the paper's, as basis points):
+    50 ≤ words ≤ 100000; 300 ≤ mean word length ×100 ≤ 1000;
+    symbol/word ≤ 1000 bp; bullet lines ≤ 9000 bp; ellipsis lines
+    ≤ 3000 bp; alphabetic words ≥ 8000 bp; ≥ 2 distinct stop words.
+
+    Scale shape: one projection of pure JVM lambda expressions over the
+    text column — no shuffle, no UDF, linear in corpus bytes; the filter
+    any 100 TB curation pass runs FIRST, before any pairwise dedup.
+    """
+    t = text_col
+    words = _TOKENS.format(t=t)
+    lines = _LINES.format(t=t)
+    ne_lines = f"filter({lines}, x -> trim(x) != '')"
+    stop_arr = "array(" + ", ".join(f"'{w}'" for w in GOPHER_STOPWORDS) + ")"
+    d = documents.select(
+        F.col(id_col).alias("doc_id"),
+        F.expr(f"size({words})").cast("long").alias("n_words"),
+        F.expr(f"aggregate({words}, 0L, (a, x) -> a + length(x))")
+        .cast("long")
+        .alias("word_chars"),
+        F.expr(f"size(regexp_extract_all({t}, '{_GOPHER_SYMBOL_RE}', 0))")
+        .cast("long")
+        .alias("n_symbols"),
+        F.expr(f"size({ne_lines})").cast("long").alias("n_lines"),
+        F.expr(
+            f"size(filter({ne_lines}, x -> ltrim(x) rlike '^(-|\\\\*|•) '))"
+        )
+        .cast("long")
+        .alias("n_bullet_lines"),
+        F.expr(
+            f"size(filter({ne_lines}, x -> rtrim(x) rlike '(\\\\.\\\\.\\\\.|…)$'))"
+        )
+        .cast("long")
+        .alias("n_ellipsis_lines"),
+        F.expr(f"size(filter({words}, x -> x rlike '[a-z]'))")
+        .cast("long")
+        .alias("n_alpha_words"),
+        F.expr(f"size(array_intersect(array_distinct({words}), {stop_arr}))")
+        .cast("long")
+        .alias("n_stop_distinct"),
+    )
+    d = (
+        d.withColumn(
+            "mean_word_len_x100",
+            F.when(
+                F.col("n_words") > 0,
+                F.expr("(word_chars * 100) div n_words"),
+            ).otherwise(F.lit(0)).cast("long"),
+        )
+        .withColumn(
+            "symbol_bp",
+            F.when(
+                F.col("n_words") > 0,
+                F.expr("(n_symbols * 10000) div n_words"),
+            ).otherwise(F.lit(0)).cast("long"),
+        )
+        .withColumn(
+            "bullet_bp",
+            F.when(
+                F.col("n_lines") > 0,
+                F.expr("(n_bullet_lines * 10000) div n_lines"),
+            ).otherwise(F.lit(0)).cast("long"),
+        )
+        .withColumn(
+            "ellipsis_bp",
+            F.when(
+                F.col("n_lines") > 0,
+                F.expr("(n_ellipsis_lines * 10000) div n_lines"),
+            ).otherwise(F.lit(0)).cast("long"),
+        )
+        .withColumn(
+            "alpha_bp",
+            F.when(
+                F.col("n_words") > 0,
+                F.expr("(n_alpha_words * 10000) div n_words"),
+            ).otherwise(F.lit(0)).cast("long"),
+        )
+    )
+    d = (
+        d.withColumn(
+            "ok_words", (F.col("n_words") >= 50) & (F.col("n_words") <= 100000)
+        )
+        .withColumn(
+            "ok_mean_len",
+            (F.col("mean_word_len_x100") >= 300)
+            & (F.col("mean_word_len_x100") <= 1000),
+        )
+        .withColumn("ok_symbols", F.col("symbol_bp") <= 1000)
+        .withColumn("ok_bullets", F.col("bullet_bp") <= 9000)
+        .withColumn("ok_ellipsis", F.col("ellipsis_bp") <= 3000)
+        .withColumn("ok_alpha", F.col("alpha_bp") >= 8000)
+        .withColumn("ok_stopwords", F.col("n_stop_distinct") >= 2)
+    )
+    return d.withColumn(
+        "keep",
+        F.col("ok_words")
+        & F.col("ok_mean_len")
+        & F.col("ok_symbols")
+        & F.col("ok_bullets")
+        & F.col("ok_ellipsis")
+        & F.col("ok_alpha")
+        & F.col("ok_stopwords"),
+    )
+
+
+# a C4-kept line ends in terminal punctuation (incl. the closing-quote
+# forms) after right-trim ...
+_C4_TERMINAL_RE = "[.!?\"”]$"
+
+
+def c4_line_stats(
+    documents: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """C4-style line-level cleaning (Raffel et al. 2020 §2.2) → one row
+    per doc: a line survives iff it (a) right-trimmed ends in terminal
+    punctuation, (b) has ≥ 5 whitespace words, (c) does not mention
+    'javascript' (case-insensitive), (d) the document-level blockers —
+    'lorem ipsum' anywhere or a '{' brace — are absent.  Emits
+    (n_lines, n_kept_lines, kept_words, cleaned_chars, keep) where
+    ``cleaned_chars`` is the length of the kept lines re-joined with
+    '\\n' and ``keep`` is the paper's ≥-3-sentences proxy
+    (n_kept_lines ≥ 3) AND neither document blocker fired.
+
+    Scale shape: identical to :func:`gopher_rules` — stateless JVM
+    lambda projection, no shuffle, no Python.
+    """
+    t = text_col
+    lines = _LINES.format(t=t)
+    kept = (
+        f"filter({lines}, x -> rtrim(x) rlike '{_C4_TERMINAL_RE}'"
+        f" and size(filter(split(x, '\\\\s+'), w -> w != '')) >= 5"
+        f" and not contains(lower(x), 'javascript'))"
+    )
+    d = documents.select(
+        F.col(id_col).alias("doc_id"),
+        F.expr(f"size({lines})").cast("long").alias("n_lines"),
+        F.expr(f"size({kept})").cast("long").alias("n_kept_lines"),
+        F.expr(
+            f"aggregate({kept}, 0L,"
+            f" (a, x) -> a + size(filter(split(x, '\\\\s+'), w -> w != '')))"
+        )
+        .cast("long")
+        .alias("kept_words"),
+        F.expr(f"length(array_join({kept}, '\\n'))").cast("long").alias(
+            "cleaned_chars"
+        ),
+        F.expr(f"contains(lower({t}), 'lorem ipsum')").alias("has_lorem"),
+        F.expr(f"contains({t}, '{{')").alias("has_brace"),
+    )
+    return d.withColumn(
+        "keep",
+        (F.col("n_kept_lines") >= 3)
+        & ~F.col("has_lorem")
+        & ~F.col("has_brace"),
+    )
