@@ -111,6 +111,33 @@ dd AS (
 )
 """
 
+# _fineweb_corpus mirror; final CTE is named `dd` so the pipe_fineweb
+# oracle shares the dd_curate LSH/verify/CC chain verbatim
+_FW_SQL = """
+fwb AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 11 = 0
+           THEN repeat('le la les et pour dans est que ', 20) || text
+         WHEN doc_id % 7 = 0
+           THEN 'the value of the table is known' || chr(10)
+                || 'we have that data and it is with us' || chr(10) || text
+         ELSE 'the value of the table is known.' || chr(10)
+              || 'we have that data and it is with us.' || chr(10)
+              || 'the scan is fast and the sort is slow.' || chr(10)
+              || text || '.'
+    END AS text
+  FROM documents
+),
+dd AS (
+  SELECT doc_id, text FROM fwb
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM fwb WHERE doc_id % 10 = 0
+  UNION ALL
+  SELECT doc_id + 2000000 AS doc_id, text || ' zz extra token' AS text
+  FROM fwb WHERE doc_id % 17 = 0
+)
+"""
+
 # ---------------------------------------------------------------------------
 # KG queries (engine)
 # ---------------------------------------------------------------------------
@@ -2054,6 +2081,88 @@ def _q_ts_c4(spark, sf_dir):
     )
 
 
+def _q_ts_wordrank(spark, sf_dir):
+    """Mean-word-rank quality signal against the corpus' own Zipf head
+    (top-50, ties lexicographic): per doc (n_tokens, n_ranked, n_oov,
+    oov_bp, sum_rank, mean_rank_x100) — all integer div ratios.  Token
+    explode → broadcast rank join → one map-side-partial agg."""
+    return TS.word_ranks(_documents(spark, sf_dir), k=50)
+
+
+def _q_ts_mixture(spark, sf_dir):
+    """Uniform domain mixing under a 25% corpus token budget over the
+    vault notes (domain = first path segment): deterministic md5-order
+    selection until each domain's equal share is exhausted.  The
+    per-domain prefix sum runs skew-free over md5-prefix buckets
+    (256-way parallel inside every domain) + a broadcast offset join —
+    never one window task per mega-domain."""
+    from obsidian_parser_spark.operators.sampling import domain_mixture
+
+    nodes = _graph(spark, sf_dir).nodes
+    return domain_mixture(
+        nodes.select("doc_id", F.col("word_count").alias("n_tokens")),
+        rate_bp=2500,
+    )
+
+
+def _fineweb_corpus(spark, sf_dir):
+    """Deterministic derived 'web' corpus for the pipeline audit — the raw
+    documents table wholesale fails the published filters (max 1 distinct
+    Gopher stop word, zero terminal punctuation), which would let the
+    language/gopher gates absorb every doc and leave the downstream
+    stages untested.  Each subgroup exercises a distinct gate:
+    doc_id%11 → French scaffold (language gate), doc_id%7 → English
+    scaffold WITHOUT punctuation (passes Gopher, fails C4), the rest →
+    three ≥5-word terminally-punctuated stop-word-bearing prose lines
+    (C4-clean; short docs still fail Gopher's 50-word floor); %10 exact
+    copies and %17 near copies re-keyed on top, as in _dedup_corpus."""
+    base = _documents(spark, sf_dir).select("doc_id", "text")
+    fr = F.concat(
+        F.expr("repeat('le la les et pour dans est que ', 20)"), F.col("text")
+    )
+    punctless = F.concat(
+        F.lit(
+            "the value of the table is known\n"
+            "we have that data and it is with us\n"
+        ),
+        F.col("text"),
+    )
+    prose = F.concat(
+        F.lit(
+            "the value of the table is known.\n"
+            "we have that data and it is with us.\n"
+            "the scan is fast and the sort is slow.\n"
+        ),
+        F.col("text"),
+        F.lit("."),
+    )
+    t2 = (
+        F.when(F.col("doc_id") % 11 == 0, fr)
+        .when(F.col("doc_id") % 7 == 0, punctless)
+        .otherwise(prose)
+    )
+    web = base.select("doc_id", t2.alias("text"))
+    copies = web.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    near = web.filter(F.col("doc_id") % 17 == 0).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zz extra token")).alias("text"),
+    )
+    return web.unionAll(copies).unionAll(near)
+
+
+def _q_pipe_fineweb(spark, sf_dir):
+    """Published web-curation pipeline audit (FineWeb/RefinedWeb order)
+    on the derived web corpus: language → Gopher Table-A1 → C4 line
+    cleaning → exact dedup → verified MinHash-LSH near-dedup; per-doc
+    gate booleans + first-matching drop_reason (md5 hash family so the
+    oracle replays the identical LSH stage in SQL)."""
+    from obsidian_parser_spark.plans.curation import fineweb_annotate
+
+    return fineweb_annotate(_fineweb_corpus(spark, sf_dir))
+
+
 def _q_kg_outline(spark, sf_dir):
     """ATX heading outline per note — (doc_id, heading_ord, level,
     title) in document order: the section structure the reference's
@@ -2503,6 +2612,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_hostile": _q_kg_hostile,
         "ts_gopher": _q_ts_gopher,
         "ts_c4": _q_ts_c4,
+        "ts_wordrank": _q_ts_wordrank,
+        "ts_mixture": _q_ts_mixture,
+        "pipe_fineweb": _q_pipe_fineweb,
         "kg_decode": _q_kg_decode,
         "kg_pixels": _q_kg_pixels,
         "kg_audio": _q_kg_audio,
@@ -2535,9 +2647,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_ppr": _q_kg_ppr,
         "kg_walks": _q_kg_walks,
         "kg_walk_coverage": _q_kg_walk_coverage,
-        "kg_biased_walks": _q_kg_biased_walks,
-        "kg_walk_pairs": _q_kg_walk_pairs,
-        "kg_negatives": _q_kg_negatives,
         "kg_egonets": _q_kg_egonets,
         "kg_ids": _q_kg_ids,
         "ev_asof": _q_ev_asof,
@@ -2549,6 +2658,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd_minhash_quality": _q_dd_minhash_quality,
         "kg_gif": _q_kg_gif,
         "ts_bpe_encode": _q_ts_bpe_encode,
+        "kg_biased_walks": _q_kg_biased_walks,
+        "kg_walk_pairs": _q_kg_walk_pairs,
+        "kg_negatives": _q_kg_negatives,
         "ts_chunks": _q_ts_chunks,
         "ts_bm25": _q_ts_bm25,
         "kg_matching": _q_kg_matching,
@@ -4252,6 +4364,31 @@ SELECT a.obj AS a, b.obj AS b, count(*)::BIGINT AS shared
 FROM clek a JOIN clek b ON a.subj = b.subj AND a.obj < b.obj
 GROUP BY a.obj, b.obj
 HAVING count(*) >= 2""",
+        # uniform domain mixing under a 25% corpus token budget; md5 hex
+        # ordering is consistent with the engine's md5-prefix bucket order
+        # (hex digits sort 0-9 < a-f in ASCII, and the bucket is the
+        # numeric value of the same md5's first two nibbles)
+        "ts_mixture": c
+        + r""",
+mx AS (
+  SELECT doc_id, word_count AS n_tokens,
+         CASE WHEN contains(doc_id, '/') THEN str_split(doc_id, '/')[1]
+              ELSE 'root' END AS domain,
+         md5(doc_id) AS k
+  FROM stats),
+ms AS (
+  SELECT (((sum(n_tokens) * 2500) // 10000) // count(DISTINCT domain))::BIGINT
+           AS budget_tokens
+  FROM mx),
+mc AS (
+  SELECT doc_id, domain, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY domain ORDER BY k, doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW)::BIGINT AS cum_tokens
+  FROM mx)
+SELECT doc_id, domain, n_tokens, cum_tokens, budget_tokens,
+       (cum_tokens <= budget_tokens) AS selected
+FROM mc, ms""",
         "ts_gopher": c
         + r""",
 gl AS (
@@ -5264,6 +5401,32 @@ WITH zv AS (SELECT unnest({tok}) AS word FROM documents),
 zn AS (SELECT word, count(*)::BIGINT AS n FROM zv GROUP BY word)
 SELECT row_number() OVER (ORDER BY n DESC, word)::BIGINT AS rank, word, n
 FROM zn ORDER BY n DESC, word LIMIT 50""",
+        # mean word rank vs the corpus' own Zipf head; integer div ratios,
+        # '//' on the non-negative operands == Spark's `div`
+        "ts_wordrank": f"""
+WITH zv AS (SELECT unnest({tok}) AS word FROM documents),
+zn AS (SELECT word, count(*)::BIGINT AS n FROM zv GROUP BY word),
+zr AS (SELECT row_number() OVER (ORDER BY n DESC, word)::BIGINT AS rank, word
+       FROM zn ORDER BY n DESC, word LIMIT 50),
+wt AS (SELECT doc_id, unnest({tok}) AS word FROM documents),
+pj AS (
+  SELECT w.doc_id, count(*)::BIGINT AS n_tokens,
+         count(r.rank)::BIGINT AS n_ranked,
+         coalesce(sum(r.rank), 0)::BIGINT AS sum_rank
+  FROM wt w LEFT JOIN zr r USING (word) GROUP BY w.doc_id),
+sp AS (
+  SELECT d.doc_id, coalesce(p.n_tokens, 0)::BIGINT AS n_tokens,
+         coalesce(p.n_ranked, 0)::BIGINT AS n_ranked,
+         coalesce(p.sum_rank, 0)::BIGINT AS sum_rank
+  FROM documents d LEFT JOIN pj p USING (doc_id))
+SELECT doc_id, n_tokens, n_ranked,
+       (n_tokens - n_ranked)::BIGINT AS n_oov,
+       (CASE WHEN n_tokens > 0 THEN ((n_tokens - n_ranked) * 10000) // n_tokens
+             ELSE 0 END)::BIGINT AS oov_bp,
+       sum_rank,
+       (CASE WHEN n_ranked > 0 THEN (sum_rank * 100) // n_ranked
+             ELSE 0 END)::BIGINT AS mean_rank_x100
+FROM sp""",
         # busiest tumbling hour per type; ties to the LATER window
         "ev_bursts": f"""
 WITH bp AS (
@@ -5568,6 +5731,118 @@ SELECT reason AS drop_reason, count(*)::BIGINT AS n_docs FROM (
   JOIN ex USING (doc_id)
   LEFT JOIN nd ON nd.doc_id = d.doc_id
 ) GROUP BY reason""",
+        # FineWeb/RefinedWeb-order per-doc audit: language -> Gopher ->
+        # C4 -> exact dedup -> verified LSH near-dedup, first gate wins.
+        # The LSH/verify/CC chain is dd_curate's; the gates are the
+        # ts_langid / ts_gopher / ts_c4 rule sets re-derived over dd.
+        "pipe_fineweb": rf"""
+WITH {_FW_SQL.strip()},
+ltok AS (SELECT doc_id, {tok} AS t FROM dd),
+lh AS (SELECT doc_id, {hits_cols} FROM ltok),
+lng AS (SELECT doc_id, {pred_lang} AS pred_lang FROM lh),
+gw AS (
+  SELECT doc_id, {tok} AS words,
+         list_filter(list_transform(string_split(text, chr(10)),
+                                    x -> rtrim(x, chr(13))),
+                     x -> trim(x) <> '') AS ne_lines,
+         len(regexp_extract_all(text, '#|\.\.\.|…', 0))::BIGINT AS n_symbols
+  FROM dd),
+gf AS (
+  SELECT doc_id,
+         len(words)::BIGINT AS n_words,
+         list_reduce(list_prepend(0::BIGINT,
+                                  list_transform(words, x -> len(x)::BIGINT)),
+                     (a, b) -> a + b)::BIGINT AS word_chars,
+         n_symbols,
+         len(ne_lines)::BIGINT AS n_lines,
+         len(list_filter(ne_lines,
+                         x -> regexp_matches(ltrim(x), '^(-|\*|•) ')))::BIGINT
+           AS n_bullet_lines,
+         len(list_filter(ne_lines,
+                         x -> regexp_matches(rtrim(x), '(\.\.\.|…)$')))::BIGINT
+           AS n_ellipsis_lines,
+         len(list_filter(words, x -> regexp_matches(x, '[a-z]')))::BIGINT
+           AS n_alpha_words,
+         len(list_intersect(list_distinct(words),
+             ['the','be','to','of','and','that','have','with']))::BIGINT
+           AS n_stop_distinct
+  FROM gw),
+gk AS (
+  SELECT doc_id,
+    (n_words >= 50 AND n_words <= 100000
+     AND (CASE WHEN n_words > 0 THEN (word_chars * 100) // n_words
+               ELSE 0 END) BETWEEN 300 AND 1000
+     AND (CASE WHEN n_words > 0 THEN (n_symbols * 10000) // n_words
+               ELSE 0 END) <= 1000
+     AND (CASE WHEN n_lines > 0 THEN (n_bullet_lines * 10000) // n_lines
+               ELSE 0 END) <= 9000
+     AND (CASE WHEN n_lines > 0 THEN (n_ellipsis_lines * 10000) // n_lines
+               ELSE 0 END) <= 3000
+     AND (CASE WHEN n_words > 0 THEN (n_alpha_words * 10000) // n_words
+               ELSE 0 END) >= 8000
+     AND n_stop_distinct >= 2) AS gopher_keep
+  FROM gf),
+ck AS (
+  SELECT doc_id,
+    (len(list_filter(list_transform(string_split(text, chr(10)),
+                                    x -> rtrim(x, chr(13))),
+         x -> regexp_matches(rtrim(x), '[.!?"”]$')
+           AND len(list_filter(string_split_regex(x, '\s+'), w -> w <> '')) >= 5
+           AND NOT contains(lower(x), 'javascript'))) >= 3
+     AND NOT contains(lower(text), 'lorem ipsum')
+     AND NOT contains(text, '{{')) AS c4_keep
+  FROM dd),
+fex AS (
+  SELECT doc_id, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+  FROM dd),
+sh AS (SELECT DISTINCT doc_id, unnest({shingles}) AS shingle FROM dd),
+sigs AS (SELECT doc_id, {sig_expr} FROM sh GROUP BY doc_id),
+banded AS ({band_expr}),
+small AS (
+  SELECT band, key FROM banded GROUP BY band, key HAVING count(*) <= 200
+),
+kept AS (SELECT banded.* FROM banded JOIN small USING (band, key)),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+  FROM kept a JOIN kept b ON a.band = b.band AND a.key = b.key
+  WHERE a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+vinter AS (
+  SELECT c.a, c.b, count(*) AS inter
+  FROM pairs c
+  JOIN sh x ON x.doc_id = c.a
+  JOIN sh y ON y.doc_id = c.b AND y.shingle = x.shingle
+  GROUP BY c.a, c.b
+),
+vpairs AS (
+  SELECT i.a, i.b
+  FROM vinter i JOIN sizes sa ON sa.doc_id = i.a JOIN sizes sb ON sb.doc_id = i.b
+  WHERE i.inter / (sa.sz + sb.sz - i.inter) >= 0.8
+),
+sym AS MATERIALIZED (SELECT a AS u, b AS v FROM vpairs
+                     UNION SELECT b, a FROM vpairs),
+l0 AS MATERIALIZED (SELECT DISTINCT u AS id, u AS lbl FROM sym),
+{_label_prop_rounds(8)},
+nd AS (SELECT id AS doc_id FROM cc WHERE id <> component)
+SELECT doc_id, pred_lang, gopher_keep, c4_keep, exact_dup, near_dup,
+  CASE WHEN pred_lang <> 'en' THEN 'language'
+       WHEN NOT gopher_keep THEN 'gopher'
+       WHEN NOT c4_keep THEN 'c4'
+       WHEN exact_dup THEN 'exact_duplicate'
+       WHEN near_dup THEN 'near_duplicate'
+       ELSE 'kept' END AS drop_reason
+FROM (
+  SELECT d.doc_id, l.pred_lang, g.gopher_keep, k.c4_keep,
+         (e.rn > 1) AS exact_dup,
+         (nd.doc_id IS NOT NULL) AS near_dup
+  FROM dd d
+  JOIN lng l USING (doc_id)
+  JOIN gk g USING (doc_id)
+  JOIN ck k USING (doc_id)
+  JOIN fex e USING (doc_id)
+  LEFT JOIN nd ON nd.doc_id = d.doc_id
+)""",
         "dd_clusters": f"""
 WITH {_DD_SQL.strip()},
 sh AS (SELECT DISTINCT doc_id, unnest({shingles}) AS shingle FROM dd),

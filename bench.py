@@ -55,6 +55,7 @@ def main() -> None:
         component_count,
         connected_components,
     )
+    from obsidian_parser_spark.operators.sampling import domain_mixture
     from obsidian_parser_spark.operators.tokenize import reconstruct_text
     from obsidian_parser_spark.plans.pipeline import GraphBuildOptions, build_graph
     from obsidian_parser_spark.session import get_spark
@@ -293,6 +294,23 @@ def main() -> None:
                 )
                 .collect(),
             ),
+            repeat=2,
+        )
+        # skew-free two-phase prefix sum: domain token-budget mixing over
+        # the full vault (selected count + max cum force both phases)
+        timed(
+            "ts_mixture_vault",
+            lambda: domain_mixture(
+                vault_text.select(
+                    "doc_id",
+                    F.expr(
+                        "size(filter(split(text, '\\\\s+'), x -> x != ''))"
+                    ).cast("long").alias("n_tokens"),
+                ),
+                rate_bp=2500,
+            )
+            .agg(F.sum(F.col("selected").cast("long")), F.max("cum_tokens"))
+            .collect(),
             repeat=2,
         )
         timed(

@@ -82,3 +82,104 @@ def stratified_sample(
     for k in sorted(pcts):
         pct = F.when(F.col(strata_col) == k, F.lit(pcts[k])).otherwise(pct)
     return df.filter(hash_bucket(id_col, salt=salt) < pct)
+
+
+def domain_mixture(
+    docs: DataFrame,
+    rate_bp: int = 2500,
+    id_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+    domain_col: str | None = None,
+) -> DataFrame:
+    """Uniform domain mixing under a corpus token budget — the data-mixing
+    pass a training pipeline runs to flatten domain skew: the corpus-wide
+    budget is ``total_tokens * rate_bp / 10000`` tokens, split EQUALLY
+    across domains, and each domain keeps documents in deterministic
+    md5(doc_id) order until its budget is exhausted.  Over-represented
+    domains are downsampled hard; small domains keep everything.
+
+    → (doc_id, domain, n_tokens, cum_tokens, budget_tokens, selected);
+    ``cum_tokens`` is the inclusive running token total in selection
+    order and ``selected = cum_tokens <= budget_tokens``.  All arithmetic
+    is integer ``div`` — bit-deterministic across engines.
+
+    ``domain_col=None`` derives the domain from the id's first path
+    segment ('root' when the id has no '/').
+
+    Scale shape — the per-domain prefix sum is the hazard (a single
+    window per domain serializes a mega-domain through one task).  It is
+    computed skew-free in two phases over deterministic md5-PREFIX
+    buckets (first byte of the same md5 that orders the scan, so bucket
+    ranges are contiguous in selection order and uniformly sized):
+    (1) a window per (domain, bucket) — 256-way parallel within every
+    domain; (2) per-(domain, bucket) totals (≤ 256 × n_domains rows)
+    cumulated by a window over that TINY frame and broadcast-joined back
+    as offsets.  No spark_partition_id / repartitionByRange dependence —
+    the bucket is a pure row function, so the plan is deterministic under
+    AQE and re-execution.  Budget scalars ride a 1-row broadcast
+    cross join."""
+    from pyspark.sql import Window
+
+    key = F.md5(F.col(id_col).cast("string"))
+    domain = (
+        F.col(domain_col)
+        if domain_col is not None
+        else F.when(
+            F.col(id_col).cast("string").contains("/"),
+            F.split_part(F.col(id_col).cast("string"), F.lit("/"), F.lit(1)),
+        ).otherwise(F.lit("root"))
+    )
+    d = docs.select(
+        F.col(id_col).cast("string").alias("doc_id"),
+        F.col(tokens_col).cast("long").alias("n_tokens"),
+        domain.alias("domain"),
+        key.alias("_key"),
+        F.conv(F.substring(key, 1, 2), 16, 10).cast("int").alias("_bkt"),
+    )
+
+    scalars = d.agg(
+        F.sum("n_tokens").cast("long").alias("_total"),
+        F.countDistinct("domain").cast("long").alias("_nd"),
+    ).select(
+        F.expr(f"((_total * {int(rate_bp)}) div 10000) div _nd")
+        .cast("long")
+        .alias("budget_tokens")
+    )
+
+    w_in = (
+        Window.partitionBy("domain", "_bkt")
+        .orderBy("_key", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    d = d.withColumn("_cum_in", F.sum("n_tokens").over(w_in).cast("long"))
+
+    w_off = (
+        Window.partitionBy("domain")
+        .orderBy("_bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        d.groupBy("domain", "_bkt")
+        .agg(F.sum("n_tokens").cast("long").alias("_bkt_tokens"))
+        .withColumn(
+            "_offset",
+            F.coalesce(F.sum("_bkt_tokens").over(w_off), F.lit(0)).cast("long"),
+        )
+        .select("domain", "_bkt", "_offset")
+    )
+
+    out = (
+        d.join(F.broadcast(offsets), ["domain", "_bkt"])
+        .crossJoin(F.broadcast(scalars))
+        .withColumn(
+            "cum_tokens", (F.col("_cum_in") + F.col("_offset")).cast("long")
+        )
+    )
+    return out.select(
+        "doc_id",
+        "domain",
+        "n_tokens",
+        "cum_tokens",
+        "budget_tokens",
+        (F.col("cum_tokens") <= F.col("budget_tokens")).alias("selected"),
+    )

@@ -1054,3 +1054,72 @@ def c4_line_stats(
         & ~F.col("has_lorem")
         & ~F.col("has_brace"),
     )
+
+
+def word_ranks(
+    documents: DataFrame,
+    k: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Mean-word-rank quality signal (the "mean word rank" feature of
+    classifier-based curation stacks, computed against the corpus' own
+    Zipf head): per document → (doc_id, n_tokens, n_ranked, n_oov,
+    oov_bp, sum_rank, mean_rank_x100).
+
+    The rank table is :func:`zipf_table` over the SAME corpus (top-``k``
+    by frequency, ties lexicographic), so the signal is a pure function
+    of the corpus — no external vocabulary.  Tokens outside the head are
+    OOV; ``oov_bp`` is their share in basis points and
+    ``mean_rank_x100`` the mean rank of the in-vocabulary occurrences —
+    both integer ``div`` ratios (never a float), per the repo's
+    cross-engine determinism contract.  Low mean rank + low OOV ≈
+    common, well-formed prose; high values flag boilerplate/garbage.
+
+    Scale shape: token explode → BROADCAST join against the ≤ k-row
+    rank table → map-side-partial groupBy(doc_id); the left join back to
+    the id spine only re-attaches zero-token documents.  No window, no
+    Python, one shuffle (the per-doc agg)."""
+    ranks = zipf_table(documents, k=k, text_col=text_col)
+    toks = documents.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.expr(_TOKENS.format(t=text_col))).alias("word"),
+    )
+    per_doc = (
+        toks.join(F.broadcast(ranks.select("word", "rank")), "word", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.count("rank").cast("long").alias("n_ranked"),
+            F.sum(F.coalesce(F.col("rank"), F.lit(0)))
+            .cast("long")
+            .alias("sum_rank"),
+        )
+    )
+    spine = documents.select(F.col(id_col).alias("doc_id"))
+    d = spine.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+        F.coalesce("n_ranked", F.lit(0)).cast("long").alias("n_ranked"),
+        F.coalesce("sum_rank", F.lit(0)).cast("long").alias("sum_rank"),
+    )
+    return d.select(
+        "doc_id",
+        "n_tokens",
+        "n_ranked",
+        (F.col("n_tokens") - F.col("n_ranked")).cast("long").alias("n_oov"),
+        F.when(
+            F.col("n_tokens") > 0,
+            F.expr("((n_tokens - n_ranked) * 10000) div n_tokens"),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("oov_bp"),
+        "sum_rank",
+        F.when(
+            F.col("n_ranked") > 0, F.expr("(sum_rank * 100) div n_ranked")
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("mean_rank_x100"),
+    )

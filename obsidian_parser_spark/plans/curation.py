@@ -191,3 +191,83 @@ def curate_to_shards(
         partition_by="split",
     )
     return res
+
+
+def fineweb_annotate(
+    documents: DataFrame,
+    jaccard_threshold: float = 0.8,
+    minhash_k: int = 12,
+    minhash_bands: int = 4,
+    minhash_hash_fn: str = "md5",
+    lang: str = "en",
+) -> DataFrame:
+    """Per-document audit of the PUBLISHED web-curation pipeline shape
+    (FineWeb / RefinedWeb order): language gate → Gopher Table-A1 quality
+    rules → C4 line-cleaning keep proxy → exact dedup → MinHash-LSH
+    near-dedup with exact-Jaccard verification.  First matching gate
+    wins, evaluated in pipeline order, so every drop is attributable to
+    the stage that would actually have removed it.
+
+    → (doc_id, pred_lang, gopher_keep, c4_keep, exact_dup, near_dup,
+    drop_reason ∈ {language, gopher, c4, exact_duplicate,
+    near_duplicate, kept}).
+
+    Differences from the published stacks are environmental and
+    deliberate: language id is the n-gram marker heuristic (no fastText
+    model in-image) and the text-extraction / URL-filter stages don't
+    apply to an already-extracted corpus.  Every stage is an existing
+    oracle-checked operator; this function only wires them, so the plan
+    inherits their scale shapes (single-projection gates, md5
+    hash-partition exact dedup, df-capped banded LSH — never all-pairs,
+    candidates-only verification, distributed-CC clusters).
+
+    Like :func:`curate`, gates ANNOTATE instead of filtering, so the
+    whole audit is one pass and the near-dup stage still sees docs an
+    earlier gate dropped — matching the published pipelines, which dedup
+    the post-filter corpus, is a one-line filter before the LSH stage;
+    the audit keeps all docs visible so the reason table is complete."""
+    from ..operators.textstats import c4_line_stats, gopher_rules, lang_id
+
+    d = documents.select("doc_id", "text")
+    li = lang_id(d).select("doc_id", "pred_lang")
+    g = gopher_rules(d).select("doc_id", F.col("keep").alias("gopher_keep"))
+    c4 = c4_line_stats(d).select("doc_id", F.col("keep").alias("c4_keep"))
+    ex = exact_duplicates(d).select("doc_id", F.lit(True).alias("_exact"))
+    near = (
+        dedup_clusters(
+            lsh_verified_pairs(
+                d,
+                threshold=jaccard_threshold,
+                k=minhash_k,
+                bands=minhash_bands,
+                hash_fn=minhash_hash_fn,
+            ).select("a", "b")
+        )
+        .filter(~F.col("is_keeper"))
+        .select("doc_id", F.lit(True).alias("_near"))
+    )
+    ann = (
+        d.select("doc_id")
+        .join(li, "doc_id")
+        .join(g, "doc_id")
+        .join(c4, "doc_id")
+        .join(ex, "doc_id", "left")
+        .join(near, "doc_id", "left")
+        .select(
+            "doc_id",
+            "pred_lang",
+            "gopher_keep",
+            "c4_keep",
+            F.coalesce("_exact", F.lit(False)).alias("exact_dup"),
+            F.coalesce("_near", F.lit(False)).alias("near_dup"),
+        )
+    )
+    reason = (
+        F.when(F.col("pred_lang") != lang, F.lit("language"))
+        .when(~F.col("gopher_keep"), F.lit("gopher"))
+        .when(~F.col("c4_keep"), F.lit("c4"))
+        .when(F.col("exact_dup"), F.lit("exact_duplicate"))
+        .when(F.col("near_dup"), F.lit("near_duplicate"))
+        .otherwise(F.lit("kept"))
+    )
+    return ann.withColumn("drop_reason", reason)
