@@ -1277,6 +1277,83 @@ def _q_dd_stream(spark, sf_dir):
     return inp.join(kept, "h").select("h", "n_input", "n_kept")
 
 
+def _q_ev_stream_join(spark, sf_dir):
+    """STREAM-STREAM event-time interval join under the hard signal:
+    ``attribution_join_stream`` (click → same-user purchase within 6
+    hours; watermark-evictable two-sided join state) replayed as a REAL
+    availableNow stream over a 3-epoch TIME-ORDERED file split of the
+    events table (one micro-batch per file, mtimes force ingestion
+    order).  Pairs straddling epoch boundaries exercise cross-batch join
+    state; because epochs are time-ordered no row is ever late, so the
+    streaming result must equal the batch range join bit-for-bit — the
+    oracle is a plain SQL interval self-join.  Idempotent via marker."""
+    import glob as _glob
+    import json
+    import shutil
+
+    from obsidian_parser_spark.streaming.incremental import (
+        attribution_join_stream,
+    )
+
+    base = os.path.join(os.path.dirname(_vault_path(sf_dir)), "ev_stream_join")
+    in_dir = os.path.join(base, "in")
+    out_dir = os.path.join(base, "out")
+    marker = os.path.join(base, "_DONE.json")
+    params = {"version": 1, "sf": sf_dir}
+    done = False
+    if os.path.exists(marker):
+        with open(marker) as f:
+            done = json.load(f) == params
+    if not done:
+        shutil.rmtree(base, ignore_errors=True)
+        os.makedirs(in_dir)
+        ev = _events(spark, sf_dir).select(
+            "event_id", "ts", "user_id", "event_type"
+        )
+        cut1 = F.lit("2024-01-11").cast("timestamp")
+        cut2 = F.lit("2024-01-21").cast("timestamp")
+        for e, cond in enumerate(
+            (
+                F.col("ts") < cut1,
+                (F.col("ts") >= cut1) & (F.col("ts") < cut2),
+                F.col("ts") >= cut2,
+            )
+        ):
+            ev.filter(cond).coalesce(1).write.mode("overwrite").parquet(
+                os.path.join(base, f"stage{e}")
+            )
+            dst = os.path.join(in_dir, f"epoch_{e}.parquet")
+            os.replace(
+                _glob.glob(os.path.join(base, f"stage{e}", "part-*.parquet"))[0],
+                dst,
+            )
+            os.utime(dst, (1_700_000_000 + e, 1_700_000_000 + e))
+            shutil.rmtree(os.path.join(base, f"stage{e}"), ignore_errors=True)
+        stream = (
+            spark.readStream.schema(
+                "event_id long, ts timestamp, user_id long, event_type string"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir)
+        )
+        q = (
+            attribution_join_stream(stream, horizon="6 hours")
+            .writeStream.trigger(availableNow=True)
+            .option("checkpointLocation", os.path.join(base, "ckpt"))
+            .format("parquet")
+            .outputMode("append")
+            .start(out_dir)
+        )
+        if not q.awaitTermination(600):
+            q.stop()
+            raise RuntimeError("stream-stream join did not finish within 600s")
+        with open(marker, "w") as f:
+            json.dump(params, f)
+    return spark.read.parquet(out_dir).select(
+        "l_id", "r_id", "user_id", "lag_us"
+    )
+
+
 def _q_kg_stream_stateful(spark, sf_dir):
     """The custom STATEFUL streaming operator under the hard signal:
     ``running_backlinks`` (applyInPandasWithState, one counter row of
@@ -2163,6 +2240,14 @@ def _q_pipe_fineweb(spark, sf_dir):
     return fineweb_annotate(_fineweb_corpus(spark, sf_dir))
 
 
+def _q_ts_fertility(spark, sf_dir):
+    """Tokenizer-fertility audit under the self-trained 6-merge BPE
+    vocabulary: per doc (n_words, n_covered, n_pieces, n_oov_tokens,
+    covered_chars, fertility_x100, chars_per_piece_x100) — encoding is
+    the vocab equi-join, never a per-token re-fold."""
+    return TS.bpe_fertility(_documents(spark, sf_dir), n_merges=6)
+
+
 def _q_kg_outline(spark, sf_dir):
     """ATX heading outline per note — (doc_id, heading_ord, level,
     title) in document order: the section structure the reference's
@@ -2615,6 +2700,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_wordrank": _q_ts_wordrank,
         "ts_mixture": _q_ts_mixture,
         "pipe_fineweb": _q_pipe_fineweb,
+        "ts_fertility": _q_ts_fertility,
         "kg_decode": _q_kg_decode,
         "kg_pixels": _q_kg_pixels,
         "kg_audio": _q_kg_audio,
@@ -2633,14 +2719,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_stream_dict": _q_kg_stream_dict,
         "kg_stream_resume": _q_kg_stream_resume,
         "ev_stream_windowed": _q_ev_stream_windowed,
+        "ev_stream_join": _q_ev_stream_join,
         "dd_stream": _q_dd_stream,
         "kg_resume": _q_kg_resume,
         "kg_triangles": _q_kg_triangles,
         "kg_kcore": _q_kg_kcore,
-        "kg_truss_support": _q_kg_truss_support,
         "kg_communities": _q_kg_communities,
         "kg_clustering": _q_kg_clustering,
-        "kg_modularity": _q_kg_modularity,
         "kg_distances": _q_kg_distances,
         "kg_sssp": _q_kg_sssp,
         "kg_closeness": _q_kg_closeness,
@@ -2661,6 +2746,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_biased_walks": _q_kg_biased_walks,
         "kg_walk_pairs": _q_kg_walk_pairs,
         "kg_negatives": _q_kg_negatives,
+        "kg_truss_support": _q_kg_truss_support,
+        "kg_modularity": _q_kg_modularity,
         "ts_chunks": _q_ts_chunks,
         "ts_bm25": _q_ts_bm25,
         "kg_matching": _q_kg_matching,
@@ -4599,6 +4686,37 @@ def _bpe_ctes(tok: str, n_merges: int = 6) -> str:
     return "WITH " + ",\n".join(parts) + "\n" + union
 
 
+def _bpe_fertility_sql(tok: str, n_merges: int = 6) -> str:
+    """Fertility audit over the SAME trained-vocab chain as
+    _bpe_encode_sql: per-doc word/covered/piece/char sums plus the two
+    integer-div ratios (DuckDB // ≡ Spark div on the non-negative
+    operands)."""
+    train = _bpe_ctes(tok, n_merges)
+    ctes = train[: train.rindex("\nSELECT 1 AS step")]
+    return f"""{ctes},
+pieces AS (SELECT w, len(syms)::BIGINT AS pieces FROM s{n_merges}),
+dt AS (SELECT doc_id, u.w AS w FROM (
+         SELECT doc_id, {tok} AS t FROM documents), unnest(t) AS u(w)),
+fa AS (
+  SELECT doc_id,
+         count(*)::BIGINT AS n_words,
+         sum(CASE WHEN p.pieces IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+           AS n_covered,
+         sum(CASE WHEN p.pieces IS NOT NULL THEN p.pieces ELSE 0 END)::BIGINT
+           AS n_pieces,
+         sum(CASE WHEN p.pieces IS NULL THEN 1 ELSE 0 END)::BIGINT
+           AS n_oov_tokens,
+         sum(CASE WHEN p.pieces IS NOT NULL THEN length(w) ELSE 0 END)::BIGINT
+           AS covered_chars
+  FROM dt LEFT JOIN pieces p USING (w) GROUP BY doc_id)
+SELECT doc_id, n_words, n_covered, n_pieces, n_oov_tokens, covered_chars,
+       (CASE WHEN n_covered > 0 THEN (n_pieces * 100) // n_covered
+             ELSE 0 END)::BIGINT AS fertility_x100,
+       (CASE WHEN n_pieces > 0 THEN (covered_chars * 100) // n_pieces
+             ELSE 0 END)::BIGINT AS chars_per_piece_x100
+FROM fa"""
+
+
 def _bpe_encode_sql(tok: str, n_merges: int = 6) -> str:
     """Encode-by-lookup oracle: the training CTEs' FINAL vocab state
     gives each word's piece count; docs join their (collapsed) token
@@ -5396,6 +5514,16 @@ WITH vt AS (SELECT {_layout_bkt_sql("CAST(doc_id AS VARCHAR)", 100, "vg")} AS b,
 SELECT ((epoch_us(ts) // 3600000000) % 24)::BIGINT AS hour, event_type,
        count(*)::BIGINT AS n_events
 FROM events GROUP BY 1, 2""",
+        # batch truth for the stream-stream interval join: the streaming
+        # replay is over time-ordered epochs (no late rows), so the result
+        # must equal this plain range self-join exactly
+        "ev_stream_join": """
+SELECT l.event_id AS l_id, r.event_id AS r_id, l.user_id,
+       (epoch_us(r.ts) - epoch_us(l.ts))::BIGINT AS lag_us
+FROM events l JOIN events r
+  ON l.user_id = r.user_id
+ AND l.event_type = 'click' AND r.event_type = 'purchase'
+ AND r.ts > l.ts AND r.ts <= l.ts + INTERVAL 6 HOUR""",
         "ts_zipf": f"""
 WITH zv AS (SELECT unnest({tok}) AS word FROM documents),
 zn AS (SELECT word, count(*)::BIGINT AS n FROM zv GROUP BY word)
@@ -6050,6 +6178,7 @@ FROM tn JOIN cx USING (w1, w2)""",
         # count-weighted word vocabulary (see textstats.bpe_merges)
         "ts_bpe": _bpe_ctes(tok, 6),
         "ts_bpe_encode": _bpe_encode_sql(tok, 6),
+        "ts_fertility": _bpe_fertility_sql(tok, 6),
         # head-trigram LM coverage per doc; spanless/short docs emit (0, 0)
         "ts_lm_coverage": f"""
 WITH tk AS (SELECT doc_id, {tok} AS t FROM documents),

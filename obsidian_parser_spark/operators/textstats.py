@@ -1123,3 +1123,84 @@ def word_ranks(
         .cast("long")
         .alias("mean_rank_x100"),
     )
+
+
+def bpe_fertility(
+    documents: DataFrame,
+    n_merges: int = 6,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Tokenizer-fertility audit under the self-trained BPE vocabulary —
+    the metric a tokenizer team tracks per corpus slice before training:
+    → (doc_id, n_words, n_covered, n_pieces, n_oov_tokens,
+    covered_chars, fertility_x100, chars_per_piece_x100).
+
+    ``fertility_x100`` = pieces per covered word ×100 (higher = the
+    tokenizer fragments this doc's vocabulary more; OOV words are
+    excluded — their segmentation is a downstream fallback, counted
+    separately in ``n_oov_tokens``); ``chars_per_piece_x100`` =
+    compression (characters represented per emitted piece).  Integer
+    ``div`` throughout — the repo's cross-engine determinism contract.
+
+    Scale shape: training cost as in :func:`bpe_merges` (corpus
+    collapses to a count-weighted word vocabulary; per-round scalar
+    argmax only); the audit itself is the encode equi-join — exploded
+    tokens collapsed map-side to (doc, word, count) against the vocab's
+    (word, pieces) — plus one map-side-partial per-doc agg.  Never a
+    per-token re-fold."""
+    _, vocab = _bpe_train(documents, n_merges, id_col, text_col)
+    pieces = vocab.select("w", F.size("syms").cast("long").alias("pieces"))
+    toks = documents.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.expr(_TOKENS.format(t=text_col))).alias("w"),
+    )
+    per = (
+        toks.groupBy("doc_id", "w")
+        .agg(F.count("*").cast("long").alias("c"))
+        .join(pieces, "w", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("long").alias("n_words"),
+            F.sum(F.when(F.col("pieces").isNotNull(), F.col("c")).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("n_covered"),
+            F.sum(
+                F.when(
+                    F.col("pieces").isNotNull(), F.col("c") * F.col("pieces")
+                ).otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("n_pieces"),
+            F.sum(F.when(F.col("pieces").isNull(), F.col("c")).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("n_oov_tokens"),
+            F.sum(
+                F.when(
+                    F.col("pieces").isNotNull(), F.col("c") * F.length("w")
+                ).otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("covered_chars"),
+        )
+    )
+    return per.select(
+        "doc_id",
+        "n_words",
+        "n_covered",
+        "n_pieces",
+        "n_oov_tokens",
+        "covered_chars",
+        F.when(
+            F.col("n_covered") > 0, F.expr("(n_pieces * 100) div n_covered")
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("fertility_x100"),
+        F.when(
+            F.col("n_pieces") > 0, F.expr("(covered_chars * 100) div n_pieces")
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("chars_per_piece_x100"),
+    )

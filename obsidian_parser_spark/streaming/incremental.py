@@ -184,3 +184,65 @@ def dedup_stream(
         .dropDuplicatesWithinWatermark(["_h"])
         .drop("_h")
     )
+
+
+def attribution_join_stream(
+    stream: DataFrame,
+    left_type: str = "click",
+    right_type: str = "purchase",
+    horizon: str = "6 hours",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Stream-stream EVENT-TIME INTERVAL JOIN — the attribution query
+    (which click does a purchase follow?) as a real Structured Streaming
+    two-sided join: both sides carry a watermark and the join condition
+    bounds the event-time gap, so the join-state store is EVICTABLE —
+    a left row can be dropped once the watermark passes
+    ``l_ts + horizon`` and a right row once it passes ``r_ts``.  Without
+    the time bound the state would grow with the stream; with it, state
+    is bounded by horizon × arrival rate regardless of stream length —
+    the property that makes stream-stream joins viable on an unbounded
+    event feed.
+
+    → (l_id, r_id, user_id, lag_us): every ``right_type`` event paired
+    with every same-user ``left_type`` event in the preceding
+    ``horizon`` (strict ``r_ts > l_ts``).  INNER join: pairs emit as
+    soon as both sides have arrived (no watermark hold on emission —
+    that applies to outer sides only), so an availableNow replay over
+    event-time-ordered epochs reproduces the batch range join exactly.
+
+    Self-join of one source stream is fine (Spark plans two scans)."""
+    l = (
+        stream.filter(F.col("event_type") == left_type)
+        .select(
+            F.col("event_id").alias("l_id"),
+            F.col("user_id").alias("l_user"),
+            F.col(ts_col).alias("l_ts"),
+        )
+        .withWatermark("l_ts", horizon)
+    )
+    r = (
+        stream.filter(F.col("event_type") == right_type)
+        .select(
+            F.col("event_id").alias("r_id"),
+            F.col("user_id").alias("r_user"),
+            F.col(ts_col).alias("r_ts"),
+        )
+        .withWatermark("r_ts", horizon)
+    )
+    joined = l.join(
+        r,
+        F.expr(
+            "l_user = r_user AND r_ts > l_ts "
+            f"AND r_ts <= l_ts + interval {horizon}"
+        ),
+        "inner",
+    )
+    return joined.select(
+        "l_id",
+        "r_id",
+        F.col("l_user").alias("user_id"),
+        (F.unix_micros("r_ts") - F.unix_micros("l_ts"))
+        .cast("long")
+        .alias("lag_us"),
+    )

@@ -1,0 +1,92 @@
+"""bpe_fertility and attribution_join_stream — round-5 additions.
+Cross-engine witnesses: the ts_fertility / ev_stream_join DuckDB oracles
+(the latter replays a REAL availableNow 3-epoch stream in the driver
+query; here the join semantics are pinned in batch mode, where
+withWatermark is a no-op and the interval join runs as a plain range
+join — same plan semantics, no stream scaffolding)."""
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from obsidian_parser_spark.operators.textstats import bpe_fertility
+from obsidian_parser_spark.streaming.incremental import attribution_join_stream
+
+
+# -------------------------------------------------------------- fertility
+
+
+def test_bpe_fertility_hand_checked(spark):
+    # corpus: 'aaab' x4, 'ab' x2 -> merges learn 'aa' etc.; '!' is OOV
+    d = spark.createDataFrame(
+        [(1, "aaab aaab ab"), (2, "aaab ! !")],
+        "doc_id int, text string",
+    )
+    out = {r.doc_id: r for r in bpe_fertility(d, n_merges=2).collect()}
+    r1, r2 = out[1], out[2]
+    assert r1.n_words == 3 and r1.n_covered == 3 and r1.n_oov_tokens == 0
+    assert r2.n_words == 3 and r2.n_covered == 1 and r2.n_oov_tokens == 2
+    # covered_chars: doc1 = 4+4+2, doc2 = 4
+    assert r1.covered_chars == 10 and r2.covered_chars == 4
+    # ratio identities hold regardless of what the merges learned
+    assert r1.fertility_x100 == (r1.n_pieces * 100) // r1.n_covered
+    assert r1.chars_per_piece_x100 == (r1.covered_chars * 100) // r1.n_pieces
+    # doc2's single covered word is 'aaab', so its piece total must equal
+    # one occurrence's share of doc1's 'aaab aaab' plus-'ab' total
+    assert r2.fertility_x100 == (r2.n_pieces * 100) // 1
+
+
+def test_bpe_fertility_zero_guards(spark):
+    # all-OOV doc: n_covered = 0 -> both ratios 0, no division error
+    d = spark.createDataFrame(
+        [(1, "ok ok ok ok"), (2, "!! ?? ..")], "doc_id int, text string"
+    )
+    out = {r.doc_id: r for r in bpe_fertility(d, n_merges=1).collect()}
+    assert out[2].n_covered == 0
+    assert out[2].fertility_x100 == 0 and out[2].chars_per_piece_x100 == 0
+
+
+# ------------------------------------------------------- stream-stream join
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(
+        [
+            (i, dt.datetime(2024, 1, 1) + dt.timedelta(minutes=m), u, t)
+            for i, (m, u, t) in enumerate(rows)
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string",
+    )
+
+
+def test_attribution_join_batch_semantics(spark):
+    rows = [
+        (0, 1, "click"),  # id 0
+        (30, 1, "purchase"),  # id 1: within 6h of click 0 -> pair
+        (0, 2, "click"),  # id 2
+        (60 * 7, 2, "purchase"),  # id 3: 7h later -> NO pair
+        (100, 3, "purchase"),  # id 4: purchase before any click -> none
+        (120, 3, "click"),  # id 5
+        (50, 1, "click"),  # id 6: second click also precedes purchase 1
+        (30, 4, "view"),  # other types ignored
+    ]
+    got = sorted(
+        (r.l_id, r.r_id, r.user_id, r.lag_us)
+        for r in attribution_join_stream(_ev(spark, rows)).collect()
+    )
+    assert got == [(0, 1, 1, 30 * 60 * 1_000_000)]
+    # strict r_ts > l_ts: a purchase at the exact click instant is no pair
+    rows2 = [(10, 9, "click"), (10, 9, "purchase")]
+    assert attribution_join_stream(_ev(spark, rows2)).count() == 0
+
+
+def test_attribution_join_multiple_clicks_all_pair(spark):
+    rows = [
+        (0, 1, "click"),
+        (10, 1, "click"),
+        (20, 1, "purchase"),
+    ]
+    got = sorted(
+        (r.l_id, r.r_id) for r in attribution_join_stream(_ev(spark, rows)).collect()
+    )
+    assert got == [(0, 2), (1, 2)]
