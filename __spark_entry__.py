@@ -1189,6 +1189,53 @@ def _q_ev_stream_windowed(spark, sf_dir):
     )
 
 
+def _q_ev_stream_sessions(spark, sf_dir):
+    """Streaming SESSION WINDOWS under the hard signal: ``session_stream``
+    (F.session_window, 30-min gap, 2-h watermark) replayed as a real
+    availableNow stream; append mode emits exactly the watermark-closed
+    sessions, and the oracle recomputes both the session merge rule
+    (new session iff the same-user gap ≥ 30 min — the end-exclusive
+    [ts, ts+gap) span) and the closure set (end ms ≤ max event time ms
+    − 2 h) in SQL.  Integer cents; idempotent via marker."""
+    import json
+    import shutil
+
+    from obsidian_parser_spark.streaming.incremental import session_stream
+
+    src = os.path.join(sf_dir, "events.parquet")
+    base = os.path.join(os.path.dirname(_vault_path(sf_dir)), "ev_sessions")
+    marker = os.path.join(base, "_DONE.json")
+    out = os.path.join(base, "win")
+    params = {"version": 1, "src": src}
+    done = False
+    if os.path.exists(marker):
+        with open(marker) as f:
+            done = json.load(f) == params
+    if not done:
+        shutil.rmtree(base, ignore_errors=True)
+        in_dir = os.path.join(base, "in")
+        os.makedirs(in_dir)
+        shutil.copy(src, os.path.join(in_dir, "events.parquet"))
+        q = session_stream(
+            spark,
+            in_dir,
+            checkpoint=os.path.join(base, "ckpt"),
+            output_path=out,
+        )
+        if not q.awaitTermination(600):
+            q.stop()
+            raise RuntimeError("session stream did not finish within 600s")
+        with open(marker, "w") as f:
+            json.dump(params, f)
+    return spark.read.parquet(out).select(
+        "user_id",
+        F.unix_micros(F.col("session_window.start")).alias("session_start_us"),
+        F.unix_micros(F.col("session_window.end")).alias("session_end_us"),
+        F.col("n_events").cast("long").alias("n_events"),
+        F.col("value_cents").cast("long").alias("value_cents"),
+    )
+
+
 def _q_dd_stream(spark, sf_dir):
     """Streaming dedup under the hard signal: the watermark-bounded
     ``dedup_stream`` (dropDuplicatesWithinWatermark — state bounded by
@@ -2720,6 +2767,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_stream_resume": _q_kg_stream_resume,
         "ev_stream_windowed": _q_ev_stream_windowed,
         "ev_stream_join": _q_ev_stream_join,
+        "ev_stream_sessions": _q_ev_stream_sessions,
         "dd_stream": _q_dd_stream,
         "kg_resume": _q_kg_resume,
         "kg_triangles": _q_kg_triangles,
@@ -2728,7 +2776,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_clustering": _q_kg_clustering,
         "kg_distances": _q_kg_distances,
         "kg_sssp": _q_kg_sssp,
-        "kg_closeness": _q_kg_closeness,
         "kg_ppr": _q_kg_ppr,
         "kg_walks": _q_kg_walks,
         "kg_walk_coverage": _q_kg_walk_coverage,
@@ -2748,6 +2795,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_negatives": _q_kg_negatives,
         "kg_truss_support": _q_kg_truss_support,
         "kg_modularity": _q_kg_modularity,
+        "kg_closeness": _q_kg_closeness,
         "ts_chunks": _q_ts_chunks,
         "ts_bm25": _q_ts_bm25,
         "kg_matching": _q_kg_matching,
@@ -6253,6 +6301,29 @@ SELECT ws AS window_start_us, event_type, count(*)::BIGINT AS n_events
 FROM w, wm
 WHERE (ws + {EV.WINDOW_US}) // 1000 <= w_ms
 GROUP BY ws, event_type"""
+    # streaming session windows: merge rule = same-user gap <= 30 min
+    # (empirically end-INCLUSIVE — an exact 30-min gap DOES merge, pinned
+    # by test_session_stream_merge_and_watermark_closure — i.e. the same
+    # strict-> rule as the batch sessionize); closure = session end (last
+    # event + gap) ms <= final watermark (max event ms - 2 h), mirroring
+    # ev_stream_windowed
+    out["ev_stream_sessions"] = """
+WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+                  CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+wm AS (SELECT (max(ts_us) // 1000) - 7200000 AS w_ms FROM e),
+m AS (SELECT *,
+        CASE WHEN lag(ts_us) OVER w IS NULL
+               OR ts_us - lag(ts_us) OVER w > 1800000000
+             THEN 1 ELSE 0 END AS new_s
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+s AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS sid FROM m),
+g AS (SELECT user_id, min(ts_us)::BIGINT AS session_start_us,
+             (max(ts_us) + 1800000000)::BIGINT AS session_end_us,
+             count(*)::BIGINT AS n_events, sum(cents)::BIGINT AS value_cents
+      FROM s GROUP BY user_id, sid)
+SELECT user_id, session_start_us, session_end_us, n_events, value_cents
+FROM g, wm WHERE session_end_us // 1000 <= w_ms"""
     return out
 
 

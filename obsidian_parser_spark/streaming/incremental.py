@@ -246,3 +246,51 @@ def attribution_join_stream(
         .cast("long")
         .alias("lag_us"),
     )
+
+
+def session_stream(
+    spark: SparkSession,
+    input_dir: str,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+    checkpoint: str | None = None,
+    output_path: str | None = None,
+):
+    """Streaming SESSION WINDOWS per user (``F.session_window`` — the
+    streaming-native form of the batch gaps-and-islands ``sessionize``):
+    a session extends while successive same-user events arrive within
+    ``gap``; two events exactly ``gap`` apart DO merge (the merge test is
+    end-INCLUSIVE — empirically pinned in
+    tests/test_fertility_streamjoin.py — i.e. the same strict-``>`` split
+    rule as the batch ``sessionize``).  Append mode emits a session
+    only once the watermark passes its end (last event time + gap), so
+    the session-state store is evictable and bounded by the number of
+    OPEN sessions — not the stream length.
+
+    → (session_window(start, end), user_id, n_events, value_cents);
+    cents are integer (round ×100) so the emitted rows are
+    bit-deterministic and SQL-checkable.  Parquet file sink + checkpoint
+    = recoverable: a restart resumes open-session state and the
+    persisted watermark."""
+    stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(input_dir)
+    agg = (
+        stream.withColumn(
+            "cents", F.round(F.col("value") * 100).cast("long")
+        )
+        .withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap), F.col("user_id"))
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.sum("cents").cast("long").alias("value_cents"),
+        )
+    )
+    if output_path is None or checkpoint is None:
+        raise ValueError("session_stream needs output_path and checkpoint")
+    return (
+        agg.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", output_path)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

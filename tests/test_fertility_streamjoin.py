@@ -90,3 +90,66 @@ def test_attribution_join_multiple_clicks_all_pair(spark):
         (r.l_id, r.r_id) for r in attribution_join_stream(_ev(spark, rows)).collect()
     )
     assert got == [(0, 2), (1, 2)]
+
+
+# ------------------------------------------------------- session windows
+
+
+def test_session_stream_merge_and_watermark_closure(spark, tmp_path):
+    """session_stream merges same-user events with gap <= 30 min (an exact
+    30-min gap MERGES — Spark's session windows are end-inclusive on the
+    merge test, the same strict-> split rule as the batch sessionize),
+    splits at > 30 min, and append mode withholds sessions the final
+    watermark (max ts - 2 h) has not passed — the 'closer' user's own
+    session stays unemitted."""
+    import datetime as dt
+
+    from obsidian_parser_spark.streaming.incremental import session_stream
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ev(eid, minutes, uid, val):
+        return (eid, t0 + dt.timedelta(minutes=minutes), uid, "click", val, "{}")
+
+    rows = [
+        ev(0, 0, 1, 1.0),
+        ev(1, 10, 1, 2.0),  # gap 10 min: same session
+        ev(2, 40, 1, 3.0),  # gap 30 min EXACTLY: merges (end-inclusive)
+        ev(4, 71, 1, 4.0),  # gap 31 min: NEW session
+        ev(3, 600, 99, 5.0),  # closer: watermark -> t0+8h, own session open
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    in_dir = str(tmp_path / "in")
+    df.coalesce(1).write.parquet(in_dir)
+    q = session_stream(
+        spark,
+        in_dir,
+        checkpoint=str(tmp_path / "ckpt"),
+        output_path=str(tmp_path / "out"),
+    )
+    assert q.awaitTermination(300)
+    got = sorted(
+        (
+            r.user_id,
+            r["session_window"].start,
+            r["session_window"].end,
+            r.n_events,
+            r.value_cents,
+        )
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    )
+    gap = dt.timedelta(minutes=30)
+    assert got == [
+        (1, t0, t0 + dt.timedelta(minutes=40) + gap, 3, 600),
+        (
+            1,
+            t0 + dt.timedelta(minutes=71),
+            t0 + dt.timedelta(minutes=71) + gap,
+            1,
+            400,
+        ),
+    ]
