@@ -1189,6 +1189,88 @@ def _q_ev_stream_windowed(spark, sf_dir):
     )
 
 
+def _q_ev_stream_join_outer(spark, sf_dir):
+    """LEFT OUTER stream-stream interval join under the hard signal: same
+    replay as ev_stream_join, but clicks with no purchase within the
+    horizon additionally emit (l_id, NULL) once the watermark PROVES no
+    match can arrive.  The closure rule was pinned empirically
+    (tests/test_fertility_streamjoin.py::test_outer_join_closure_rule):
+    each leg's watermark advances on its OWN filtered events (min
+    policy), eviction is STRICT (equality with the final watermark does
+    NOT emit — probed at µs precision), and a final flush batch runs
+    only because the watermark advances in the last data batch.  The
+    oracle re-derives matched pairs as a plain range join and the NULL
+    set as l_us + horizon < min(max click, max purchase) ms-truncated
+    − horizon.  Idempotent via marker."""
+    import glob as _glob
+    import json
+    import shutil
+
+    from obsidian_parser_spark.streaming.incremental import (
+        attribution_join_stream,
+    )
+
+    base = os.path.join(
+        os.path.dirname(_vault_path(sf_dir)), "ev_stream_join_outer"
+    )
+    in_dir = os.path.join(base, "in")
+    out_dir = os.path.join(base, "out")
+    marker = os.path.join(base, "_DONE.json")
+    params = {"version": 1, "sf": sf_dir}
+    done = False
+    if os.path.exists(marker):
+        with open(marker) as f:
+            done = json.load(f) == params
+    if not done:
+        shutil.rmtree(base, ignore_errors=True)
+        os.makedirs(in_dir)
+        ev = _events(spark, sf_dir).select(
+            "event_id", "ts", "user_id", "event_type"
+        )
+        cut1 = F.lit("2024-01-11").cast("timestamp")
+        cut2 = F.lit("2024-01-21").cast("timestamp")
+        for e, cond in enumerate(
+            (
+                F.col("ts") < cut1,
+                (F.col("ts") >= cut1) & (F.col("ts") < cut2),
+                F.col("ts") >= cut2,
+            )
+        ):
+            ev.filter(cond).coalesce(1).write.mode("overwrite").parquet(
+                os.path.join(base, f"stage{e}")
+            )
+            dst = os.path.join(in_dir, f"epoch_{e}.parquet")
+            os.replace(
+                _glob.glob(os.path.join(base, f"stage{e}", "part-*.parquet"))[0],
+                dst,
+            )
+            os.utime(dst, (1_700_000_000 + e, 1_700_000_000 + e))
+            shutil.rmtree(os.path.join(base, f"stage{e}"), ignore_errors=True)
+        stream = (
+            spark.readStream.schema(
+                "event_id long, ts timestamp, user_id long, event_type string"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir)
+        )
+        q = (
+            attribution_join_stream(stream, horizon="6 hours", how="left_outer")
+            .writeStream.trigger(availableNow=True)
+            .option("checkpointLocation", os.path.join(base, "ckpt"))
+            .format("parquet")
+            .outputMode("append")
+            .start(out_dir)
+        )
+        if not q.awaitTermination(600):
+            q.stop()
+            raise RuntimeError("outer stream join did not finish within 600s")
+        with open(marker, "w") as f:
+            json.dump(params, f)
+    return spark.read.parquet(out_dir).select(
+        "l_id", "r_id", "user_id", "lag_us"
+    )
+
+
 def _q_ev_stream_sessions(spark, sf_dir):
     """Streaming SESSION WINDOWS under the hard signal: ``session_stream``
     (F.session_window, 30-min gap, 2-h watermark) replayed as a real
@@ -2767,6 +2849,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_stream_resume": _q_kg_stream_resume,
         "ev_stream_windowed": _q_ev_stream_windowed,
         "ev_stream_join": _q_ev_stream_join,
+        "ev_stream_join_outer": _q_ev_stream_join_outer,
         "ev_stream_sessions": _q_ev_stream_sessions,
         "dd_stream": _q_dd_stream,
         "kg_resume": _q_kg_resume,
@@ -2787,8 +2870,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd_contamination": _q_dd_contamination,
         "dd_dupspans": _q_dd_dupspans,
         "dd_incremental": _q_dd_incremental,
-        "dd_minhash_quality": _q_dd_minhash_quality,
         "kg_gif": _q_kg_gif,
+        "dd_minhash_quality": _q_dd_minhash_quality,
         "ts_bpe_encode": _q_ts_bpe_encode,
         "kg_biased_walks": _q_kg_biased_walks,
         "kg_walk_pairs": _q_kg_walk_pairs,
@@ -5572,6 +5655,32 @@ FROM events l JOIN events r
   ON l.user_id = r.user_id
  AND l.event_type = 'click' AND r.event_type = 'purchase'
  AND r.ts > l.ts AND r.ts <= l.ts + INTERVAL 6 HOUR""",
+        # left-outer variant: matched pairs as above PLUS a NULL row per
+        # click the FINAL watermark proved unmatchable — strict <, each
+        # leg's watermark from its own filtered max, ms-truncated
+        # (eviction boundary pinned empirically at us precision by
+        # test_outer_join_closure_rule)
+        "ev_stream_join_outer": """
+WITH l AS (SELECT event_id, user_id, epoch_us(ts) AS l_us FROM events
+           WHERE event_type = 'click'),
+r AS (SELECT event_id, user_id, epoch_us(ts) AS r_us FROM events
+      WHERE event_type = 'purchase'),
+wm AS (SELECT (least((SELECT max(l_us) FROM l), (SELECT max(r_us) FROM r))
+               // 1000) * 1000 - 21600000000 AS wm_us),
+m AS (SELECT l.event_id AS l_id, r.event_id AS r_id, l.user_id,
+             (r.r_us - l.l_us)::BIGINT AS lag_us
+      FROM l JOIN r ON l.user_id = r.user_id
+       AND r.r_us > l.l_us AND r.r_us <= l.l_us + 21600000000),
+um AS (SELECT l.event_id AS l_id, NULL::BIGINT AS r_id, l.user_id,
+              NULL::BIGINT AS lag_us
+       FROM l, wm
+       WHERE l.l_us + 21600000000 < wm.wm_us
+         AND NOT EXISTS (SELECT 1 FROM r WHERE r.user_id = l.user_id
+                           AND r.r_us > l.l_us
+                           AND r.r_us <= l.l_us + 21600000000))
+SELECT l_id, r_id, user_id, lag_us FROM m
+UNION ALL
+SELECT l_id, r_id, user_id, lag_us FROM um""",
         "ts_zipf": f"""
 WITH zv AS (SELECT unnest({tok}) AS word FROM documents),
 zn AS (SELECT word, count(*)::BIGINT AS n FROM zv GROUP BY word)

@@ -38,6 +38,11 @@ def _spin_calib() -> float:
 
 
 def main() -> None:
+    # host-speed probe BEFORE any Spark work; a second probe runs after the
+    # last stage — a start/end pair that diverges flags a window where the
+    # host degraded MID-RUN (observed: start calib ~1.9 s while stages ran
+    # 2-3x their quiet-window times, then the end probe confirmed ~3.5 s)
+    calib_start = _spin_calib()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     only = set(
@@ -475,6 +480,7 @@ def main() -> None:
         else None,
         "cpus": cpus,
         "calib_spin_sec": calib,
+        "calib_spin_start_sec": calib_start,
         "total_pre_r04_stages": total_legacy,
         "comparable_to_prev_round_sec": comparable,
         "comparable_prev_round": prev_round,

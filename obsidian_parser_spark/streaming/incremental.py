@@ -192,6 +192,7 @@ def attribution_join_stream(
     right_type: str = "purchase",
     horizon: str = "6 hours",
     ts_col: str = "ts",
+    how: str = "inner",
 ) -> DataFrame:
     """Stream-stream EVENT-TIME INTERVAL JOIN — the attribution query
     (which click does a purchase follow?) as a real Structured Streaming
@@ -206,10 +207,17 @@ def attribution_join_stream(
 
     → (l_id, r_id, user_id, lag_us): every ``right_type`` event paired
     with every same-user ``left_type`` event in the preceding
-    ``horizon`` (strict ``r_ts > l_ts``).  INNER join: pairs emit as
-    soon as both sides have arrived (no watermark hold on emission —
-    that applies to outer sides only), so an availableNow replay over
-    event-time-ordered epochs reproduces the batch range join exactly.
+    ``horizon`` (strict ``r_ts > l_ts``).  INNER join (default): pairs
+    emit as soon as both sides have arrived (no watermark hold on
+    emission — that applies to outer sides only), so an availableNow
+    replay over event-time-ordered epochs reproduces the batch range
+    join exactly.  ``how='left_outer'``: additionally emits
+    (l_id, NULL, user_id, NULL) for a left event once the watermark
+    proves no match can still arrive (passes ``l_ts + horizon``) — the
+    row arrives in a LATER micro-batch than the event, and left events
+    too close to the end of the stream stay unemitted (their no-match
+    proof never lands); the ev_stream_join_outer oracle encodes that
+    closure rule.
 
     Self-join of one source stream is fine (Spark plans two scans)."""
     l = (
@@ -236,7 +244,7 @@ def attribution_join_stream(
             "l_user = r_user AND r_ts > l_ts "
             f"AND r_ts <= l_ts + interval {horizon}"
         ),
-        "inner",
+        how,
     )
     return joined.select(
         "l_id",

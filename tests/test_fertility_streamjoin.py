@@ -153,3 +153,75 @@ def test_session_stream_merge_and_watermark_closure(spark, tmp_path):
             400,
         ),
     ]
+
+
+def test_outer_join_closure_rule(spark, tmp_path):
+    """Pins the left-outer emission rule the ev_stream_join_outer oracle
+    encodes: each leg's watermark advances on its OWN filtered events;
+    eviction is STRICT — a click whose no-match proof lands exactly ON
+    the final watermark (or 500 µs past it) does NOT emit, one strictly
+    inside does; a final flush batch runs because the watermark advanced
+    in the last data batch."""
+    import datetime as dt
+    import glob
+    import os
+
+    from obsidian_parser_spark.streaming.incremental import (
+        attribution_join_stream,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    H = 6 * 3600 * 1_000_000
+
+    def evus(eid, us, uid, typ):
+        return (eid, t0 + dt.timedelta(microseconds=us), uid, typ)
+
+    M = 40 * 3600 * 1_000_000  # final max of both legs, ms-aligned
+    wm_us = (M // 1000) * 1000 - H
+    epochs = [
+        [
+            evus(0, wm_us - H + 500, 1, "click"),  # 500us past boundary: no
+            evus(1, wm_us - H, 2, "click"),  # == boundary: no
+            evus(2, 0, 3, "click"),  # strictly closed: NULL row
+            evus(3, 1_000_000, 3, "purchase"),  # pair with click 2
+        ],
+        [
+            evus(4, 20 * 3600 * 1_000_000, 8, "click"),  # closed: NULL row
+            evus(5, 20 * 3600 * 1_000_000, 9, "purchase"),
+        ],
+        [evus(6, M, 98, "click"), evus(7, M, 99, "purchase")],
+    ]
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    for i, rows in enumerate(epochs):
+        df = spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, event_type string",
+        )
+        stage = str(tmp_path / f"stage{i}")
+        df.coalesce(1).write.mode("overwrite").parquet(stage)
+        dst = os.path.join(in_dir, f"epoch_{i}.parquet")
+        os.replace(glob.glob(os.path.join(stage, "part-*.parquet"))[0], dst)
+        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    q = (
+        attribution_join_stream(stream, how="left_outer")
+        .writeStream.trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .format("parquet")
+        .outputMode("append")
+        .start(str(tmp_path / "out"))
+    )
+    assert q.awaitTermination(300)
+    rows = spark.read.parquet(str(tmp_path / "out")).collect()
+    pairs = sorted((r.l_id, r.r_id) for r in rows if r.r_id is not None)
+    nulls = sorted(r.l_id for r in rows if r.r_id is None)
+    assert pairs == [(2, 3)]
+    # click 2 matched so no NULL; 0 and 1 sit on/past the strict boundary
+    assert nulls == [4]
