@@ -2446,6 +2446,19 @@ def _q_dd_incremental(spark, sf_dir):
     return DD.incremental_jaccard_pairs(base, batch, threshold=0.8)
 
 
+def _q_dd_bloom(spark, sf_dir):
+    """Bloom-filter membership pre-screen on the incremental-ingest
+    split: base corpus sets k=4 md5-prefix bit positions mod 2048, the
+    copy/near batch probes them; per batch doc (n_positions, n_hits,
+    is_candidate, is_member) — no false negatives by construction, the
+    false positives are auditable against the exact md5 ground truth in
+    the same frame."""
+    corpus = _dedup_corpus(spark, sf_dir)
+    base = corpus.filter(F.col("doc_id") < 1000000)
+    batch = corpus.filter(F.col("doc_id") >= 1000000)
+    return DD.bloom_membership(base, batch, m_bits=2048, k=4)
+
+
 def _q_kg_sections(spark, sf_dir):
     """Section-level link density — mentions ([[..]] links + embeds) per
     heading SECTION per note (preamble lines under '(preamble)'):
@@ -2867,11 +2880,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_asof": _q_ev_asof,
         "ev_range": _q_ev_range,
         "ts_bpe": _q_ts_bpe,
-        "dd_contamination": _q_dd_contamination,
+        "dd_bloom": _q_dd_bloom,
         "dd_dupspans": _q_dd_dupspans,
         "dd_incremental": _q_dd_incremental,
         "kg_gif": _q_kg_gif,
         "dd_minhash_quality": _q_dd_minhash_quality,
+        "dd_contamination": _q_dd_contamination,
         "ts_bpe_encode": _q_ts_bpe_encode,
         "kg_biased_walks": _q_kg_biased_walks,
         "kg_walk_pairs": _q_kg_walk_pairs,
@@ -5286,6 +5300,20 @@ def _datapipe_oracles() -> dict[str, str]:
             ) + f") % {mod}"
         )
 
+    # first 32 bits of md5(expr) as BIGINT — mirrors Spark's
+    # CAST(conv(substring(md5(expr), 1, 8), 16, 10) AS BIGINT)
+    def _md5_int8(expr: str) -> str:
+        nib = f"(strpos('0123456789abcdef', substr(md5({expr}), {{i}}, 1)) - 1)"
+        return (
+            "("
+            + " + ".join(f"{nib.format(i=i + 1)} * {16 ** (7 - i)}" for i in range(8))
+            + ")"
+        )
+
+    bloom_pos = ", ".join(
+        _md5_int8("text || '#bloom%d'" % i) + " % 2048" for i in range(4)
+    )
+
     bkt = _bkt()  # unsalted: the train/valid/test split
     bkt_strata = _bkt("strata")  # stratified family (decorrelated from both)
     bkt_pack = _bkt("pack", 8)  # packing shards (ts_pack)
@@ -6128,6 +6156,23 @@ FROM (
   JOIN fex e USING (doc_id)
   LEFT JOIN nd ON nd.doc_id = d.doc_id
 )""",
+        # Bloom pre-screen on the incremental split; same md5-prefix
+        # integer idiom both engines, pmod == % on the non-negative values
+        "dd_bloom": f"""
+WITH {_DD_SQL.strip()},
+fb AS (SELECT doc_id, text FROM dd WHERE doc_id < 1000000),
+bb AS (SELECT doc_id, text FROM dd WHERE doc_id >= 1000000),
+sbits AS (SELECT DISTINCT unnest(list_distinct([{bloom_pos}])) AS pos FROM fb),
+bpos AS (SELECT doc_id, unnest(list_distinct([{bloom_pos}])) AS pos FROM bb),
+h AS (SELECT b.doc_id, count(*)::BIGINT AS n_positions,
+             sum(CASE WHEN s.pos IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+               AS n_hits
+      FROM bpos b LEFT JOIN sbits s USING (pos) GROUP BY b.doc_id),
+mm AS (SELECT DISTINCT b.doc_id FROM bb b JOIN fb f ON md5(b.text) = md5(f.text))
+SELECT h.doc_id, n_positions, n_hits,
+       (n_hits = n_positions) AS is_candidate,
+       (mm.doc_id IS NOT NULL) AS is_member
+FROM h LEFT JOIN mm USING (doc_id)""",
         "dd_clusters": f"""
 WITH {_DD_SQL.strip()},
 sh AS (SELECT DISTINCT doc_id, unnest({shingles}) AS shingle FROM dd),

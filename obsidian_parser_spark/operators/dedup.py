@@ -896,3 +896,82 @@ def incremental_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("batch_id", "base_id", F.round("jaccard", 6).alias("jaccard"))
     )
+
+
+def bloom_membership(
+    base: DataFrame,
+    batch: DataFrame,
+    m_bits: int = 2048,
+    k: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Bloom-filter membership PRE-SCREEN for incremental ingest — the
+    sub-linear sketch a 100 TB pipeline probes before any exact check:
+    the base corpus sets ``k`` md5-derived bit positions (mod ``m_bits``)
+    per document; an incoming batch document is a duplicate CANDIDATE
+    iff every one of its own positions is set.  Classic guarantee: no
+    false negatives (every true member is a candidate — pytest-pinned),
+    tunable false positives (≈ (1−e^(−kn/m))^k).
+
+    → one row per batch doc: (doc_id, n_positions [distinct bit
+    positions, ≤ k after collisions], n_hits, is_candidate, is_member)
+    where ``is_member`` is the exact md5(text) ground truth, so the
+    sketch's precision is auditable from the same frame.
+
+    Scale shape: the bit SET is ``≤ min(m_bits, k·|base|)`` rows —
+    broadcast-joined against the batch's exploded positions (never the
+    base corpus itself); one map-side-partial per-doc agg.  At real
+    scale m_bits grows to 2^30+ and the broadcast becomes a shuffle
+    join on the position key — same plan shape, no new operator.  All
+    hashing is md5-prefix integer arithmetic (first 8 hex chars → 32-bit
+    int), reproducible in any engine."""
+
+    def _positions(df: DataFrame, out_id: str) -> DataFrame:
+        arr = (
+            "array("
+            + ", ".join(
+                f"pmod(CAST(conv(substring(md5(concat({text_col}, '#bloom{i}')),"
+                f" 1, 8), 16, 10) AS BIGINT), {int(m_bits)})"
+                for i in range(int(k))
+            )
+            + ")"
+        )
+        return df.select(
+            F.col(id_col).alias(out_id),
+            F.explode(F.expr(f"array_distinct({arr})")).alias("pos"),
+        )
+
+    base_bits = _positions(base, "b_id").select("pos").distinct()
+    batch_pos = _positions(batch, "doc_id")
+    hits = (
+        batch_pos.join(
+            F.broadcast(base_bits.withColumn("_set", F.lit(1))), "pos", "left"
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_positions"),
+            F.sum(F.coalesce(F.col("_set"), F.lit(0)))
+            .cast("long")
+            .alias("n_hits"),
+        )
+    )
+    members = (
+        batch.select(F.col(id_col).alias("doc_id"), F.md5(text_col).alias("_h"))
+        .join(
+            base.select(F.md5(text_col).alias("_h")).distinct(),
+            "_h",
+            "left_semi",
+        )
+        .select("doc_id", F.lit(True).alias("_m"))
+    )
+    return (
+        hits.join(members, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_positions",
+            "n_hits",
+            (F.col("n_hits") == F.col("n_positions")).alias("is_candidate"),
+            F.coalesce("_m", F.lit(False)).alias("is_member"),
+        )
+    )

@@ -134,3 +134,44 @@ def test_winnow_pairs_guarantee_and_cap(spark):
     assert r.n_a >= r.n_shared and r.n_b >= r.n_shared
     # max_fp_df=1: every shared fingerprint has df>=2 -> all dropped
     assert winnow_pairs(docs, min_shared=1, max_fp_df=1).count() == 0
+
+
+def test_bloom_membership_no_false_negatives(spark):
+    from obsidian_parser_spark.operators.dedup import bloom_membership
+
+    base = spark.createDataFrame(
+        [(i, f"base doc number {i} with words") for i in range(40)],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        # 0-9: exact copies (members); 100-119: novel docs
+        [(1000 + i, f"base doc number {i} with words") for i in range(10)]
+        + [(2000 + i, f"novel text {i} never seen") for i in range(20)],
+        "doc_id long, text string",
+    )
+    out = bloom_membership(base, batch, m_bits=512, k=4).collect()
+    assert len(out) == 30
+    for r in out:
+        # the Bloom guarantee: every member is a candidate
+        if r.is_member:
+            assert r.is_candidate, r
+        # counting invariants
+        assert 1 <= r.n_positions <= 4
+        assert 0 <= r.n_hits <= r.n_positions
+    members = [r for r in out if r.is_member]
+    assert len(members) == 10
+
+
+def test_bloom_membership_plan_is_jvm_only(spark):
+    from obsidian_parser_spark.operators.dedup import bloom_membership
+
+    base = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    batch = spark.createDataFrame([(2, "a b c")], "doc_id long, text string")
+    plan = (
+        bloom_membership(base, batch)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    for m in ("BatchEvalPython", "ArrowEvalPython", "PythonUDF", "MapInPandas"):
+        assert m not in plan
