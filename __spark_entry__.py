@@ -1271,6 +1271,83 @@ def _q_ev_stream_join_outer(spark, sf_dir):
     )
 
 
+def _q_ev_stream_late(spark, sf_dir):
+    """LATE-DATA handling under the hard signal: the watermarked tumbling
+    windows replayed over 3 time-ordered epochs where epoch 2
+    additionally re-injects COPIES of the first day's events (event_id +
+    10^7, timestamps unchanged).  By the time they arrive the watermark
+    (max ts of epochs 0-1, ms-truncated, − 2 h) is days past their event
+    times, so Structured Streaming must DROP every one; the output must
+    therefore equal the ev_stream_windowed closure set computed over the
+    ORIGINAL events only.  An engine that fails to enforce the watermark
+    double-counts day one and the hash breaks.  Idempotent via marker."""
+    import glob as _glob
+    import json
+    import shutil
+
+    from obsidian_parser_spark.streaming.incremental import (
+        windowed_event_counts,
+    )
+
+    base = os.path.join(os.path.dirname(_vault_path(sf_dir)), "ev_stream_late")
+    in_dir = os.path.join(base, "in")
+    out = os.path.join(base, "win")
+    marker = os.path.join(base, "_DONE.json")
+    params = {"version": 1, "sf": sf_dir}
+    done = False
+    if os.path.exists(marker):
+        with open(marker) as f:
+            done = json.load(f) == params
+    if not done:
+        shutil.rmtree(base, ignore_errors=True)
+        os.makedirs(in_dir)
+        ev = _events(spark, sf_dir)
+        cut1 = F.lit("2024-01-11").cast("timestamp")
+        cut2 = F.lit("2024-01-21").cast("timestamp")
+        day1_end = F.lit("2024-01-02").cast("timestamp")
+        late = ev.filter(F.col("ts") < day1_end).select(
+            (F.col("event_id") + 10_000_000).alias("event_id"),
+            "ts",
+            "user_id",
+            "event_type",
+            "value",
+            "props",
+        )
+        epochs = (
+            ev.filter(F.col("ts") < cut1),
+            ev.filter((F.col("ts") >= cut1) & (F.col("ts") < cut2)),
+            ev.filter(F.col("ts") >= cut2).unionByName(late),
+        )
+        for e, df in enumerate(epochs):
+            df.coalesce(1).write.mode("overwrite").parquet(
+                os.path.join(base, f"stage{e}")
+            )
+            dst = os.path.join(in_dir, f"epoch_{e}.parquet")
+            os.replace(
+                _glob.glob(os.path.join(base, f"stage{e}", "part-*.parquet"))[0],
+                dst,
+            )
+            os.utime(dst, (1_700_000_000 + e, 1_700_000_000 + e))
+            shutil.rmtree(os.path.join(base, f"stage{e}"), ignore_errors=True)
+        q = windowed_event_counts(
+            spark,
+            in_dir,
+            checkpoint=os.path.join(base, "ckpt"),
+            output_path=out,
+            max_files_per_trigger=1,
+        )
+        if not q.awaitTermination(600):
+            q.stop()
+            raise RuntimeError("late-data stream did not finish within 600s")
+        with open(marker, "w") as f:
+            json.dump(params, f)
+    return spark.read.parquet(out).select(
+        F.unix_micros(F.col("window.start")).alias("window_start_us"),
+        "event_type",
+        F.col("n_events").cast("long").alias("n_events"),
+    )
+
+
 def _q_ev_stream_sessions(spark, sf_dir):
     """Streaming SESSION WINDOWS under the hard signal: ``session_stream``
     (F.session_window, 30-min gap, 2-h watermark) replayed as a real
@@ -2861,6 +2938,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_stream_dict": _q_kg_stream_dict,
         "kg_stream_resume": _q_kg_stream_resume,
         "ev_stream_windowed": _q_ev_stream_windowed,
+        "ev_stream_late": _q_ev_stream_late,
         "ev_stream_join": _q_ev_stream_join,
         "ev_stream_join_outer": _q_ev_stream_join_outer,
         "ev_stream_sessions": _q_ev_stream_sessions,
@@ -2882,8 +2960,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_bpe": _q_ts_bpe,
         "dd_bloom": _q_dd_bloom,
         "dd_dupspans": _q_dd_dupspans,
-        "dd_incremental": _q_dd_incremental,
         "kg_gif": _q_kg_gif,
+        "dd_incremental": _q_dd_incremental,
         "dd_minhash_quality": _q_dd_minhash_quality,
         "dd_contamination": _q_dd_contamination,
         "ts_bpe_encode": _q_ts_bpe_encode,
@@ -6455,6 +6533,11 @@ SELECT ws AS window_start_us, event_type, count(*)::BIGINT AS n_events
 FROM w, wm
 WHERE (ws + {EV.WINDOW_US}) // 1000 <= w_ms
 GROUP BY ws, event_type"""
+    # the late-data gate shares the EXACT closure truth: every injected
+    # late copy arrives days behind the watermark and must be dropped, so
+    # the output equals the clean windowed closure set over the original
+    # events — identical SQL, different (hostile) replay
+    out["ev_stream_late"] = out["ev_stream_windowed"]
     # streaming session windows: merge rule = same-user gap <= 30 min
     # (empirically end-INCLUSIVE — an exact 30-min gap DOES merge, pinned
     # by test_session_stream_merge_and_watermark_closure — i.e. the same

@@ -131,6 +131,7 @@ def windowed_event_counts(
     watermark: str = "2 hours",
     checkpoint: str | None = None,
     output_path: str | None = None,
+    max_files_per_trigger: int | None = None,
 ):
     """Watermarked tumbling-window counts per event type, memory sink
     (smoke/demo; swap the sink for kafka/parquet in production).
@@ -140,7 +141,13 @@ def windowed_event_counts(
     so a restarted query DROPS events older than the persisted watermark
     instead of re-aggregating already-emitted windows).  The memory sink
     (default) is demo-only and cannot recover from a checkpoint."""
-    stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(input_dir)
+    reader = spark.readStream.schema(EVENTS_SCHEMA)
+    if max_files_per_trigger is not None:
+        # one file per micro-batch: lets a replay STAGE late data behind
+        # the watermark (the late-data gate) instead of co-arriving with
+        # it in batch 0, where the initial watermark (0) drops nothing
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(input_dir)
     agg = (
         stream.withWatermark("ts", watermark)
         .groupBy(F.window("ts", window), "event_type")
