@@ -156,3 +156,61 @@ def test_quality_filter_plans_are_jvm_only(spark):
         for marker in PY_MARKERS:
             assert marker not in plan, marker
         assert "Exchange" not in plan  # stateless projection: no shuffle
+
+
+def test_gopher_c4_invariants_on_random_corpus(spark):
+    """Structural invariants over a seeded random corpus (one Spark job,
+    per-row checks): ratio columns honor their algebraic definitions,
+    bounded ratios stay in [0, 10000] bp, and the composite keep flags
+    equal the conjunction of their rule columns.  Complements the
+    hand-built boundary fixtures above with breadth."""
+    import random
+
+    rng = random.Random(42)
+    alphabet = [
+        "the", "of", "and", "have", "with", "that", "be", "to",
+        "word", "data", "#", "...", "…", "-", "*", "•", "{", "lorem",
+        "ipsum", "javascript", "ab", "abcdefghijk", "x1", "!",
+    ]
+    docs = []
+    for i in range(60):
+        n = rng.randint(0, 120)
+        words = [rng.choice(alphabet) for _ in range(n)]
+        text = ""
+        for w in words:
+            text += w + (rng.choice([" ", " ", " ", "\n", ".\n", "\r\n"]))
+        docs.append((i, text))
+    d = spark.createDataFrame(docs, "doc_id int, text string")
+
+    for r in gopher_rules(d).collect():
+        assert r.mean_word_len_x100 == (
+            (r.word_chars * 100) // r.n_words if r.n_words else 0
+        )
+        assert r.symbol_bp == (
+            (r.n_symbols * 10000) // r.n_words if r.n_words else 0
+        )
+        for col, num, den in (
+            ("bullet_bp", r.n_bullet_lines, r.n_lines),
+            ("ellipsis_bp", r.n_ellipsis_lines, r.n_lines),
+        ):
+            v = getattr(r, col)
+            assert v == ((num * 10000) // den if den else 0)
+            assert 0 <= v <= 10000
+        assert 0 <= r.alpha_bp <= 10000 or r.n_words == 0
+        assert bool(r.keep) == (
+            r.ok_words
+            and r.ok_mean_len
+            and r.ok_symbols
+            and r.ok_bullets
+            and r.ok_ellipsis
+            and r.ok_alpha
+            and r.ok_stopwords
+        )
+
+    for r in c4_line_stats(d).collect():
+        assert 0 <= r.n_kept_lines <= r.n_lines
+        if r.n_kept_lines == 0:
+            assert r.kept_words == 0 and r.cleaned_chars == 0
+        assert bool(r.keep) == (
+            r.n_kept_lines >= 3 and not r.has_lorem and not r.has_brace
+        )
