@@ -1202,7 +1202,6 @@ def _q_ev_stream_join_outer(spark, sf_dir):
     oracle re-derives matched pairs as a plain range join and the NULL
     set as l_us + horizon < min(max click, max purchase) ms-truncated
     − horizon.  Idempotent via marker."""
-    import glob as _glob
     import json
     import shutil
 
@@ -1216,36 +1215,27 @@ def _q_ev_stream_join_outer(spark, sf_dir):
     in_dir = os.path.join(base, "in")
     out_dir = os.path.join(base, "out")
     marker = os.path.join(base, "_DONE.json")
-    params = {"version": 1, "sf": sf_dir}
+    params = {"version": 2, "sf": sf_dir}
     done = False
     if os.path.exists(marker):
         with open(marker) as f:
             done = json.load(f) == params
     if not done:
         shutil.rmtree(base, ignore_errors=True)
-        os.makedirs(in_dir)
         ev = _events(spark, sf_dir).select(
             "event_id", "ts", "user_id", "event_type"
         )
-        cut1 = F.lit("2024-01-11").cast("timestamp")
-        cut2 = F.lit("2024-01-21").cast("timestamp")
-        for e, cond in enumerate(
+        cut1, cut2 = _event_time_cuts(spark, sf_dir)
+        _write_event_epochs(
+            spark,
+            base,
+            in_dir,
             (
-                F.col("ts") < cut1,
-                (F.col("ts") >= cut1) & (F.col("ts") < cut2),
-                F.col("ts") >= cut2,
-            )
-        ):
-            ev.filter(cond).coalesce(1).write.mode("overwrite").parquet(
-                os.path.join(base, f"stage{e}")
-            )
-            dst = os.path.join(in_dir, f"epoch_{e}.parquet")
-            os.replace(
-                _glob.glob(os.path.join(base, f"stage{e}", "part-*.parquet"))[0],
-                dst,
-            )
-            os.utime(dst, (1_700_000_000 + e, 1_700_000_000 + e))
-            shutil.rmtree(os.path.join(base, f"stage{e}"), ignore_errors=True)
+                ev.filter(F.col("ts") < F.lit(cut1)),
+                ev.filter((F.col("ts") >= F.lit(cut1)) & (F.col("ts") < F.lit(cut2))),
+                ev.filter(F.col("ts") >= F.lit(cut2)),
+            ),
+        )
         stream = (
             spark.readStream.schema(
                 "event_id long, ts timestamp, user_id long, event_type string"
@@ -1273,15 +1263,20 @@ def _q_ev_stream_join_outer(spark, sf_dir):
 
 def _q_ev_stream_late(spark, sf_dir):
     """LATE-DATA handling under the hard signal: the watermarked tumbling
-    windows replayed over 3 time-ordered epochs where epoch 2
-    additionally re-injects COPIES of the first day's events (event_id +
-    10^7, timestamps unchanged).  By the time they arrive the watermark
-    (max ts of epochs 0-1, ms-truncated, − 2 h) is days past their event
-    times, so Structured Streaming must DROP every one; the output must
-    therefore equal the ev_stream_windowed closure set computed over the
-    ORIGINAL events only.  An engine that fails to enforce the watermark
-    double-counts day one and the hash breaks.  Idempotent via marker."""
-    import glob as _glob
+    windows replayed over time-ordered epochs (cuts at thirds of the
+    observed span) plus a FOURTH epoch that re-injects COPIES of the
+    whole first epoch (event_id + 10^7, timestamps unchanged).  The late
+    file must be its OWN trailing micro-batch: Spark filters a batch's
+    late input with the PREVIOUS trigger's watermark (one batch stale —
+    discovered when co-shipping the copies with epoch 2 let copies whose
+    windows were still open at epoch-1 time merge and double those
+    counts), so by the time the copies form batch 3 the lagged filter
+    watermark (max ts of epochs 0-1, ms-truncated, − 2 h) is already far
+    past every epoch-0 window end and Structured Streaming must DROP all
+    of them.  The output must therefore equal the ev_stream_windowed
+    closure set computed over the ORIGINAL events only; a watermark
+    enforcement failure double-counts epoch 0 and the hash breaks.
+    Idempotent via marker."""
     import json
     import shutil
 
@@ -1293,19 +1288,20 @@ def _q_ev_stream_late(spark, sf_dir):
     in_dir = os.path.join(base, "in")
     out = os.path.join(base, "win")
     marker = os.path.join(base, "_DONE.json")
-    params = {"version": 1, "sf": sf_dir}
+    params = {"version": 3, "sf": sf_dir}
     done = False
     if os.path.exists(marker):
         with open(marker) as f:
             done = json.load(f) == params
     if not done:
         shutil.rmtree(base, ignore_errors=True)
-        os.makedirs(in_dir)
         ev = _events(spark, sf_dir)
-        cut1 = F.lit("2024-01-11").cast("timestamp")
-        cut2 = F.lit("2024-01-21").cast("timestamp")
-        day1_end = F.lit("2024-01-02").cast("timestamp")
-        late = ev.filter(F.col("ts") < day1_end).select(
+        cut1, cut2 = _event_time_cuts(spark, sf_dir)
+        # the whole first EPOCH replays as the late set, in its OWN final
+        # micro-batch: its (one-batch-stale) filter watermark is then
+        # max ts of epochs 0-1 − 2 h, past every epoch-0 window end for
+        # any corpus spanning > ~6 h
+        late = ev.filter(F.col("ts") < F.lit(cut1)).select(
             (F.col("event_id") + 10_000_000).alias("event_id"),
             "ts",
             "user_id",
@@ -1313,22 +1309,17 @@ def _q_ev_stream_late(spark, sf_dir):
             "value",
             "props",
         )
-        epochs = (
-            ev.filter(F.col("ts") < cut1),
-            ev.filter((F.col("ts") >= cut1) & (F.col("ts") < cut2)),
-            ev.filter(F.col("ts") >= cut2).unionByName(late),
+        _write_event_epochs(
+            spark,
+            base,
+            in_dir,
+            (
+                ev.filter(F.col("ts") < F.lit(cut1)),
+                ev.filter((F.col("ts") >= F.lit(cut1)) & (F.col("ts") < F.lit(cut2))),
+                ev.filter(F.col("ts") >= F.lit(cut2)),
+                late,
+            ),
         )
-        for e, df in enumerate(epochs):
-            df.coalesce(1).write.mode("overwrite").parquet(
-                os.path.join(base, f"stage{e}")
-            )
-            dst = os.path.join(in_dir, f"epoch_{e}.parquet")
-            os.replace(
-                _glob.glob(os.path.join(base, f"stage{e}", "part-*.parquet"))[0],
-                dst,
-            )
-            os.utime(dst, (1_700_000_000 + e, 1_700_000_000 + e))
-            shutil.rmtree(os.path.join(base, f"stage{e}"), ignore_errors=True)
         q = windowed_event_counts(
             spark,
             in_dir,
@@ -1483,6 +1474,36 @@ def _q_dd_stream(spark, sf_dir):
     return inp.join(kept, "h").select("h", "n_input", "n_kept")
 
 
+def _event_time_cuts(spark, sf_dir):
+    """Two event-time cuts at thirds of the OBSERVED span — derived from
+    the data (two scalars, one bounded agg), so the 3-epoch streaming
+    replays stay three populated, time-ordered epochs on ANY corpus
+    instead of degenerating to one batch when the date range moves
+    (hard-coded calendar cuts would silently stop exercising cross-batch
+    state)."""
+    lo, hi = _events(spark, sf_dir).agg(F.min("ts"), F.max("ts")).first()
+    span = hi - lo
+    return lo + span / 3, lo + 2 * span / 3
+
+
+def _write_event_epochs(spark, base, in_dir, epoch_dfs):
+    """Write each epoch frame as ONE parquet file under ``in_dir`` with
+    ascending mtimes, so a maxFilesPerTrigger=1 file stream ingests them
+    in epoch order — the single shared replay harness for every
+    streaming gate (one copy, not three hand-synced ones)."""
+    import glob as _glob
+    import shutil
+
+    os.makedirs(in_dir, exist_ok=True)
+    for e, df in enumerate(epoch_dfs):
+        stage = os.path.join(base, f"stage{e}")
+        df.coalesce(1).write.mode("overwrite").parquet(stage)
+        dst = os.path.join(in_dir, f"epoch_{e}.parquet")
+        os.replace(_glob.glob(os.path.join(stage, "part-*.parquet"))[0], dst)
+        os.utime(dst, (1_700_000_000 + e, 1_700_000_000 + e))
+        shutil.rmtree(stage, ignore_errors=True)
+
+
 def _q_ev_stream_join(spark, sf_dir):
     """STREAM-STREAM event-time interval join under the hard signal:
     ``attribution_join_stream`` (click → same-user purchase within 6
@@ -1493,7 +1514,6 @@ def _q_ev_stream_join(spark, sf_dir):
     state; because epochs are time-ordered no row is ever late, so the
     streaming result must equal the batch range join bit-for-bit — the
     oracle is a plain SQL interval self-join.  Idempotent via marker."""
-    import glob as _glob
     import json
     import shutil
 
@@ -1505,36 +1525,27 @@ def _q_ev_stream_join(spark, sf_dir):
     in_dir = os.path.join(base, "in")
     out_dir = os.path.join(base, "out")
     marker = os.path.join(base, "_DONE.json")
-    params = {"version": 1, "sf": sf_dir}
+    params = {"version": 2, "sf": sf_dir}
     done = False
     if os.path.exists(marker):
         with open(marker) as f:
             done = json.load(f) == params
     if not done:
         shutil.rmtree(base, ignore_errors=True)
-        os.makedirs(in_dir)
         ev = _events(spark, sf_dir).select(
             "event_id", "ts", "user_id", "event_type"
         )
-        cut1 = F.lit("2024-01-11").cast("timestamp")
-        cut2 = F.lit("2024-01-21").cast("timestamp")
-        for e, cond in enumerate(
+        cut1, cut2 = _event_time_cuts(spark, sf_dir)
+        _write_event_epochs(
+            spark,
+            base,
+            in_dir,
             (
-                F.col("ts") < cut1,
-                (F.col("ts") >= cut1) & (F.col("ts") < cut2),
-                F.col("ts") >= cut2,
-            )
-        ):
-            ev.filter(cond).coalesce(1).write.mode("overwrite").parquet(
-                os.path.join(base, f"stage{e}")
-            )
-            dst = os.path.join(in_dir, f"epoch_{e}.parquet")
-            os.replace(
-                _glob.glob(os.path.join(base, f"stage{e}", "part-*.parquet"))[0],
-                dst,
-            )
-            os.utime(dst, (1_700_000_000 + e, 1_700_000_000 + e))
-            shutil.rmtree(os.path.join(base, f"stage{e}"), ignore_errors=True)
+                ev.filter(F.col("ts") < F.lit(cut1)),
+                ev.filter((F.col("ts") >= F.lit(cut1)) & (F.col("ts") < F.lit(cut2))),
+                ev.filter(F.col("ts") >= F.lit(cut2)),
+            ),
+        )
         stream = (
             spark.readStream.schema(
                 "event_id long, ts timestamp, user_id long, event_type string"

@@ -33,6 +33,7 @@ def main() -> None:
         "ann": "approximate nearest neighbor",
         "ts": "text stats / curation",
         "ev": "events",
+        "pipe": "composed pipelines",
     }
     lines = [
         "# QUERIES — driver-contract index (auto-generated)",

@@ -182,7 +182,7 @@ def test_outer_join_closure_rule(spark, tmp_path):
         [
             evus(0, wm_us - H + 500, 1, "click"),  # 500us past boundary: no
             evus(1, wm_us - H, 2, "click"),  # == boundary: no
-            evus(2, 0, 3, "click"),  # strictly closed: NULL row
+            evus(2, 0, 3, "click"),  # matched below -> pair, no NULL
             evus(3, 1_000_000, 3, "purchase"),  # pair with click 2
         ],
         [
