@@ -1339,6 +1339,164 @@ def _q_ev_stream_late(spark, sf_dir):
     )
 
 
+def _q_ev_stream_join_resume(spark, sf_dir):
+    """Stream-stream JOIN-STATE recovery across a real PROCESS boundary:
+    epochs 0-1 of the interval-join replay are consumed by a CHILD
+    python process (own JVM, own SparkSession) that exits; epoch 2 is
+    appended and THIS process resumes the same checkpoint + file-sink
+    log.  Clicks buffered in the join state store before the boundary
+    must still pair with purchases arriving after it — state loss drops
+    every boundary-straddling pair and the hash breaks (the resumed run
+    must also skip the two committed files).  Oracle = the identical
+    batch range join as ev_stream_join: two independent executions
+    (single-process and cross-process) pinned to one truth.  Idempotent
+    via marker."""
+    import json
+    import shutil
+    import subprocess
+    import sys
+    import textwrap
+
+    from obsidian_parser_spark.streaming.incremental import (
+        attribution_join_stream,
+    )
+
+    base = os.path.join(
+        os.path.dirname(_vault_path(sf_dir)), "ev_stream_join_resume"
+    )
+    in_dir = os.path.join(base, "in")
+    out_dir = os.path.join(base, "out")
+    ckpt = os.path.join(base, "ckpt")
+    marker = os.path.join(base, "_DONE.json")
+    params = {"version": 2, "sf": sf_dir}
+    done = False
+    if os.path.exists(marker):
+        with open(marker) as f:
+            done = json.load(f) == params
+    if not done:
+        shutil.rmtree(base, ignore_errors=True)
+        ev = _events(spark, sf_dir).select(
+            "event_id", "ts", "user_id", "event_type"
+        )
+        # integer-us cuts (exactly reproducible in the oracle's SQL, unlike
+        # interval division) — the natural corpus may have ZERO pairs
+        # straddling this particular boundary, so 5 synthetic users are
+        # seeded deterministically: click 1 h before the boundary (epoch 1,
+        # phase 1), purchase 1 h after it (epoch 2, phase 2).  Their pairs
+        # CANNOT appear unless the join state survives the process
+        # boundary.
+        ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+        lo_us, hi_us = ev.agg(F.min(ts_us), F.max(ts_us)).first()
+        cut1_us = lo_us + (hi_us - lo_us) // 3
+        cut2_us = lo_us + 2 * ((hi_us - lo_us) // 3)
+        hour_us = 3_600_000_000
+        ntz = ev.schema["ts"].dataType.simpleString()
+        syn = spark.range(5).select(
+            (F.lit(20_000_000) + F.col("id")).alias("event_id"),
+            F.timestamp_micros(F.lit(cut2_us - hour_us)).cast(ntz).alias("ts"),
+            (F.lit(9_000_000) + F.col("id")).alias("user_id"),
+            F.lit("click").alias("event_type"),
+        ).unionByName(
+            spark.range(5).select(
+                (F.lit(21_000_000) + F.col("id")).alias("event_id"),
+                F.timestamp_micros(F.lit(cut2_us + hour_us))
+                .cast(ntz)
+                .alias("ts"),
+                (F.lit(9_000_000) + F.col("id")).alias("user_id"),
+                F.lit("purchase").alias("event_type"),
+            )
+        )
+        us = ts_us
+        epochs = (
+            ev.filter(us < cut1_us),
+            ev.filter((us >= cut1_us) & (us < cut2_us)).unionByName(
+                syn.filter(F.col("event_type") == "click")
+            ),
+            ev.filter(us >= cut2_us).unionByName(
+                syn.filter(F.col("event_type") == "purchase")
+            ),
+        )
+        # phase 1 sees only epochs 0-1; epoch 2 lands after the boundary
+        _write_event_epochs(spark, base, in_dir, epochs[:2])
+        repo = os.path.dirname(os.path.abspath(__file__))
+        child = textwrap.dedent(
+            f"""
+            import sys
+            sys.path.insert(0, {repo!r})
+            from pyspark.sql import SparkSession
+            from obsidian_parser_spark.streaming.incremental import (
+                attribution_join_stream,
+            )
+            spark = (
+                SparkSession.builder.master("local[4]")
+                .config("spark.sql.shuffle.partitions", "4")
+                .config("spark.ui.enabled", "false")
+                .getOrCreate()
+            )
+            stream = (
+                spark.readStream
+                .schema("event_id long, ts timestamp,"
+                        " user_id long, event_type string")
+                .option("maxFilesPerTrigger", 1)
+                .parquet({in_dir!r})
+            )
+            q = (
+                attribution_join_stream(stream, horizon="6 hours")
+                .writeStream.trigger(availableNow=True)
+                .option("checkpointLocation", {ckpt!r})
+                .format("parquet")
+                .outputMode("append")
+                .start({out_dir!r})
+            )
+            assert q.awaitTermination(600), "phase-1 join stream timed out"
+            spark.stop()
+            """
+        )
+        script = os.path.join(base, "phase1.py")
+        with open(script, "w") as f:
+            f.write(child)
+        res = subprocess.run(
+            [sys.executable, script], timeout=900, env=dict(os.environ),
+            capture_output=True, text=True,
+        )
+        if res.returncode != 0:
+            raise RuntimeError(
+                f"phase-1 join process failed: {res.stderr[-2000:]}"
+            )
+        # phase 2: epoch 2 arrives; THIS process resumes the checkpoint
+        stage = os.path.join(base, "stage2")
+        epochs[2].coalesce(1).write.mode("overwrite").parquet(stage)
+        import glob as _glob
+
+        dst = os.path.join(in_dir, "epoch_2.parquet")
+        os.replace(_glob.glob(os.path.join(stage, "part-*.parquet"))[0], dst)
+        os.utime(dst, (1_700_000_002, 1_700_000_002))
+        shutil.rmtree(stage, ignore_errors=True)
+        stream = (
+            spark.readStream.schema(
+                "event_id long, ts timestamp, user_id long, event_type string"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir)
+        )
+        q = (
+            attribution_join_stream(stream, horizon="6 hours")
+            .writeStream.trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .format("parquet")
+            .outputMode("append")
+            .start(out_dir)
+        )
+        if not q.awaitTermination(600):
+            q.stop()
+            raise RuntimeError("resumed join stream did not finish in 600s")
+        with open(marker, "w") as f:
+            json.dump(params, f)
+    return spark.read.parquet(out_dir).select(
+        "l_id", "r_id", "user_id", "lag_us"
+    )
+
+
 def _q_ev_stream_sessions(spark, sf_dir):
     """Streaming SESSION WINDOWS under the hard signal: ``session_stream``
     (F.session_window, 30-min gap, 2-h watermark) replayed as a real
@@ -2952,6 +3110,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_stream_late": _q_ev_stream_late,
         "ev_stream_join": _q_ev_stream_join,
         "ev_stream_join_outer": _q_ev_stream_join_outer,
+        "ev_stream_join_resume": _q_ev_stream_join_resume,
         "ev_stream_sessions": _q_ev_stream_sessions,
         "dd_stream": _q_dd_stream,
         "kg_resume": _q_kg_resume,
@@ -2970,8 +3129,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_range": _q_ev_range,
         "ts_bpe": _q_ts_bpe,
         "dd_bloom": _q_dd_bloom,
-        "dd_dupspans": _q_dd_dupspans,
         "kg_gif": _q_kg_gif,
+        "dd_dupspans": _q_dd_dupspans,
         "dd_incremental": _q_dd_incremental,
         "dd_minhash_quality": _q_dd_minhash_quality,
         "dd_contamination": _q_dd_contamination,
@@ -5769,6 +5928,33 @@ FROM events GROUP BY 1, 2""",
 SELECT l.event_id AS l_id, r.event_id AS r_id, l.user_id,
        (epoch_us(r.ts) - epoch_us(l.ts))::BIGINT AS lag_us
 FROM events l JOIN events r
+  ON l.user_id = r.user_id
+ AND l.event_type = 'click' AND r.event_type = 'purchase'
+ AND r.ts > l.ts AND r.ts <= l.ts + INTERVAL 6 HOUR""",
+        # cross-process resume replays the SAME inner join over events +
+        # 5 seeded boundary-straddling synthetic pairs (integer-us cut
+        # arithmetic identical to the engine's) — one truth, two
+        # independent executions (single-process and resumed); the 5
+        # synthetic pairs CANNOT appear unless join state survived the
+        # process boundary
+        "ev_stream_join_resume": """
+WITH bs AS (SELECT epoch_us(min(ts)) AS lo, epoch_us(max(ts)) AS hi
+            FROM events),
+bc AS (SELECT lo + 2 * ((hi - lo) // 3) AS c2 FROM bs),
+syn AS (
+  SELECT (20000000 + i)::BIGINT AS event_id,
+         make_timestamp(c2 - 3600000000) AS ts,
+         (9000000 + i)::BIGINT AS user_id, 'click' AS event_type
+  FROM bc, range(5) t(i)
+  UNION ALL
+  SELECT (21000000 + i)::BIGINT, make_timestamp(c2 + 3600000000),
+         (9000000 + i)::BIGINT, 'purchase'
+  FROM bc, range(5) t(i)),
+ee AS (SELECT event_id, ts, user_id, event_type FROM events
+       UNION ALL SELECT event_id, ts, user_id, event_type FROM syn)
+SELECT l.event_id AS l_id, r.event_id AS r_id, l.user_id,
+       (epoch_us(r.ts) - epoch_us(l.ts))::BIGINT AS lag_us
+FROM ee l JOIN ee r
   ON l.user_id = r.user_id
  AND l.event_type = 'click' AND r.event_type = 'purchase'
  AND r.ts > l.ts AND r.ts <= l.ts + INTERVAL 6 HOUR""",
