@@ -924,6 +924,92 @@ def _q_kg_media_decoded(spark, sf_dir):
     )
 
 
+def _q_kg_thumb(spark, sf_dir):
+    """REAL image RESIZE under the hard signal — the thumbnail stage of a
+    multimodal pipeline: nearest-neighbor downsample of every decoded
+    PNG / BMP / GIF-frame-0 raster to 8×8, one row per THUMBNAIL ROW with
+    exact integer channel sums.  The oracle recomputes every value from
+    the corpus color rules + header-parsed dims WITHOUT decoding (the
+    NN source row of thumb row ty is (ty·h) div 8; GIF thumb pixels map
+    through the palette at index ((tx·w) div 8 + (ty·h) div 8) mod 4) —
+    a wrong row/column mapping, a missed BMP bottom-up flip, or a wrong
+    palette lookup lands on different integers and fails the hash.
+    Corrupt payloads → single ok=false sentinel rows."""
+    from obsidian_parser_spark.operators.multimodal import thumbnail_row_stats
+
+    media = spark.read.parquet(ensure_media_corpus(_sf_name(sf_dir))).filter(
+        F.col("media_ref").endswith(".png")
+        | F.col("media_ref").endswith(".bmp")
+        | F.col("media_ref").endswith(".gif")
+    )
+    d = thumbnail_row_stats(media, th=8, tw=8)
+    neg = F.lit(-1)
+    return d.select(
+        "media_ref",
+        F.coalesce("ty", neg).cast("int").alias("ty"),
+        F.coalesce("sum_r", neg).cast("long").alias("sum_r"),
+        F.coalesce("sum_g", neg).cast("long").alias("sum_g"),
+        F.coalesce("sum_b", neg).cast("long").alias("sum_b"),
+        "ok",
+    )
+
+
+def _q_kg_audio_frames(spark, sf_dir):
+    """REAL audio FEATURE EXTRACTION under the hard signal: 256-sample
+    framing of every WAV's 16-bit PCM with per-frame L1 energy and
+    zero-crossing counts — the features a speech-curation pass computes
+    before any model sees the audio.  The corpus' tone_*.wav family
+    carries a VARYING deterministic waveform (sample k of tone t is
+    ((t·37 + k·13) mod 200) − 100), so zero-crossings are non-degenerate
+    and the oracle recomputes every frame's integers by exploding the
+    same rule in SQL; constant-amplitude aud_*.wav frames pin the ragged
+    last-frame split closed-form.  Corrupt payloads → ok=false
+    sentinels."""
+    from obsidian_parser_spark.operators.multimodal import audio_frame_features
+
+    media = spark.read.parquet(ensure_media_corpus(_sf_name(sf_dir))).filter(
+        F.col("media_ref").endswith(".wav")
+    )
+    d = audio_frame_features(media, frame=256)
+    neg = F.lit(-1)
+    return d.select(
+        "media_ref",
+        F.coalesce("frame_idx", neg).cast("int").alias("frame_idx"),
+        F.coalesce("n", neg).cast("int").alias("n"),
+        F.coalesce("sum_amp", neg).cast("long").alias("sum_amp"),
+        F.coalesce("sum_abs", neg).cast("long").alias("sum_abs"),
+        F.coalesce("n_zc", neg).cast("int").alias("n_zc"),
+        "ok",
+    )
+
+
+def _q_kg_frame_sample(spark, sf_dir):
+    """REAL video-style FRAME SAMPLING under the hard signal: keep every
+    3rd frame of each animated GIF and emit exact per-sampled-frame
+    channel sums.  The engine's structural block walk never LZW-decodes
+    a skipped frame (the property that makes sampling sub-linear in
+    frame count at catalog scale); the oracle recomputes each kept
+    frame's sums closed-form from the generation rule (index =
+    (x+y+f) mod 4) + header dims, so a sampler that decodes the wrong
+    frames — or decodes the right frames wrongly — fails the hash."""
+    from obsidian_parser_spark.operators.multimodal import gif_frame_samples
+
+    media = spark.read.parquet(ensure_media_corpus(_sf_name(sf_dir))).filter(
+        F.col("media_ref").endswith(".gif")
+    )
+    d = gif_frame_samples(media, stride=3)
+    neg = F.lit(-1)
+    return d.select(
+        "media_ref",
+        F.coalesce("f", neg).cast("int").alias("f"),
+        F.coalesce("n_px", neg).cast("long").alias("n_px"),
+        F.coalesce("sum_r", neg).cast("long").alias("sum_r"),
+        F.coalesce("sum_g", neg).cast("long").alias("sum_g"),
+        F.coalesce("sum_b", neg).cast("long").alias("sum_b"),
+        "ok",
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -3093,14 +3179,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_pixels": _q_kg_pixels,
         "kg_audio": _q_kg_audio,
         "kg_gifpixels": _q_kg_gifpixels,
-        "kg_bmp": _q_kg_bmp,
-        "kg_media_decoded": _q_kg_media_decoded,
+        "kg_thumb": _q_kg_thumb,
+        "kg_audio_frames": _q_kg_audio_frames,
         "kg_pack": _q_kg_pack,
         "ts_pack": _q_ts_pack,
         "ann_recall": _q_ann_recall,
         "ann_pq_recall": _q_ann_pq_recall,
         "ann_pq": _q_ann_pq,
-        "ann_ivfpq": _q_ann_ivfpq,
+        "kg_frame_sample": _q_kg_frame_sample,
         "ann_kmeans": _q_ann_kmeans,
         "kg_stream_edges": _q_kg_stream_edges,
         "kg_stream_stateful": _q_kg_stream_stateful,
@@ -3129,6 +3215,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_range": _q_ev_range,
         "ts_bpe": _q_ts_bpe,
         "dd_bloom": _q_dd_bloom,
+        # --- backlog (positions 51+): never-driver-verified queries wait
+        # here for the round-6 rotation; displaced this round (each has an
+        # in-window family sibling): kg_bmp (kg_pixels/kg_thumb), ann_ivfpq
+        # (ann_pq + ann_pq_recall), kg_media_decoded (kg_decode).
+        "kg_bmp": _q_kg_bmp,
+        "kg_media_decoded": _q_kg_media_decoded,
+        "ann_ivfpq": _q_ann_ivfpq,
         "kg_gif": _q_kg_gif,
         "dd_dupspans": _q_dd_dupspans,
         "dd_incremental": _q_dd_incremental,
@@ -3759,18 +3852,25 @@ FROM hdr LEFT JOIN sums s ON s.media_ref = hdr.media_ref"""
 
 
 def _media_audio_oracle(mpath: str) -> str:
-    """EXACT PCM sample sum from the constant-amplitude rule (value a pure
-    function of the ref number) × header-parsed sample count; the engine
-    sums real int16 samples off the data chunk."""
+    """EXACT PCM sample sum WITHOUT reading a byte of PCM: aud_*.wav is
+    constant amplitude (value a pure function of the ref number) ×
+    header-parsed sample count; tone_*.wav (corpus v7) carries a VARYING
+    deterministic waveform (sample k of tone t = ((t·37 + k·13) mod 200)
+    − 100), re-derived here by exploding the rule with unnest(range(ns)).
+    The engine sums real int16 samples off the data chunk — equality
+    proves offset, stride, endianness AND sign handling (tone samples go
+    negative)."""
     le4 = _hex_le4
     ix = r"TRY_CAST(regexp_extract(media_ref, 'aud_(\d+)\.wav', 1) AS BIGINT)"
+    tx = r"TRY_CAST(regexp_extract(media_ref, 'tone_(\d+)\.wav', 1) AS BIGINT)"
     return f"""
 WITH m AS (
   SELECT media_ref, hex(payload) AS h, octet_length(payload) AS n
   FROM read_parquet('{mpath}') WHERE lower(media_ref) LIKE '%.wav'
 ),
 hdr AS (
-  SELECT media_ref, {ix} AS i, {le4(25)} AS rate, {le4(41)} AS dsize,
+  SELECT media_ref, {ix} AS i, {tx} AS t,
+         {le4(25)} AS rate, {le4(41)} AS dsize,
          coalesce(n >= 44 AND substr(h, 1, 8) = '52494646'
                           AND substr(h, 17, 8) = '57415645'
                           AND substr(h, 25, 8) = '666D7420'
@@ -3780,14 +3880,235 @@ hdr AS (
                           AND {le4(41)} % 2 = 0
                           AND n >= 44 + {le4(41)}, FALSE) AS ok
   FROM m
+),
+tone AS (  -- varying-waveform refs: explode the sample rule and sum
+  SELECT media_ref,
+         SUM(((t * 37 + k * 13) % 200) - 100) AS tone_sum
+  FROM (SELECT media_ref, t, unnest(range(dsize // 2)) AS k
+        FROM hdr WHERE ok AND t IS NOT NULL)
+  GROUP BY media_ref
 )
-SELECT media_ref,
+SELECT hdr.media_ref,
        (CASE WHEN ok THEN dsize // 2 ELSE -1 END)::BIGINT AS n_samples,
-       (CASE WHEN ok THEN (dsize // 2) * ((i * 37) % 65536 - 32768)
-             ELSE -1 END)::BIGINT AS sum_amp,
+       (CASE WHEN NOT ok THEN -1
+             WHEN t IS NOT NULL THEN coalesce(tone_sum, 0)
+             ELSE (dsize // 2) * ((i * 37) % 65536 - 32768)
+        END)::BIGINT AS sum_amp,
        (CASE WHEN ok THEN rate ELSE -1 END)::INTEGER AS sample_rate,
        ok
-FROM hdr"""
+FROM hdr LEFT JOIN tone ON tone.media_ref = hdr.media_ref"""
+
+
+def _media_thumb_oracle(mpath: str) -> str:
+    """EXACT 8×8 nearest-neighbor thumbnail ROW sums WITHOUT decoding:
+    the NN source row of thumb row ty is sy = (ty·h) div 8, so for the
+    two-tone PNG/BMP rules the whole thumb row is one color (8 × channel,
+    top color iff sy < h div 2) and for GIF frame 0 thumb pixel (ty, tx)
+    maps through the palette at ((tx·w) div 8 + sy) mod 4 — all pure
+    functions of the ref number + header-parsed dims.  The engine
+    actually inflates/LZW-decodes the raster and samples it; equality
+    proves the resize's index arithmetic on every axis (GIF varies along
+    x, the two-tone formats along y, BMP adds the bottom-up flip)."""
+    be4, le4, le2 = _hex_be4, _hex_le4, _hex_le2
+    jx = r"TRY_CAST(regexp_extract(media_ref, 'img_(\d+)\.png', 1) AS BIGINT)"
+    mx = r"TRY_CAST(regexp_extract(media_ref, 'flat_(\d+)\.bmp', 1) AS BIGINT)"
+    gx = r"TRY_CAST(regexp_extract(media_ref, 'anim_(\d+)\.gif', 1) AS BIGINT)"
+    sy = "((ty * ht) // 8)"
+
+    def two_tone(ct: str, cb: str) -> str:
+        return f"8 * (CASE WHEN {sy} < ht // 2 THEN {ct} ELSE {cb} END)"
+
+    def gsum(ca: int, cb: int) -> str:
+        return " + ".join(
+            f"((g * {ca} + ((({tx} * w) // 8 + {sy}) % 4) * {cb}) % 256)"
+            for tx in range(8)
+        )
+
+    return f"""
+WITH m AS (
+  SELECT media_ref, hex(payload) AS h, octet_length(payload) AS n
+  FROM read_parquet('{mpath}')
+  WHERE lower(media_ref) LIKE '%.png' OR lower(media_ref) LIKE '%.bmp'
+     OR lower(media_ref) LIKE '%.gif'
+),
+png AS (
+  SELECT media_ref, {jx} AS rn, {be4(21)} AS ht,
+         coalesce(n >= 29 AND substr(h, 1, 16) = '89504E470D0A1A0A'
+                          AND substr(h, 25, 8) = '49484452'
+                          AND substr(h, 49, 2) = '08'
+                          AND substr(h, 51, 2) = '02'
+                          AND substr(h, 57, 2) = '00', FALSE) AS ok
+  FROM m WHERE lower(media_ref) LIKE '%.png'
+),
+bmp AS (
+  SELECT media_ref, {mx} AS rn, {le4(23)} AS ht,
+         coalesce(n >= 54 AND substr(h, 1, 4) = '424D'
+                          AND {le4(19)} > 0
+                          AND {le4(23)} > 0
+                          AND {le4(23)} < 2147483648
+                          AND {le2(29)} = 24
+                          AND {le4(31)} = 0, FALSE) AS ok
+  FROM m WHERE lower(media_ref) LIKE '%.bmp'
+),
+gif AS (
+  SELECT media_ref, {gx} AS g, {le2(7)} AS w, {le2(9)} AS ht,
+         coalesce(n >= 13 AND substr(h, 1, 12) = '474946383961', FALSE) AS ok
+  FROM m WHERE lower(media_ref) LIKE '%.gif'
+),
+png_rows AS (
+  SELECT media_ref, ty,
+         {two_tone("rn % 256", "(rn * 3) % 256")} AS sum_r,
+         {two_tone("(rn * 7) % 256", "(rn * 5) % 256")} AS sum_g,
+         {two_tone("(rn * 13) % 256", "(rn * 11) % 256")} AS sum_b
+  FROM (SELECT media_ref, rn, ht, unnest(range(8)) AS ty FROM png WHERE ok)
+),
+bmp_rows AS (
+  SELECT media_ref, ty,
+         {two_tone("rn % 256", "(rn * 7) % 256")} AS sum_r,
+         {two_tone("(rn * 19) % 256", "(rn * 3) % 256")} AS sum_g,
+         {two_tone("(rn * 31) % 256", "(rn * 41) % 256")} AS sum_b
+  FROM (SELECT media_ref, rn, ht, unnest(range(8)) AS ty FROM bmp WHERE ok)
+),
+gif_rows AS (
+  SELECT media_ref, ty,
+         {gsum(37, 59)} AS sum_r,
+         {gsum(11, 83)} AS sum_g,
+         {gsum(53, 29)} AS sum_b
+  FROM (SELECT media_ref, g, w, ht, unnest(range(8)) AS ty FROM gif WHERE ok)
+),
+bad AS (
+  SELECT media_ref FROM png WHERE NOT ok
+  UNION ALL SELECT media_ref FROM bmp WHERE NOT ok
+  UNION ALL SELECT media_ref FROM gif WHERE NOT ok
+)
+SELECT media_ref, ty::INTEGER AS ty, sum_r::BIGINT AS sum_r,
+       sum_g::BIGINT AS sum_g, sum_b::BIGINT AS sum_b, TRUE AS ok
+FROM (SELECT * FROM png_rows UNION ALL SELECT * FROM bmp_rows
+      UNION ALL SELECT * FROM gif_rows)
+UNION ALL
+SELECT media_ref, -1, (-1)::BIGINT, (-1)::BIGINT, (-1)::BIGINT, FALSE
+FROM bad"""
+
+
+def _media_audio_frames_oracle(mpath: str) -> str:
+    """EXACT 256-sample frame features WITHOUT reading PCM: aud_*.wav
+    frames are closed-form (constant amplitude × ragged frame length,
+    zero crossings = 0); tone_*.wav frames re-derive the varying sample
+    rule by exploding unnest(range(ns)) and grouping by k div 256, with
+    zero-crossings counted over CONSECUTIVE in-frame pairs (k mod 256 ≠
+    255 and k+1 < ns) exactly as the engine defines them.  The engine
+    frames real int16 samples; equality proves the frame split, the
+    ragged tail, L1 energy and the sign-flip count."""
+    le4 = _hex_le4
+    ix = r"TRY_CAST(regexp_extract(media_ref, 'aud_(\d+)\.wav', 1) AS BIGINT)"
+    tx = r"TRY_CAST(regexp_extract(media_ref, 'tone_(\d+)\.wav', 1) AS BIGINT)"
+    return f"""
+WITH m AS (
+  SELECT media_ref, hex(payload) AS h, octet_length(payload) AS n
+  FROM read_parquet('{mpath}') WHERE lower(media_ref) LIKE '%.wav'
+),
+hdr AS (
+  SELECT media_ref, {ix} AS i, {tx} AS t, {le4(41)} AS dsize,
+         coalesce(n >= 44 AND substr(h, 1, 8) = '52494646'
+                          AND substr(h, 17, 8) = '57415645'
+                          AND substr(h, 25, 8) = '666D7420'
+                          AND substr(h, 73, 8) = '64617461'
+                          AND {le4(29)} > 0
+                          AND substr(h, 69, 4) = '1000'
+                          AND {le4(41)} % 2 = 0
+                          AND n >= 44 + {le4(41)}, FALSE) AS ok
+  FROM m
+),
+aud_frames AS (
+  SELECT media_ref, f, LEAST(256, ns - 256 * f) AS n,
+         LEAST(256, ns - 256 * f) * v AS sum_amp,
+         LEAST(256, ns - 256 * f) * ABS(v) AS sum_abs,
+         0 AS n_zc
+  FROM (SELECT media_ref, dsize // 2 AS ns,
+               (i * 37) % 65536 - 32768 AS v,
+               unnest(range((dsize // 2 + 255) // 256)) AS f
+        FROM hdr WHERE ok AND i IS NOT NULL)
+),
+tone_frames AS (
+  SELECT media_ref, k // 256 AS f, COUNT(*) AS n, SUM(sk) AS sum_amp,
+         SUM(ABS(sk)) AS sum_abs,
+         SUM(CASE WHEN k % 256 <> 255 AND k + 1 < ns AND sk * sk1 < 0
+                  THEN 1 ELSE 0 END) AS n_zc
+  FROM (SELECT media_ref, ns, k,
+               ((t * 37 + k * 13) % 200) - 100 AS sk,
+               ((t * 37 + (k + 1) * 13) % 200) - 100 AS sk1
+        FROM (SELECT media_ref, t, dsize // 2 AS ns,
+                     unnest(range(dsize // 2)) AS k
+              FROM hdr WHERE ok AND t IS NOT NULL))
+  GROUP BY media_ref, f
+)
+SELECT media_ref, f::INTEGER AS frame_idx, n::INTEGER AS n,
+       sum_amp::BIGINT AS sum_amp, sum_abs::BIGINT AS sum_abs,
+       n_zc::INTEGER AS n_zc, TRUE AS ok
+FROM (SELECT * FROM aud_frames UNION ALL SELECT * FROM tone_frames)
+UNION ALL
+SELECT media_ref, -1, -1, (-1)::BIGINT, (-1)::BIGINT, -1, FALSE
+FROM hdr WHERE NOT ok"""
+
+
+def _media_frame_sample_oracle(mpath: str) -> str:
+    """EXACT per-SAMPLED-frame GIF channel sums WITHOUT touching the LZW
+    bytes — the gifpixels closed form (#(index = r in frame f) =
+    Σ_a nx(a)·ny((r−f−a) mod 4)) filtered to the sampled frames
+    f ≡ 0 (mod 3) and NOT summed over f, so a sampler that keeps the
+    wrong frames or mis-decodes a kept one fails the hash per frame."""
+    le2 = _hex_le2
+    gx = r"TRY_CAST(regexp_extract(media_ref, 'anim_(\d+)\.gif', 1) AS BIGINT)"
+
+    def cnt4(s: int) -> str:
+        return (
+            "("
+            + " + ".join(
+                f"((w - {a} + 3) // 4) * ((ht - {(s - a) % 4} + 3) // 4)"
+                for a in range(4)
+            )
+            + ")"
+        )
+
+    def chsum(ca: int, cb: int) -> str:
+        return " + ".join(
+            f"(((g * {ca} + {r * cb}) % 256) * "
+            f"(CASE (({r} - f) % 4 + 4) % 4 "
+            f"WHEN 0 THEN c0 WHEN 1 THEN c1 WHEN 2 THEN c2 ELSE c3 END))"
+            for r in range(4)
+        )
+
+    return f"""
+WITH m AS (
+  SELECT media_ref, hex(payload) AS h, octet_length(payload) AS n
+  FROM read_parquet('{mpath}') WHERE lower(media_ref) LIKE '%.gif'
+),
+hdr AS (
+  SELECT media_ref, {gx} AS g, {le2(7)} AS w, {le2(9)} AS ht,
+         1 + ({gx}) % 9 AS fr,
+         coalesce(n >= 13 AND substr(h, 1, 12) = '474946383961', FALSE) AS ok
+  FROM m
+),
+c4 AS (
+  SELECT *, {cnt4(0)} AS c0, {cnt4(1)} AS c1, {cnt4(2)} AS c2,
+         {cnt4(3)} AS c3
+  FROM hdr WHERE ok
+),
+samp AS (
+  SELECT * FROM (SELECT media_ref, g, w, ht, c0, c1, c2, c3,
+                        unnest(range(fr)) AS f
+                 FROM c4)
+  WHERE f % 3 = 0
+)
+SELECT media_ref, f::INTEGER AS f, (w * ht)::BIGINT AS n_px,
+       ({chsum(37, 59)})::BIGINT AS sum_r,
+       ({chsum(11, 83)})::BIGINT AS sum_g,
+       ({chsum(53, 29)})::BIGINT AS sum_b, TRUE AS ok
+FROM samp
+UNION ALL
+SELECT media_ref, -1, (-1)::BIGINT, (-1)::BIGINT, (-1)::BIGINT,
+       (-1)::BIGINT, FALSE
+FROM hdr WHERE NOT ok"""
 
 
 def _bfs_ctes(root: str, depth: int) -> str:
@@ -4274,6 +4595,9 @@ SELECT 8::INTEGER AS n_buckets, 2::INTEGER AS n_resumed, 6::INTEGER AS n_skipped
         "kg_gif": _media_gif_oracle(mpath),
         "kg_bmp": _media_bmp_oracle(mpath),
         "kg_gifpixels": _media_gifpixels_oracle(mpath),
+        "kg_thumb": _media_thumb_oracle(mpath),
+        "kg_audio_frames": _media_audio_frames_oracle(mpath),
+        "kg_frame_sample": _media_frame_sample_oracle(mpath),
         "kg_pack": kg_pack_sql,
         "kg_stream_edges": c + "SELECT subj, pred, obj FROM link_edges",
         "kg_resume": kg_resume_sql,

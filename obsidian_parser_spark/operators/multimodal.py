@@ -317,16 +317,28 @@ PIXELS_SCHEMA = (
 SAMPLES_SCHEMA = (
     "media_ref string, n_samples long, sum_amp long, sample_rate int, ok boolean"
 )
+THUMB_SCHEMA = (
+    "media_ref string, ty int, sum_r long, sum_g long, sum_b long, ok boolean"
+)
+AUDIO_FRAMES_SCHEMA = (
+    "media_ref string, frame_idx int, n int, sum_amp long, sum_abs long, "
+    "n_zc int, ok boolean"
+)
+GIF_SAMPLE_SCHEMA = (
+    "media_ref string, f int, n_px long, sum_r long, sum_g long, "
+    "sum_b long, ok boolean"
+)
 
 
-def _decode_png_pixels(b: bytes) -> tuple[int, int, int, int, int] | None:
-    """REAL pixel decode for the 8-bit RGB / filter-0 / non-interlaced PNG
-    subset, stdlib-only: walk the chunk stream, concatenate IDAT, zlib
-    inflate, strip per-row filter bytes → (width, height, sum_r, sum_g,
-    sum_b).  None for anything outside the subset or corrupt — the error
-    channel, not an exception.  (Filters 1-4 and other color types need a
-    per-row reconstruction pass; this decoder covers the subset the
-    corpus writes and FAILS CLOSED on everything else.)"""
+def _png_raster(b: bytes) -> "np.ndarray | None":
+    """REAL raster decode for the 8-bit RGB / filter-0 / non-interlaced
+    PNG subset, stdlib-only: walk the chunk stream, concatenate IDAT,
+    zlib inflate, strip per-row filter bytes → (height, width, 3) uint8
+    array in top-down RGB order.  None for anything outside the subset or
+    corrupt — the error channel, not an exception.  (Filters 1-4 and
+    other color types need a per-row reconstruction pass; this decoder
+    covers the subset the corpus writes and FAILS CLOSED on everything
+    else.)"""
     import zlib
 
     wh = _parse_png(b)
@@ -361,20 +373,29 @@ def _decode_png_pixels(b: bytes) -> tuple[int, int, int, int, int] | None:
     arr = np.frombuffer(raster, dtype=np.uint8).reshape(height, stride)
     if (arr[:, 0] != 0).any():
         return None  # filter types other than None: outside the subset
-    px = arr[:, 1:].reshape(height, width, 3).astype(np.int64)
-    s = px.sum(axis=(0, 1))
-    return width, height, int(s[0]), int(s[1]), int(s[2])
+    return arr[:, 1:].reshape(height, width, 3)
 
 
-def _decode_bmp_pixels(b: bytes) -> tuple[int, int, int, int, int] | None:
-    """REAL pixel decode for the 24-bit uncompressed BMP subset: read the
+def _decode_png_pixels(b: bytes) -> tuple[int, int, int, int, int] | None:
+    """(width, height, sum_r, sum_g, sum_b) over the real PNG raster —
+    exact integer channel sums; None on corrupt/unsupported payloads."""
+    px = _png_raster(b)
+    if px is None:
+        return None
+    h, w = px.shape[0], px.shape[1]
+    s = px.astype(np.int64).sum(axis=(0, 1))
+    return w, h, int(s[0]), int(s[1]), int(s[2])
+
+
+def _bmp_raster(b: bytes) -> "np.ndarray | None":
+    """REAL raster decode for the 24-bit uncompressed BMP subset: read the
     raster straight off the pixel-array offset (no decompression at all),
-    drop the per-row 4-byte-alignment padding, and sum each channel
-    exactly → (width, height, sum_r, sum_g, sum_b).  BMP stores rows
-    bottom-up in BGR order — irrelevant for sums except that the channel
-    mapping must be reversed (a swapped mapping gives wrong per-channel
-    integers and fails the oracle hash).  None outside the subset /
-    corrupt — the error channel, not an exception."""
+    drop the per-row 4-byte-alignment padding → (height, width, 3) uint8
+    in TOP-DOWN RGB order.  BMP stores rows bottom-up in BGR order, so
+    both the row order and the channel order are reversed here — a
+    positional consumer (thumbnailing, row stats) sees the image the way
+    a viewer renders it.  None outside the subset / corrupt — the error
+    channel, not an exception."""
     wh = _parse_bmp(b)
     if wh is None:
         return None
@@ -384,9 +405,22 @@ def _decode_bmp_pixels(b: bytes) -> tuple[int, int, int, int, int] | None:
     if off < 54 or len(b) < off + row * height:
         return None
     arr = np.frombuffer(b, dtype=np.uint8, count=row * height, offset=off)
-    px = arr.reshape(height, row)[:, : 3 * width].reshape(-1, 3)
-    s = px.astype(np.int64).sum(axis=0)  # (B, G, R) storage order
-    return width, height, int(s[2]), int(s[1]), int(s[0])
+    px = arr.reshape(height, row)[:, : 3 * width].reshape(height, width, 3)
+    return px[::-1, :, ::-1]  # bottom-up BGR → top-down RGB
+
+
+def _decode_bmp_pixels(b: bytes) -> tuple[int, int, int, int, int] | None:
+    """(width, height, sum_r, sum_g, sum_b) over the real BMP raster —
+    exact integer channel sums (orientation doesn't affect sums, but the
+    BGR→RGB mapping does: a swapped mapping gives wrong per-channel
+    integers and fails the oracle hash).  None outside the subset /
+    corrupt."""
+    px = _bmp_raster(b)
+    if px is None:
+        return None
+    h, w = px.shape[0], px.shape[1]
+    s = px.astype(np.int64).sum(axis=(0, 1))
+    return w, h, int(s[0]), int(s[1]), int(s[2])
 
 
 def _gif_lzw_decode(data: bytes, min_code_size: int) -> list[int] | None:
@@ -444,16 +478,17 @@ def _gif_lzw_decode(data: bytes, min_code_size: int) -> list[int] | None:
         prev = entry
 
 
-def _decode_gif_pixels(
+def _gif_frames_raw(
     b: bytes,
-) -> tuple[int, int, int, int, int, int] | None:
-    """REAL pixel decode for palette GIFs: walk the block stream, LZW-
-    decompress every frame's raster, map indices through the active color
-    table → (width, height, n_px_total, sum_r, sum_g, sum_b) summed over
-    ALL frames.  Local color tables override the global one per frame;
-    interlace only permutes row order, which channel sums don't see.
-    None on corrupt streams / frame size mismatch — the error channel,
-    not an exception."""
+) -> "tuple[int, int, list[tuple[int, int, np.ndarray, bytes, int]]] | None":
+    """STRUCTURAL walk of a palette GIF's block stream WITHOUT touching
+    the LZW bits: → (width, height, frames) where each frame is
+    (fw, fh, palette, lzw_bytes, min_code_size).  Local color tables
+    override the global one per frame.  Separating the (cheap) walk from
+    the (expensive) LZW decode is what makes frame SAMPLING sub-linear in
+    frame count — a sampler decodes only the frames it keeps.  None on
+    structurally corrupt streams — the error channel, not an
+    exception."""
     wh = _parse_gif(b)
     if wh is None or len(b) < 13:
         return None
@@ -467,12 +502,11 @@ def _decode_gif_pixels(
             return None
         gct = np.frombuffer(b, np.uint8, 3 * n, pos).reshape(n, 3)
         pos += 3 * n
-    sums = np.zeros(3, dtype=np.int64)
-    n_px = 0
+    frames: list[tuple[int, int, np.ndarray, bytes, int]] = []
     while pos < len(b):
         introducer = b[pos]
         if introducer == 0x3B:
-            return width, height, n_px, int(sums[0]), int(sums[1]), int(sums[2])
+            return width, height, frames
         if introducer == 0x21:
             pos += 2
             while pos < len(b) and b[pos] != 0:
@@ -503,17 +537,51 @@ def _decode_gif_pixels(
             if pos >= len(b):
                 return None
             pos += 1
-            idx = _gif_lzw_decode(bytes(data), mcs)
-            if idx is None or len(idx) != fw * fh:
-                return None
-            a = np.asarray(idx, dtype=np.int64)
-            if a.size and int(a.max()) >= pal.shape[0]:
-                return None
-            sums += pal[a].astype(np.int64).sum(axis=0)
-            n_px += fw * fh
+            frames.append((fw, fh, pal, bytes(data), mcs))
         else:
             return None
     return None  # ran off the end without a trailer
+
+
+def _gif_frame_indices(
+    frame: "tuple[int, int, np.ndarray, bytes, int]",
+) -> "np.ndarray | None":
+    """LZW-decode one walked frame → (fh, fw) int index array, validated
+    against the frame dims and the active palette size; None on a
+    malformed stream."""
+    fw, fh, pal, data, mcs = frame
+    idx = _gif_lzw_decode(data, mcs)
+    if idx is None or len(idx) != fw * fh:
+        return None
+    a = np.asarray(idx, dtype=np.int64)
+    if a.size and int(a.max()) >= pal.shape[0]:
+        return None
+    return a.reshape(fh, fw)
+
+
+def _decode_gif_pixels(
+    b: bytes,
+) -> tuple[int, int, int, int, int, int] | None:
+    """REAL pixel decode for palette GIFs: walk the block stream, LZW-
+    decompress every frame's raster, map indices through the active color
+    table → (width, height, n_px_total, sum_r, sum_g, sum_b) summed over
+    ALL frames.  Interlace only permutes row order, which channel sums
+    don't see.  None on corrupt streams / frame size mismatch — the error
+    channel, not an exception."""
+    walked = _gif_frames_raw(b)
+    if walked is None:
+        return None
+    width, height, frames = walked
+    sums = np.zeros(3, dtype=np.int64)
+    n_px = 0
+    for frame in frames:
+        a = _gif_frame_indices(frame)
+        if a is None:
+            return None
+        pal = frame[2]
+        sums += pal[a.ravel()].astype(np.int64).sum(axis=0)
+        n_px += a.size
+    return width, height, n_px, int(sums[0]), int(sums[1]), int(sums[2])
 
 
 def image_channel_stats(
@@ -615,6 +683,217 @@ def audio_sample_stats(
             )
 
     return media.select("media_ref", payload_col).mapInPandas(run, SAMPLES_SCHEMA)
+
+
+def thumbnail_row_stats(
+    media: DataFrame,
+    th: int = 8,
+    tw: int = 8,
+    payload_col: str = "payload",
+    strict: bool = False,
+) -> DataFrame:
+    """REAL image RESIZE over the decoded rasters — the thumbnail stage
+    of a multimodal training-data pipeline, as an Arrow-batched
+    mapInPandas pass (one partition-local decode per payload; scales as
+    a narrow map, no shuffle).
+
+    Nearest-neighbor downsample (or upsample) of every PNG / BMP /
+    GIF-frame-0 raster to ``th × tw``: thumbnail pixel (ty, tx) = source
+    pixel ((ty·h) div th, (tx·w) div tw).  Output is one row per
+    THUMBNAIL ROW: (media_ref, ty, sum_r, sum_g, sum_b, ok) — exact
+    integer channel sums across the row, so an independent engine can
+    recompute every value from the corpus color rule + header dims and a
+    wrong row mapping, column mapping, BMP orientation flip, or palette
+    lookup fails the hash.  Corrupt / unsupported payloads → a single
+    (ty=-1, -1 sums, ok=false) row unless ``strict=True`` (declared
+    codec stub for formats needing external libraries)."""
+
+    def _raster(ext: str, b: bytes) -> "np.ndarray | None":
+        if ext == "png":
+            return _png_raster(b)
+        if ext == "bmp":
+            return _bmp_raster(b)
+        if ext == "gif":
+            walked = _gif_frames_raw(b)
+            if walked is None or not walked[2]:
+                return None
+            width, height, frames = walked
+            fw, fh, pal = frames[0][0], frames[0][1], frames[0][2]
+            if (fw, fh) != (width, height):
+                return None  # partial first frame: outside the subset
+            a = _gif_frame_indices(frames[0])
+            if a is None:
+                return None
+            return pal[a]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        bad = (None, None, None, None, False)
+        for pdf in batches:
+            rows = []
+            for ref, payload in zip(pdf["media_ref"], pdf[payload_col]):
+                ext = ref.rsplit(".", 1)[-1].lower() if "." in ref else ""
+                if ext not in ("png", "bmp", "gif"):
+                    if strict:
+                        raise NotImplementedError(
+                            f"raster decode for '.{ext}' requires a codec "
+                            "library (not in this image); png/bmp/gif "
+                            "decode natively"
+                        )
+                    rows.append((ref, *bad))
+                    continue
+                px = _raster(ext, bytes(payload) if payload is not None else b"")
+                if px is None:
+                    rows.append((ref, *bad))
+                    continue
+                h, w = px.shape[0], px.shape[1]
+                ys = (np.arange(th, dtype=np.int64) * h) // th
+                xs = (np.arange(tw, dtype=np.int64) * w) // tw
+                thumb = px[np.ix_(ys, xs)].astype(np.int64)
+                rs = thumb.sum(axis=1)  # (th, 3) row channel sums
+                rows.extend(
+                    (ref, ty, int(rs[ty, 0]), int(rs[ty, 1]), int(rs[ty, 2]),
+                     True)
+                    for ty in range(th)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_ref", "ty", "sum_r", "sum_g", "sum_b", "ok"],
+            )
+
+    return media.select("media_ref", payload_col).mapInPandas(run, THUMB_SCHEMA)
+
+
+def audio_frame_features(
+    media: DataFrame,
+    frame: int = 256,
+    payload_col: str = "payload",
+    strict: bool = False,
+) -> DataFrame:
+    """REAL audio FEATURE EXTRACTION over the decoded PCM — the framing
+    stage a speech pipeline runs before any model: split each WAV's
+    16-bit samples into consecutive ``frame``-sample windows (last one
+    ragged) and emit the classic integer frame features
+
+        (media_ref, frame_idx, n, sum_amp, sum_abs, n_zc, ok)
+
+    where ``sum_abs`` is the L1 energy and ``n_zc`` counts strict sign
+    flips between CONSECUTIVE samples WITHIN the frame (pairs straddling
+    a frame boundary belong to neither frame — the split a wrong
+    boundary shifts, which the oracle hash then catches).  All values are
+    exact integers recomputable from the corpus sample rule.  Corrupt /
+    non-wav payloads → a single (frame_idx=-1, -1s, ok=false) row unless
+    ``strict=True``."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        bad = (None, None, None, None, None, False)
+        for pdf in batches:
+            rows = []
+            for ref, payload in zip(pdf["media_ref"], pdf[payload_col]):
+                ext = ref.rsplit(".", 1)[-1].lower() if "." in ref else ""
+                if ext != "wav":
+                    if strict:
+                        raise NotImplementedError(
+                            f"sample decode for '.{ext}' requires a codec "
+                            "library (not in this image); wav decodes "
+                            "natively"
+                        )
+                    rows.append((ref, *bad))
+                    continue
+                b = bytes(payload) if payload is not None else b""
+                if _parse_wav(b) is None or len(b) < 44:
+                    rows.append((ref, *bad))
+                    continue
+                bits = struct.unpack("<H", b[34:36])[0]
+                data_size = struct.unpack("<I", b[40:44])[0]
+                body = b[44 : 44 + data_size]
+                if bits != 16 or len(body) != data_size or data_size % 2:
+                    rows.append((ref, *bad))
+                    continue
+                s = np.frombuffer(body, dtype="<i2").astype(np.int64)
+                for f in range(0, (len(s) + frame - 1) // frame):
+                    seg = s[f * frame : (f + 1) * frame]
+                    zc = int(np.count_nonzero(seg[:-1] * seg[1:] < 0))
+                    rows.append(
+                        (ref, f, len(seg), int(seg.sum()),
+                         int(np.abs(seg).sum()), zc, True)
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_ref", "frame_idx", "n", "sum_amp",
+                         "sum_abs", "n_zc", "ok"],
+            )
+
+    return media.select("media_ref", payload_col).mapInPandas(
+        run, AUDIO_FRAMES_SCHEMA
+    )
+
+
+def gif_frame_samples(
+    media: DataFrame,
+    stride: int = 3,
+    payload_col: str = "payload",
+    strict: bool = False,
+) -> DataFrame:
+    """REAL video-style FRAME SAMPLING: keep every ``stride``-th frame of
+    each animated GIF and emit exact per-SAMPLED-frame channel sums
+    (media_ref, f, n_px, sum_r, sum_g, sum_b, ok).
+
+    The structural block walk (:func:`_gif_frames_raw`) is separated from
+    the LZW decode, so skipped frames are never decompressed — the cost
+    is O(kept frames), the property that makes frame sampling worth
+    running at catalog scale (a real video pipeline samples exactly this
+    way: demux all, decode few).  Any sampled frame failing to decode
+    fails the whole payload closed (single ok=false row), matching the
+    all-frames decoder's contract; non-gif extensions → ok=false row
+    unless ``strict=True``."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        bad = (None, None, None, None, None, False)
+        for pdf in batches:
+            rows = []
+            for ref, payload in zip(pdf["media_ref"], pdf[payload_col]):
+                ext = ref.rsplit(".", 1)[-1].lower() if "." in ref else ""
+                if ext != "gif":
+                    if strict:
+                        raise NotImplementedError(
+                            f"frame decode for '.{ext}' requires a codec "
+                            "library (not in this image); gif decodes "
+                            "natively"
+                        )
+                    rows.append((ref, *bad))
+                    continue
+                walked = _gif_frames_raw(
+                    bytes(payload) if payload is not None else b""
+                )
+                if walked is None:
+                    rows.append((ref, *bad))
+                    continue
+                _, _, frames = walked
+                out = []
+                for f in range(0, len(frames), stride):
+                    a = _gif_frame_indices(frames[f])
+                    if a is None:
+                        out = None
+                        break
+                    pal = frames[f][2]
+                    ssum = pal[a.ravel()].astype(np.int64).sum(axis=0)
+                    out.append(
+                        (ref, f, a.size, int(ssum[0]), int(ssum[1]),
+                         int(ssum[2]), True)
+                    )
+                if out is None:
+                    rows.append((ref, *bad))
+                else:
+                    rows.extend(out)
+            yield pd.DataFrame(
+                rows,
+                columns=["media_ref", "f", "n_px", "sum_r", "sum_g",
+                         "sum_b", "ok"],
+            )
+
+    return media.select("media_ref", payload_col).mapInPandas(
+        run, GIF_SAMPLE_SCHEMA
+    )
 
 
 def extract_features(media: DataFrame, dim: int = 16) -> DataFrame:

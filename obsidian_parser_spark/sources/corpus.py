@@ -159,12 +159,15 @@ def wav_bytes(
     channels: int = 1,
     bits: int = 16,
     sample_value: int | None = None,
+    samples: list[int] | None = None,
 ) -> bytes:
     """A REAL WAV: canonical 44-byte RIFF/fmt/data header (PCM).  With
     ``sample_value`` the data chunk carries actual 16-bit LE PCM samples
     (constant amplitude) — parseable by any WAV reader and by
-    ``multimodal.audio_sample_stats``; without it the body is omitted
-    (the header carries everything ``decode_media`` derives)."""
+    ``multimodal.audio_sample_stats``; ``samples`` instead writes an
+    explicit varying waveform (n_frames must equal len(samples) for
+    mono).  Without either the body is omitted (the header carries
+    everything ``decode_media`` derives)."""
     import struct
 
     block = channels * bits // 8
@@ -179,7 +182,9 @@ def wav_bytes(
         + b"data"
         + struct.pack("<I", data_size)
     )
-    if sample_value is not None:
+    if samples is not None:
+        out += struct.pack(f"<{len(samples)}h", *samples)
+    elif sample_value is not None:
         out += struct.pack("<h", sample_value) * (n_frames * channels)
     return out
 
@@ -302,7 +307,7 @@ def ensure_media_corpus(sf_name: str, base: str | None = None) -> str:
     path = media_parquet_path(sf_name, base)
     marker = os.path.join(out_dir, "_MEDIA_GENERATED.json")
     n_media = max(60, num_files_for_sf(sf_name) // 20)
-    params = {"version": 6, "n_media": n_media}
+    params = {"version": 7, "n_media": n_media}
     if os.path.exists(marker) and os.path.exists(path):
         with open(marker) as f:
             if json.load(f) == params:
@@ -372,6 +377,29 @@ def ensure_media_corpus(sf_name: str, base: str | None = None) -> str:
                     2 + (m2 * 23) % 90,
                     c_top=(m2 % 256, (m2 * 19) % 256, (m2 * 31) % 256),
                     c_bottom=((m2 * 7) % 256, (m2 * 3) % 256, (m2 * 41) % 256),
+                )
+            )
+    # appended VARYING-PCM WAV rows (version 7; refs disjoint from every
+    # earlier family so their oracles stay byte-stable): sample k of tone
+    # t is ((t*37 + k*13) % 200) - 100 — a pure function of (t, k), so an
+    # SQL oracle can recompute exact frame-level sums / |amplitude| /
+    # zero-crossing counts via generate_series without reading a byte of
+    # PCM.  Constant-amplitude aud_*.wav rows can't exercise
+    # zero-crossings (always 0) — these can.  Every 11th corrupt (RIFF
+    # prefix but truncated, so header validation must fail it).
+    for t in range(max(12, n_media // 5)):
+        if t % 11 == 7:
+            refs.append(f"bad_tone_{t}.wav")
+            payloads.append(b"RIFF" + bytes([t % 256]) * 12)
+        else:
+            n_fr = 400 + (t % 7) * 100
+            refs.append(f"tone_{t}.wav")
+            payloads.append(
+                wav_bytes(
+                    16000,
+                    n_frames=n_fr,
+                    samples=[((t * 37 + k * 13) % 200) - 100
+                             for k in range(n_fr)],
                 )
             )
     pq.write_table(
