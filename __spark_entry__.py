@@ -1010,6 +1010,57 @@ def _q_kg_frame_sample(spark, sf_dir):
     )
 
 
+def _q_dd_phash(spark, sf_dir):
+    """Perceptual IMAGE dedup, exact tier: every decodable PNG/BMP/GIF is
+    aHashed over its REAL decoded raster (8×8 NN thumbnail → integer
+    BT.601 luma → strict mean threshold → 64 bits as four 16-bit bands)
+    and images sharing a hash are reported as one bounded cluster row
+    (b0..b3, n_imgs, keeper) — the image-side analog of dd_exact, one
+    map-side-combinable groupBy, never a pair list.  The oracle
+    recomputes every hash bit closed-form from the corpus color rules +
+    header-parsed dims (the two-tone families collapse to luma plateaus,
+    GIFs contribute diagonal-stripe patterns), so a wrong NN index, luma
+    weight, threshold strictness, or bit packing fails the hash."""
+    from obsidian_parser_spark.operators.dedup import phash_exact_clusters
+    from obsidian_parser_spark.operators.multimodal import image_ahash
+
+    media = spark.read.parquet(ensure_media_corpus(_sf_name(sf_dir))).filter(
+        F.col("media_ref").endswith(".png")
+        | F.col("media_ref").endswith(".bmp")
+        | F.col("media_ref").endswith(".gif")
+    )
+    return phash_exact_clusters(image_ahash(media)).select(
+        F.col("b0").cast("int"),
+        F.col("b1").cast("int"),
+        F.col("b2").cast("int"),
+        F.col("b3").cast("int"),
+        F.col("n_imgs").cast("long"),
+        "keeper",
+    )
+
+
+def _q_dd_phash_pairs(spark, sf_dir):
+    """Perceptual IMAGE dedup, near tier: (ref_a, ref_b, hamming) pairs
+    whose aHashes differ in 1..16 of 64 bits, blocked by any shared
+    16-bit band with a 64-member mega-bucket cap (the two-tone hash
+    plateaus are deliberately too common to discriminate and drop out —
+    exactly the MinHash-LSH stop-bucket rule), then verified by exact
+    XOR bit_count on both engines.  Exact-equal hashes are dd_phash's
+    bounded-cluster path and are excluded here, keeping the pair list
+    sparse at catalog scale."""
+    from obsidian_parser_spark.operators.dedup import phash_near_pairs
+    from obsidian_parser_spark.operators.multimodal import image_ahash
+
+    media = spark.read.parquet(ensure_media_corpus(_sf_name(sf_dir))).filter(
+        F.col("media_ref").endswith(".png")
+        | F.col("media_ref").endswith(".bmp")
+        | F.col("media_ref").endswith(".gif")
+    )
+    return phash_near_pairs(
+        image_ahash(media), max_hamming=16, bucket_cap=64
+    ).select("ref_a", "ref_b", F.col("hamming").cast("long"))
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -3187,7 +3238,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_pq_recall": _q_ann_pq_recall,
         "ann_pq": _q_ann_pq,
         "kg_frame_sample": _q_kg_frame_sample,
-        "ann_kmeans": _q_ann_kmeans,
+        "dd_phash": _q_dd_phash,
+        "dd_phash_pairs": _q_dd_phash_pairs,
         "kg_stream_edges": _q_kg_stream_edges,
         "kg_stream_stateful": _q_kg_stream_stateful,
         "kg_stream_dict": _q_kg_stream_dict,
@@ -3203,7 +3255,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_triangles": _q_kg_triangles,
         "kg_kcore": _q_kg_kcore,
         "kg_communities": _q_kg_communities,
-        "kg_clustering": _q_kg_clustering,
         "kg_distances": _q_kg_distances,
         "kg_sssp": _q_kg_sssp,
         "kg_ppr": _q_kg_ppr,
@@ -3218,7 +3269,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- backlog (positions 51+): never-driver-verified queries wait
         # here for the round-6 rotation; displaced this round (each has an
         # in-window family sibling): kg_bmp (kg_pixels/kg_thumb), ann_ivfpq
-        # (ann_pq + ann_pq_recall), kg_media_decoded (kg_decode).
+        # (ann_pq + ann_pq_recall), kg_media_decoded (kg_decode),
+        # ann_kmeans (ann_pq/ann_recall), kg_clustering (kg_triangles/
+        # kg_kcore/kg_communities).
+        "ann_kmeans": _q_ann_kmeans,
+        "kg_clustering": _q_kg_clustering,
         "kg_bmp": _q_kg_bmp,
         "kg_media_decoded": _q_kg_media_decoded,
         "ann_ivfpq": _q_ann_ivfpq,
@@ -3990,6 +4045,146 @@ SELECT media_ref, -1, (-1)::BIGINT, (-1)::BIGINT, (-1)::BIGINT, FALSE
 FROM bad"""
 
 
+def _phash_hashes_cte(mpath: str) -> str:
+    """Shared CTE chain recomputing every image's 64-bit aHash WITHOUT
+    decoding a raster: luma(ty, tx) = (299r + 587g + 114b) div 1000 of
+    the NN-sampled pixel, closed-form from the corpus color rules +
+    header-parsed dims (two-tone rows for PNG/BMP, the (sx + sy) mod 4
+    palette stripe for GIF frame 0); bit = 1 iff 64·luma > Σ luma
+    (strict); bands b0..b3 = 16 bits each, MSB-first row-major.  Ends in
+    ``hashes(media_ref, b0, b1, b2, b3)`` — callers append their own
+    final SELECT."""
+    be4, le4, le2 = _hex_be4, _hex_le4, _hex_le2
+    jx = r"TRY_CAST(regexp_extract(media_ref, 'img_(\d+)\.png', 1) AS BIGINT)"
+    mx = r"TRY_CAST(regexp_extract(media_ref, 'flat_(\d+)\.bmp', 1) AS BIGINT)"
+    gx = r"TRY_CAST(regexp_extract(media_ref, 'anim_(\d+)\.gif', 1) AS BIGINT)"
+
+    def luma(r: str, g: str, b: str) -> str:
+        return f"(299 * ({r}) + 587 * ({g}) + 114 * ({b})) // 1000"
+
+    def two_tone_luma(ct: tuple[int, int, int], cb: tuple[int, int, int]) -> str:
+        top = luma(f"rn % 256" if ct[0] == 1 else f"(rn * {ct[0]}) % 256",
+                   f"(rn * {ct[1]}) % 256", f"(rn * {ct[2]}) % 256")
+        bot = luma(f"(rn * {cb[0]}) % 256", f"(rn * {cb[1]}) % 256",
+                   f"(rn * {cb[2]}) % 256")
+        return f"CASE WHEN (ty * ht) // 8 < ht // 2 THEN {top} ELSE {bot} END"
+
+    gif_idx = "(((tx * w) // 8) + ((ty * ht) // 8)) % 4"
+    gif_luma = luma(
+        f"(g * 37 + ({gif_idx}) * 59) % 256",
+        f"(g * 11 + ({gif_idx}) * 83) % 256",
+        f"(g * 53 + ({gif_idx}) * 29) % 256",
+    )
+    return f"""
+WITH m AS (
+  SELECT media_ref, hex(payload) AS h, octet_length(payload) AS n
+  FROM read_parquet('{mpath}')
+  WHERE lower(media_ref) LIKE '%.png' OR lower(media_ref) LIKE '%.bmp'
+     OR lower(media_ref) LIKE '%.gif'
+),
+png AS (
+  SELECT media_ref, {jx} AS rn, {be4(21)} AS ht,
+         coalesce(n >= 29 AND substr(h, 1, 16) = '89504E470D0A1A0A'
+                          AND substr(h, 25, 8) = '49484452'
+                          AND substr(h, 49, 2) = '08'
+                          AND substr(h, 51, 2) = '02'
+                          AND substr(h, 57, 2) = '00', FALSE) AS ok
+  FROM m WHERE lower(media_ref) LIKE '%.png'
+),
+bmp AS (
+  SELECT media_ref, {mx} AS rn, {le4(23)} AS ht,
+         coalesce(n >= 54 AND substr(h, 1, 4) = '424D'
+                          AND {le4(19)} > 0
+                          AND {le4(23)} > 0
+                          AND {le4(23)} < 2147483648
+                          AND {le2(29)} = 24
+                          AND {le4(31)} = 0, FALSE) AS ok
+  FROM m WHERE lower(media_ref) LIKE '%.bmp'
+),
+gif AS (
+  SELECT media_ref, {gx} AS g, {le2(7)} AS w, {le2(9)} AS ht,
+         coalesce(n >= 13 AND substr(h, 1, 12) = '474946383961', FALSE) AS ok
+  FROM m WHERE lower(media_ref) LIKE '%.gif'
+),
+grid AS (SELECT ty, tx FROM (SELECT unnest(range(8)) AS ty),
+                            (SELECT unnest(range(8)) AS tx)),
+cells AS (
+  SELECT media_ref, ty * 8 + tx AS p,
+         {two_tone_luma((1, 7, 13), (3, 5, 11))} AS L
+  FROM (SELECT media_ref, rn, ht FROM png WHERE ok), grid
+  UNION ALL
+  SELECT media_ref, ty * 8 + tx AS p,
+         {two_tone_luma((1, 19, 31), (7, 3, 41))} AS L
+  FROM (SELECT media_ref, rn, ht FROM bmp WHERE ok), grid
+  UNION ALL
+  SELECT media_ref, ty * 8 + tx AS p, {gif_luma} AS L
+  FROM (SELECT media_ref, g, w, ht FROM gif WHERE ok), grid
+),
+bits AS (
+  SELECT media_ref, p,
+         CASE WHEN 64 * L > SUM(L) OVER (PARTITION BY media_ref)
+              THEN 1 ELSE 0 END AS bit
+  FROM cells
+),
+hashes AS (
+  SELECT media_ref,
+         SUM(CASE WHEN p // 16 = 0 THEN bit << (15 - (p % 16)) ELSE 0 END)::INTEGER AS b0,
+         SUM(CASE WHEN p // 16 = 1 THEN bit << (15 - (p % 16)) ELSE 0 END)::INTEGER AS b1,
+         SUM(CASE WHEN p // 16 = 2 THEN bit << (15 - (p % 16)) ELSE 0 END)::INTEGER AS b2,
+         SUM(CASE WHEN p // 16 = 3 THEN bit << (15 - (p % 16)) ELSE 0 END)::INTEGER AS b3
+  FROM bits GROUP BY media_ref
+)"""
+
+
+def _phash_clusters_oracle(mpath: str) -> str:
+    """dd_phash: exact-hash perceptual clusters over the closed-form
+    hashes — same groupBy the engine runs, so a single wrong bit anywhere
+    moves an image across clusters and fails rows + hash."""
+    return (
+        _phash_hashes_cte(mpath)
+        + """
+SELECT b0, b1, b2, b3, count(*)::BIGINT AS n_imgs, min(media_ref) AS keeper
+FROM hashes GROUP BY b0, b1, b2, b3 HAVING count(*) > 1"""
+    )
+
+
+def _phash_pairs_oracle(mpath: str) -> str:
+    """dd_phash_pairs: banded near-dup candidates (any shared 16-bit
+    band, 64-member mega-bucket cap) verified by exact XOR bit_count,
+    hamming 1..16 — the identical blocking rule the engine runs, replayed
+    on DuckDB's own integer bit ops."""
+    return (
+        _phash_hashes_cte(mpath)
+        + """,
+bands AS (
+  SELECT media_ref, band, CASE band WHEN 0 THEN b0 WHEN 1 THEN b1
+                                    WHEN 2 THEN b2 ELSE b3 END AS key
+  FROM hashes, (SELECT unnest(range(4)) AS band)
+),
+kept AS (
+  SELECT media_ref, band, key FROM (
+    SELECT media_ref, band, key,
+           count(*) OVER (PARTITION BY band, key) AS nb
+    FROM bands) WHERE nb <= 64
+),
+cand AS (
+  SELECT DISTINCT a.media_ref AS ref_a, b.media_ref AS ref_b
+  FROM kept a JOIN kept b ON a.band = b.band AND a.key = b.key
+  WHERE a.media_ref < b.media_ref
+)
+SELECT ref_a, ref_b,
+       (bit_count(xor(ha.b0, hb.b0)) + bit_count(xor(ha.b1, hb.b1))
+      + bit_count(xor(ha.b2, hb.b2)) + bit_count(xor(ha.b3, hb.b3)))::BIGINT
+       AS hamming
+FROM cand
+JOIN hashes ha ON ha.media_ref = cand.ref_a
+JOIN hashes hb ON hb.media_ref = cand.ref_b
+WHERE bit_count(xor(ha.b0, hb.b0)) + bit_count(xor(ha.b1, hb.b1))
+    + bit_count(xor(ha.b2, hb.b2)) + bit_count(xor(ha.b3, hb.b3))
+      BETWEEN 1 AND 16"""
+    )
+
+
 def _media_audio_frames_oracle(mpath: str) -> str:
     """EXACT 256-sample frame features WITHOUT reading PCM: aud_*.wav
     frames are closed-form (constant amplitude × ragged frame length,
@@ -4598,6 +4793,8 @@ SELECT 8::INTEGER AS n_buckets, 2::INTEGER AS n_resumed, 6::INTEGER AS n_skipped
         "kg_thumb": _media_thumb_oracle(mpath),
         "kg_audio_frames": _media_audio_frames_oracle(mpath),
         "kg_frame_sample": _media_frame_sample_oracle(mpath),
+        "dd_phash": _phash_clusters_oracle(mpath),
+        "dd_phash_pairs": _phash_pairs_oracle(mpath),
         "kg_pack": kg_pack_sql,
         "kg_stream_edges": c + "SELECT subj, pred, obj FROM link_edges",
         "kg_resume": kg_resume_sql,

@@ -494,6 +494,91 @@ def simhash_near_dups(
     return pairs
 
 
+# ---------------------------------------------------------------- phash
+
+
+def phash_exact_clusters(hashes: DataFrame) -> DataFrame:
+    """Images that are PERCEPTUALLY identical — same 64-bit aHash — as
+    one row per hash with more than one member: (b0..b3, n_imgs, keeper).
+
+    Input is ``multimodal.image_ahash`` output.  A single groupBy on the
+    four 16-bit band columns: map-side combinable, output bounded by the
+    number of distinct hashes, so a million-way perceptual cluster (the
+    two-tone corpus images collapse to a handful of hashes by design)
+    costs one shuffled row, never a quadratic pair list."""
+    return (
+        hashes.filter(F.col("ok"))
+        .groupBy("b0", "b1", "b2", "b3")
+        .agg(
+            F.count("*").cast("long").alias("n_imgs"),
+            F.min("media_ref").alias("keeper"),
+        )
+        .filter(F.col("n_imgs") > 1)
+    )
+
+
+def phash_near_pairs(
+    hashes: DataFrame,
+    max_hamming: int = 8,
+    bucket_cap: int = 64,
+) -> DataFrame:
+    """(ref_a, ref_b, hamming) image pairs whose aHashes differ in 1 to
+    ``max_hamming`` of 64 bits — perceptual NEAR-duplicates (exact-equal
+    hashes are the bounded ``phash_exact_clusters`` path and are excluded
+    here, keeping this output pair-sparse).
+
+    Candidate blocking joins on any equal 16-bit band (pigeonhole: two
+    hashes within hamming 8 need not share a band in general, but near
+    dups overwhelmingly do; the bound sets the recall contract, exactly
+    like MinHash banding).  Bands whose member count exceeds
+    ``bucket_cap`` are dropped before the self-join — a band value shared
+    by thousands of images (the two-tone hash plateaus) carries no
+    discriminative signal and would otherwise explode quadratically at
+    catalog scale, the same mega-bucket cap the MinHash-LSH path uses."""
+    h = hashes.filter(F.col("ok")).select("media_ref", "b0", "b1", "b2", "b3")
+    bands = h.select(
+        "media_ref",
+        "b0",
+        "b1",
+        "b2",
+        "b3",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, 3), i -> struct(i AS band, "
+                "element_at(array(b0, b1, b2, b3), i + 1) AS key))"
+            )
+        ).alias("bk"),
+    ).select(
+        "media_ref", "b0", "b1", "b2", "b3",
+        F.col("bk.band").alias("band"), F.col("bk.key").alias("key"),
+    )
+    small = (
+        bands.groupBy("band", "key")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") <= bucket_cap)
+        .select("band", "key")
+    )
+    kept = bands.join(small, ["band", "key"])
+    a = kept.select(
+        "band", "key", F.col("media_ref").alias("ref_a"),
+        *[F.col(f"b{i}").alias(f"a{i}") for i in range(4)],
+    )
+    b = kept.select(
+        "band", "key", F.col("media_ref").alias("ref_b"),
+        *[F.col(f"b{i}").alias(f"x{i}") for i in range(4)],
+    )
+    ham = sum(
+        F.bit_count(F.expr(f"a{i} ^ x{i}")) for i in range(4)
+    ).cast("long")
+    return (
+        a.join(b, ["band", "key"])
+        .filter(F.col("ref_a") < F.col("ref_b"))
+        .select("ref_a", "ref_b", ham.alias("hamming"))
+        .distinct()
+        .filter((F.col("hamming") >= 1) & (F.col("hamming") <= max_hamming))
+    )
+
+
 # ---------------------------------------------------------------- clusters
 
 

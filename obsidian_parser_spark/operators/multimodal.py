@@ -685,6 +685,29 @@ def audio_sample_stats(
     return media.select("media_ref", payload_col).mapInPandas(run, SAMPLES_SCHEMA)
 
 
+def _full_raster(ext: str, b: bytes) -> "np.ndarray | None":
+    """Decode a png/bmp payload — or a gif's FIRST frame, full-canvas
+    only — to an (h, w, 3) uint8 raster via the native decoders.  Shared
+    by the resize and perceptual-hash stages; None on any corruption."""
+    if ext == "png":
+        return _png_raster(b)
+    if ext == "bmp":
+        return _bmp_raster(b)
+    if ext == "gif":
+        walked = _gif_frames_raw(b)
+        if walked is None or not walked[2]:
+            return None
+        width, height, frames = walked
+        fw, fh, pal = frames[0][0], frames[0][1], frames[0][2]
+        if (fw, fh) != (width, height):
+            return None  # partial first frame: outside the subset
+        a = _gif_frame_indices(frames[0])
+        if a is None:
+            return None
+        return pal[a]
+    return None
+
+
 def thumbnail_row_stats(
     media: DataFrame,
     th: int = 8,
@@ -708,24 +731,6 @@ def thumbnail_row_stats(
     (ty=-1, -1 sums, ok=false) row unless ``strict=True`` (declared
     codec stub for formats needing external libraries)."""
 
-    def _raster(ext: str, b: bytes) -> "np.ndarray | None":
-        if ext == "png":
-            return _png_raster(b)
-        if ext == "bmp":
-            return _bmp_raster(b)
-        if ext == "gif":
-            walked = _gif_frames_raw(b)
-            if walked is None or not walked[2]:
-                return None
-            width, height, frames = walked
-            fw, fh, pal = frames[0][0], frames[0][1], frames[0][2]
-            if (fw, fh) != (width, height):
-                return None  # partial first frame: outside the subset
-            a = _gif_frame_indices(frames[0])
-            if a is None:
-                return None
-            return pal[a]
-
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         bad = (None, None, None, None, False)
         for pdf in batches:
@@ -741,7 +746,9 @@ def thumbnail_row_stats(
                         )
                     rows.append((ref, *bad))
                     continue
-                px = _raster(ext, bytes(payload) if payload is not None else b"")
+                px = _full_raster(
+                    ext, bytes(payload) if payload is not None else b""
+                )
                 if px is None:
                     rows.append((ref, *bad))
                     continue
@@ -761,6 +768,72 @@ def thumbnail_row_stats(
             )
 
     return media.select("media_ref", payload_col).mapInPandas(run, THUMB_SCHEMA)
+
+
+AHASH_SCHEMA = (
+    "media_ref string, b0 int, b1 int, b2 int, b3 int, ok boolean"
+)
+
+
+def image_ahash(
+    media: DataFrame,
+    payload_col: str = "payload",
+    strict: bool = False,
+) -> DataFrame:
+    """Perceptual AVERAGE HASH (aHash) of every decodable image — the
+    classic image near-dup fingerprint (8×8 NN thumbnail → integer ITU-R
+    BT.601 luma → mean threshold → 64 bits), computed over the REAL
+    decoded rasters as a narrow Arrow mapInPandas pass.
+
+    Exact integer pipeline, so an independent engine can recompute every
+    bit closed-form: luma(ty, tx) = (299·r + 587·g + 114·b) div 1000 of
+    the NN-sampled pixel; bit = 1 iff 64·luma > Σ luma (strict, so an
+    all-equal raster hashes to 0).  The 64 bits are emitted as FOUR
+    16-bit band integers b0..b3 (b_i covers thumb rows 2i and 2i+1,
+    MSB-first in row-major order) — the band decomposition is exactly
+    what a banded LSH self-join needs downstream, and 16-bit values stay
+    positive in every SQL engine so XOR/bit_count arithmetic is portable.
+    Corrupt / unsupported payloads → (ok=false, -1 bands) sentinels
+    unless ``strict=True``."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        bad = (-1, -1, -1, -1, False)
+        weights = np.array([299, 587, 114], dtype=np.int64)
+        for pdf in batches:
+            rows = []
+            for ref, payload in zip(pdf["media_ref"], pdf[payload_col]):
+                ext = ref.rsplit(".", 1)[-1].lower() if "." in ref else ""
+                if ext not in ("png", "bmp", "gif"):
+                    if strict:
+                        raise NotImplementedError(
+                            f"raster decode for '.{ext}' requires a codec "
+                            "library (not in this image); png/bmp/gif "
+                            "decode natively"
+                        )
+                    rows.append((ref, *bad))
+                    continue
+                px = _full_raster(
+                    ext, bytes(payload) if payload is not None else b""
+                )
+                if px is None:
+                    rows.append((ref, *bad))
+                    continue
+                h, w = px.shape[0], px.shape[1]
+                ys = (np.arange(8, dtype=np.int64) * h) // 8
+                xs = (np.arange(8, dtype=np.int64) * w) // 8
+                thumb = px[np.ix_(ys, xs)].astype(np.int64)
+                luma = (thumb @ weights) // 1000  # (8, 8)
+                bits = (64 * luma > luma.sum()).astype(np.int64).ravel()
+                shifts = 15 - (np.arange(64) % 16)
+                vals = bits << shifts
+                bands = [int(vals[16 * i : 16 * (i + 1)].sum())
+                         for i in range(4)]
+                rows.append((ref, *bands, True))
+            yield pd.DataFrame(
+                rows, columns=["media_ref", "b0", "b1", "b2", "b3", "ok"]
+            )
+
+    return media.select("media_ref", payload_col).mapInPandas(run, AHASH_SCHEMA)
 
 
 def audio_frame_features(
