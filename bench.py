@@ -37,12 +37,43 @@ def _spin_calib() -> float:
     return round(best, 3)
 
 
+def _spin_worker(_arg) -> float:
+    t0 = time.perf_counter()
+    n = 0
+    for i in range(30_000_000):
+        n += i * i
+    return time.perf_counter() - t0
+
+
+def _spin_calib_par(procs: int = 8) -> float:
+    """PARALLEL host-speed probe: ``procs`` forked processes spin the same
+    loop concurrently; reported value is the SLOWEST of them.  This
+    sandbox has a degradation mode the single-thread probe cannot see —
+    single-thread spins stay ~1.3-1.4 s while 32-thread JVM stages run
+    3-4× their quiet-window times for minutes at a stretch (observed
+    r5: dd_minhash_vault 23 s vs 5 s minutes apart with calib_spin_sec
+    flat).  A parallel probe inside the same window IS elevated, so the
+    pair (calib_spin_sec, calib_par_sec) separates 'code got slower'
+    from 'the host's multi-core throughput was degraded'.  Quiet-window
+    value ≈ the single-thread number (~1.3 s); degraded windows read
+    2-4× that."""
+    import multiprocessing as mp
+
+    try:
+        with mp.get_context("fork").Pool(procs) as pool:
+            times = pool.map(_spin_worker, range(procs))
+        return round(max(times), 3)
+    except Exception:
+        return float("nan")  # probe must never break the bench
+
+
 def main() -> None:
     # host-speed probe BEFORE any Spark work; a second probe runs after the
     # last stage — a start/end pair that diverges flags a window where the
     # host degraded MID-RUN (observed: start calib ~1.9 s while stages ran
     # 2-3x their quiet-window times, then the end probe confirmed ~3.5 s)
     calib_start = _spin_calib()
+    calib_par_start = _spin_calib_par()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     only = set(
@@ -467,6 +498,7 @@ def main() -> None:
     )
     build_t = timings.get("kg_tokenize", 0.0) + timings.get("kg_build_edges", 0.0)
     calib = _spin_calib()
+    calib_par = _spin_calib_par()
     result = {
         "metric": "kg_pipeline_total",
         "value": total,
@@ -481,6 +513,8 @@ def main() -> None:
         "cpus": cpus,
         "calib_spin_sec": calib,
         "calib_spin_start_sec": calib_start,
+        "calib_par_sec": calib_par,
+        "calib_par_start_sec": calib_par_start,
         "total_pre_r04_stages": total_legacy,
         "comparable_to_prev_round_sec": comparable,
         "comparable_prev_round": prev_round,

@@ -947,6 +947,17 @@ def incremental_jaccard_pairs(
         key = _index_cache_key(base, n, id_col, text_col)
         with _INDEX_CACHE_LOCK:
             shb = _CACHED_INDEXES.get(key)
+            if shb is not None and not (
+                shb.storageLevel.useMemory or shb.storageLevel.useDisk
+            ):
+                # an external spark.catalog.clearCache() (the bench does
+                # this between passes) unpersists the frame but leaves the
+                # dict entry: a stale hit would silently recompute the
+                # index at EVERY consumption (it is read twice per action
+                # below) — strictly worse than no cache.  Re-validate and
+                # rebuild.
+                del _CACHED_INDEXES[key]
+                shb = None
             if shb is None:
                 while len(_CACHED_INDEXES) >= _INDEX_CACHE_CAP:
                     _CACHED_INDEXES.pop(next(iter(_CACHED_INDEXES))).unpersist()

@@ -222,6 +222,42 @@ def test_incremental_pairs_batch_vs_base_only(spark):
     assert got == [(100, 1, 1.0), (100, 2, 1.0)]
 
 
+def test_incremental_index_cache_revalidates_after_clearcache(spark):
+    """An external spark.catalog.clearCache() (the bench does this between
+    passes) unpersists the cached base index but leaves the dict entry —
+    the next call must detect the stale hit and re-persist, never return
+    an unpersisted frame (which would recompute the index at every one of
+    its two consumptions per action)."""
+    from obsidian_parser_spark.operators import dedup as DD
+
+    t = "one two three four five six"
+    base = spark.createDataFrame(
+        [(1, t), (2, "unrelated words entirely here")],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame([(100, t)], "doc_id long, text string")
+
+    DD.incremental_jaccard_pairs(base, batch, persist_index=True).collect()
+    with DD._INDEX_CACHE_LOCK:
+        cached = [
+            v for k, v in DD._CACHED_INDEXES.items() if k[1:] == (3, "doc_id", "text")
+        ]
+    assert cached and all(
+        v.storageLevel.useMemory or v.storageLevel.useDisk for v in cached
+    )
+
+    spark.catalog.clearCache()  # unpersists everything, dict entry goes stale
+
+    DD.incremental_jaccard_pairs(base, batch, persist_index=True).collect()
+    with DD._INDEX_CACHE_LOCK:
+        cached = [
+            v for k, v in DD._CACHED_INDEXES.items() if k[1:] == (3, "doc_id", "text")
+        ]
+    assert cached and all(
+        v.storageLevel.useMemory or v.storageLevel.useDisk for v in cached
+    ), "stale cache entry survived clearCache without re-persist"
+
+
 # --- randomized parity (seeded, like test_components' random graphs) ---------
 
 
