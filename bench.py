@@ -67,6 +67,31 @@ def _spin_calib_par(procs: int = 8) -> float:
         return float("nan")  # probe must never break the bench
 
 
+def _membw_calib() -> float:
+    """Memory-BANDWIDTH probe (GB/s, single stream over a 100 MB array).
+    The r5 forensics found a host mode NEITHER spin probe flags: all 32
+    vCPUs run 96% user with zero steal/GC/pressure, arithmetic spins stay
+    flat, yet allocation/string-heavy JVM stages (the NGram shingle
+    stages) run 3-4× their quiet-window times for minutes — i.e. the
+    hypervisor's memory subsystem is contended, not its cpus.  A streaming
+    sum is bound by exactly that resource, so a low reading here marks the
+    window.  Quiet ≈ 60-80 GB/s on this host (measured); a concurrent
+    probe during a contended window read 13-40 (median ~22)."""
+    try:
+        import numpy as np
+    except Exception:
+        return float("nan")
+    a = np.zeros(100_000_000 // 8, dtype=np.int64)
+    best = 0.0
+    for _ in range(2):
+        t0 = time.perf_counter()
+        s = 0
+        for _r in range(5):
+            s += a.sum()
+        best = max(best, 5 * a.nbytes / (time.perf_counter() - t0) / 1e9)
+    return round(best, 1)
+
+
 def main() -> None:
     # host-speed probe BEFORE any Spark work; a second probe runs after the
     # last stage — a start/end pair that diverges flags a window where the
@@ -74,6 +99,7 @@ def main() -> None:
     # 2-3x their quiet-window times, then the end probe confirmed ~3.5 s)
     calib_start = _spin_calib()
     calib_par_start = _spin_calib_par()
+    calib_membw_start = _membw_calib()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     only = set(
@@ -107,6 +133,7 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     timings: dict[str, float] = {}
+    samples: dict[str, list] = {}
     extras: dict[str, float] = {}
     n_passes = max(1, int(os.environ.get("BENCH_REPEAT", "3")))
 
@@ -127,6 +154,7 @@ def main() -> None:
             t0 = time.perf_counter()
             out = fn()
             dt = time.perf_counter() - t0
+            samples.setdefault(name, []).append(round(dt, 3))
             best = dt if best is None else min(best, dt)
         timings[name] = round(best, 3)
         return out
@@ -499,6 +527,16 @@ def main() -> None:
     build_t = timings.get("kg_tokenize", 0.0) + timings.get("kg_build_edges", 0.0)
     calib = _spin_calib()
     calib_par = _spin_calib_par()
+    calib_membw = _membw_calib()
+    # cross-sample spread per stage (max/min over all passes+repeats): a
+    # stage with spread ≥2 saw a contended window mid-run — its min is
+    # the honest number, and the spread documents why a single-shot
+    # comparison against this artifact could mislead.
+    spread = {
+        k: round(max(v) / max(min(v), 1e-9), 2)
+        for k, v in samples.items()
+        if len(v) > 1
+    }
     result = {
         "metric": "kg_pipeline_total",
         "value": total,
@@ -515,6 +553,9 @@ def main() -> None:
         "calib_spin_start_sec": calib_start,
         "calib_par_sec": calib_par,
         "calib_par_start_sec": calib_par_start,
+        "calib_membw_gbps": calib_membw,
+        "calib_membw_gbps_start": calib_membw_start,
+        "stage_spread": spread,
         "total_pre_r04_stages": total_legacy,
         "comparable_to_prev_round_sec": comparable,
         "comparable_prev_round": prev_round,
