@@ -230,6 +230,13 @@ def test_incremental_index_cache_revalidates_after_clearcache(spark):
     its two consumptions per action)."""
     from obsidian_parser_spark.operators import dedup as DD
 
+    # hermetic: earlier tests in the shared session may have left entries
+    # (possibly already unpersisted by their own teardown) whose params
+    # match the filter below — drop them so assertions see only this
+    # test's entry.  clear() without unpersist is lineage-safe.
+    with DD._INDEX_CACHE_LOCK:
+        DD._CACHED_INDEXES.clear()
+
     t = "one two three four five six"
     base = spark.createDataFrame(
         [(1, t), (2, "unrelated words entirely here")],
