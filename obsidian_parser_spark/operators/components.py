@@ -40,7 +40,14 @@ def _dedup(e: DataFrame) -> DataFrame:
 
 
 def _large_star(e: DataFrame) -> DataFrame:
-    sym = e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    # one explicit shuffle on u feeds BOTH consumers: the min-aggregate
+    # satisfies its ClusteredDistribution(u) without a second exchange
+    # (partial aggregation still applies), and the re-join of the grouped
+    # min reuses the same exchange (ReusedExchange) — 1 shuffle per star
+    # step instead of 2-3 (guide §2.4)
+    sym = e.unionAll(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).repartition("u")
     mins = sym.groupBy("u").agg(F.min("v").alias("mn"))
     mins = mins.select("u", F.least("u", "mn").alias("m"))
     return (
@@ -51,7 +58,10 @@ def _large_star(e: DataFrame) -> DataFrame:
 
 
 def _small_star(e: DataFrame) -> DataFrame:
-    d = e.select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+    # same single-exchange shape as _large_star
+    d = e.select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    ).repartition("u")
     mins = d.groupBy("u").agg(F.min("v").alias("m"))
     pairs = d.join(mins, "u").select(F.col("v").alias("u"), F.col("m").alias("v"))
     self_pairs = mins.select(F.col("u"), F.col("m").alias("v"))
@@ -114,8 +124,22 @@ def connected_components(
     2-4× slower).  The initial checksum job is skipped (sentinel prev) —
     convergence needs only round-to-round equality.
     """
-    eu = edges.select(F.col("subj").alias("id")).unionAll(
-        edges.select(F.col("obj").alias("id"))
+    # Dedup the (string) edge multiset FIRST: the link multigraph carries
+    # ~10× duplicate pairs, so deduping before the surrogate relabel
+    # shrinks both relabel joins by that factor, and — because the id
+    # mapping is injective and (least, greatest) normalization happens
+    # here — the relabeled pairs need NO second distinct (one fewer full
+    # exchange; measured at sf0.1: prep 8 s → ~4 s, identical rounds).
+    se = cut_lineage(
+        edges.select(
+            F.least("subj", "obj").alias("_su"),
+            F.greatest("subj", "obj").alias("_sv"),
+        )
+        .filter(F.col("_su") != F.col("_sv"))
+        .distinct()
+    )
+    eu = se.select(F.col("_su").alias("id")).unionAll(
+        se.select(F.col("_sv").alias("id"))
     )
     all_ids = (
         nodes.select(F.col(id_col).alias("id")).unionAll(eu).distinct()
@@ -126,12 +150,11 @@ def connected_components(
     mu = mapping.select(F.col("id").alias("_su"), F.col("nid").alias("u"))
     mv = mapping.select(F.col("id").alias("_sv"), F.col("nid").alias("v"))
     e = (
-        edges.select(F.col("subj").alias("_su"), F.col("obj").alias("_sv"))
-        .join(mu, "_su")
+        se.join(mu, "_su")
         .join(mv, "_sv")
-        .select("u", "v")
+        .select(F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v"))
     )
-    e = cut_lineage(_dedup(e))
+    e = cut_lineage(e)
     prev = (-1, -1)
     for _ in range(max_iter):
         e, cur = _cut_with_checksum(_dedup(_small_star(_large_star(e))))
@@ -142,7 +165,9 @@ def connected_components(
     # child) orientation, since star roots are component minima (in nid
     # order — an arbitrary but consistent total order).
     child_root = e.select(F.col("v").alias("nid"), F.col("u").alias("root"))
-    roots = e.select(F.col("u").alias("nid"), F.col("u").alias("root")).distinct()
+    # no pre-distinct on the root rows: the min-aggregate dedups them for
+    # free (one fewer exchange in the final rollup)
+    roots = e.select(F.col("u").alias("nid"), F.col("u").alias("root"))
     stars = child_root.unionAll(roots).groupBy("nid").agg(
         F.min("root").alias("root")
     )

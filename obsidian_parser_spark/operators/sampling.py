@@ -136,6 +136,13 @@ def domain_mixture(
         key.alias("_key"),
         F.conv(F.substring(key, 1, 2), 16, 10).cast("int").alias("_bkt"),
     )
+    # three consumers read this narrow frame (budget scalars, the in-bucket
+    # window, the offsets rollup): materialize it once so an expensive
+    # upstream ``tokens_col`` projection (typically a full-text tokenize)
+    # runs one pass instead of three (measured at sf0.1: 3.0 s → ~1.5 s)
+    from ..checkpointing import cut_lineage
+
+    d = cut_lineage(d)
 
     scalars = d.agg(
         F.sum("n_tokens").cast("long").alias("_total"),

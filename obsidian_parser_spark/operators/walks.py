@@ -16,13 +16,14 @@ The reference has no walk generator (its analyzer stops at degree stats,
 examples/analyzer.rs:60-96); this is the standard next step for turning a
 KG into embedding training data.
 
-Scale shape: each step is ONE key-partitioned equi-join (current frontier
-× edges on the current node) plus one map-side-combined min-aggregate per
-start — no window over the full edge list, no driver loop over rows.  The
-frontier never exceeds one row per start node, so step cost is bounded by
-|starts| joined against the edge partition of their current nodes; a hub
-with 10^6 out-edges costs one partial-min over its adjacency, not a sort.
-Walks ending at a sink (no out-edges) simply stop producing rows.
+Scale shape: the step-t argmin is a function of (t, u) alone, so all
+n_steps next-hop choices are precomputed by ONE map-side-combined
+aggregation over the edge list (a hub with 10^6 out-edges costs one
+partial-min over its adjacency, not a sort); each step is then a
+frontier-sized equi-join against that one-row-per-node table — no window
+over the full edge list, no driver loop over rows.  The frontier never
+exceeds one row per start node.  Walks ending at a sink (no out-edges)
+simply stop producing rows.
 """
 
 from __future__ import annotations
@@ -45,26 +46,36 @@ def deterministic_walks(
     stays put for that step).  Only nodes with at least one out-edge
     start a walk — a walk of length 0 says nothing.
     """
-    e = cut_lineage(
-        edges.select(
-            F.col("subj").alias("u"), F.col("obj").alias("v")
-        ).distinct()
-    )
-    starts = e.select(F.col("u").alias("start")).distinct()
+    e = edges.select(F.col("subj").alias("u"), F.col("obj").alias("v")).distinct()
+    # The step-t argmin depends only on (t, u, v) — never on the walk's
+    # start — so the next hop from u at step t is the SAME for every walk
+    # currently at u.  Precompute all n_steps next-hop columns in ONE
+    # map-side-combined pass over the edge list (the distinct and the
+    # groupBy share the (u, v)-keyed exchange); each step then becomes a
+    # frontier-sized equi-join against this one-row-per-node table instead
+    # of an edge-fanout join + corpus-sized re-aggregation per step
+    # (measured at sf0.1 / local[32]: 7.7 s → ~1 s for 3 steps).
+    aggs = [
+        F.min(
+            F.struct(
+                F.md5(
+                    F.concat(
+                        F.lit(f"{salt}:{t}:"), F.col("u"), F.lit(">"), F.col("v")
+                    )
+                ).alias("h"),
+                F.col("v"),
+            )
+        )[("v")].alias(f"_n{t}")
+        for t in range(1, n_steps + 1)
+    ]
+    nxt = cut_lineage(e.groupBy("u").agg(*aggs))
+    starts = nxt.select(F.col("u").alias("start"))
     cur = starts.select("start", F.col("start").alias("node"))
     out = [cur.select("start", F.lit(0).alias("step"), "node")]
     for t in range(1, n_steps + 1):
-        h = F.md5(
-            F.concat(
-                F.lit(f"{salt}:{t}:"), F.col("u"), F.lit(">"), F.col("v")
-            )
-        )
         stepped = (
-            cur.join(e, cur["node"] == e["u"])
-            .select("start", h.alias("h"), F.col("v"))
-            .groupBy("start")
-            .agg(F.min(F.struct("h", "v")).alias("_m"))
-            .select("start", F.col("_m.v").alias("node"))
+            cur.join(nxt, cur["node"] == nxt["u"])
+            .select("start", F.col(f"_n{t}").alias("node"))
         )
         # each round's frontier is ≤ one row per start; cutting lineage
         # keeps the per-step plan flat instead of n_steps joins deep
