@@ -72,8 +72,10 @@ def knowledge_hub(edges: DataFrame) -> DataFrame:
 def orphans(nodes: DataFrame, edges: DataFrame) -> DataFrame:
     """A10: notes with no link edges at all (degree 0)."""
     le = link_edges(edges)
-    endpoints = le.select(F.col("subj").alias("id")).unionAll(
-        le.select(F.col("obj").alias("id"))
+    # explode both endpoints in one pass instead of a 2-branch self-union
+    # (one scan of the edge frame, not two; identical id multiset)
+    endpoints = le.select(
+        F.explode(F.array(F.col("subj"), F.col("obj"))).alias("id")
     ).distinct()
     return nodes.join(endpoints, nodes["doc_id"] == endpoints["id"], "left_anti").select(
         "doc_id", "note_name"

@@ -79,10 +79,13 @@ def _triangle_counts_from_und(und: DataFrame) -> DataFrame:
     ``clustering_coefficients`` so the latter pays the edge distinct
     shuffle once, not twice."""
     tris = _enumerate_triangles(und)
-    corners = (
-        tris.select(F.col("a").alias("id"))
-        .unionAll(tris.select(F.col("x").alias("id")))
-        .unionAll(tris.select(F.col("y").alias("id")))
+    # one explode instead of a 3-way self-union: the union form evaluated
+    # the whole wedge-join + closing-join pipeline once PER BRANCH (the
+    # most expensive subtree in the plan, ×3); exploding the corner array
+    # emits the identical (id) multiset from a single evaluation
+    # (measured at sf0.1 / local[32]: 8.3 s → ~3.5 s, same rows)
+    corners = tris.select(
+        F.explode(F.array(F.col("a"), F.col("x"), F.col("y"))).alias("id")
     )
     return corners.groupBy("id").agg(F.count(F.lit(1)).alias("n_triangles"))
 
@@ -141,15 +144,24 @@ def edge_triangle_support(edges: DataFrame) -> DataFrame:
     the left join, not a second scan."""
     und = cut_lineage(_undirected(edges))
     tris = _enumerate_triangles(und)
-    pairs = (
-        tris.select(F.least("a", "x").alias("u"), F.greatest("a", "x").alias("v"))
-        .unionAll(
-            tris.select(F.least("a", "y").alias("u"), F.greatest("a", "y").alias("v"))
-        )
-        .unionAll(
-            tris.select(F.least("x", "y").alias("u"), F.greatest("x", "y").alias("v"))
-        )
-    )
+    # explode instead of a 3-way self-union — the union form evaluated the
+    # triangle-enumeration joins once per branch (same fix as
+    # _triangle_counts_from_und; identical row multiset)
+    pairs = tris.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.least("a", "x").alias("u"), F.greatest("a", "x").alias("v")
+                ),
+                F.struct(
+                    F.least("a", "y").alias("u"), F.greatest("a", "y").alias("v")
+                ),
+                F.struct(
+                    F.least("x", "y").alias("u"), F.greatest("x", "y").alias("v")
+                ),
+            )
+        ).alias("p")
+    ).select("p.u", "p.v")
     sup = pairs.groupBy("u", "v").agg(F.count(F.lit(1)).alias("support"))
     return und.join(sup, ["u", "v"], "left").select(
         "u", "v", F.coalesce("support", F.lit(0).cast("long")).alias("support")

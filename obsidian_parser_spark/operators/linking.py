@@ -116,17 +116,49 @@ def resolve_mentions(
         (routed["raw_target"] == d["alias"]) & (routed["route"] == d["kind"]),
         "left",
     )
+
+    if use_aliases and broadcast:
+        # Two CHAINED broadcast left joins + coalesce instead of
+        # join-filter-union: the old shape fed both the hit branch and the
+        # miss branch from the same join subtree, so materializing the
+        # edges evaluated the full mention explode + dictionary probe
+        # TWICE.  Probing the alias fallback for already-resolved rows is
+        # a per-row hash lookup against an (unique-keyed, first-wins)
+        # dict — coalesce keeps the level-1 winner, so the two-level
+        # resolution rule is unchanged and the mention stream is scanned
+        # once.  Only taken on the broadcast path: with shuffle joins the
+        # chain would shuffle the FULL stream twice where the old shape
+        # shuffles full + (small) misses, so the two-phase form stays the
+        # at-scale plan.
+        ad = alias_dict.filter(F.col("kind") == KIND_ALIAS).select(
+            F.col("alias").alias("_al2"), F.col("canonical").alias("_can2")
+        )
+        j2 = joined.join(
+            F.broadcast(ad), joined["raw_target"] == ad["_al2"], "left"
+        )
+        chained = j2.select(
+            "subj",
+            "mention_ord",
+            "pred",
+            "raw_target",
+            F.coalesce(F.col("canonical"), F.col("_can2")).alias("_obj"),
+        )
+        resolved = chained.filter(F.col("_obj").isNotNull()).select(
+            "subj", "mention_ord", "pred", F.col("_obj").alias("obj")
+        )
+        dangling = chained.filter(F.col("_obj").isNull()).select(
+            "subj", "mention_ord", "pred", "raw_target"
+        )
+        return resolved, dangling
+
     resolved = joined.filter(F.col("canonical").isNotNull()).select(
         "subj", "mention_ord", "pred", F.col("canonical").alias("obj")
     )
     missed = joined.filter(F.col("canonical").isNull()).select(
         "subj", "mention_ord", "pred", "raw_target"
     )
-
     if use_aliases:
         ad = alias_dict.filter(F.col("kind") == KIND_ALIAS)
-        if broadcast:
-            ad = F.broadcast(ad)
         j2 = missed.join(ad, missed["raw_target"] == ad["alias"], "left")
         resolved = resolved.unionByName(
             j2.filter(F.col("canonical").isNotNull()).select(
@@ -269,20 +301,25 @@ def qualified_link_edges(
         (routed["raw_target"] == d["alias"]) & (routed["route"] == d["kind"]),
         "left",
     )
-    hit1 = j1.filter(F.col("canonical").isNotNull()).select(
-        "subj", "pred", F.col("canonical").alias("obj"), "qual_kind", "qualifier"
+    # chained left joins + coalesce (same one-pass restructure as
+    # resolve_mentions): the old hit1 ∪ hit2-over-missed shape evaluated
+    # the span explode + level-1 probe twice per action
+    ad = alias_dict.filter(F.col("kind") == KIND_ALIAS).select(
+        F.col("alias").alias("_al2"), F.col("canonical").alias("_can2")
     )
-    missed = j1.filter(F.col("canonical").isNull()).select(
-        "subj", "pred", "raw_target", "qual_kind", "qualifier"
-    )
-    ad = alias_dict.filter(F.col("kind") == KIND_ALIAS)
     if broadcast:
         ad = F.broadcast(ad)
-    j2 = missed.join(ad, missed["raw_target"] == ad["alias"], "left")
-    hit2 = j2.filter(F.col("canonical").isNotNull()).select(
-        "subj", "pred", F.col("canonical").alias("obj"), "qual_kind", "qualifier"
+    j2 = j1.join(ad, j1["raw_target"] == ad["_al2"], "left")
+    return (
+        j2.select(
+            "subj",
+            "pred",
+            F.coalesce(F.col("canonical"), F.col("_can2")).alias("obj"),
+            "qual_kind",
+            "qualifier",
+        )
+        .filter(F.col("obj").isNotNull())
     )
-    return hit1.unionByName(hit2)
 
 
 # Driver-side byte budget for the broadcast name dict (~1M typical names);

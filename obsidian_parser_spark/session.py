@@ -38,6 +38,14 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # let the planner pick shuffled-hash join when its size conditions
+        # hold (build side per partition bounded by the same threshold AQE
+        # uses) — skips the double sort of sort-merge; interleaved A/B at
+        # sf0.1: kg_triangles 9.6→8.4 s, kg_components 13.3→13.1 s, no
+        # stage slower.  Sort-merge still chosen when the build side could
+        # not fit (the planner's canBuildLocalHashMap guard), so the
+        # spill-safety posture at cluster scale is unchanged.
+        .config("spark.sql.join.preferSortMergeJoin", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
         .config("spark.sql.session.timeZone", "UTC")
@@ -45,6 +53,14 @@ def get_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.ui.enabled", "false")
     )
+    # env override hook for deploy-time tuning and A/B measurement:
+    # SPARK_GRAFT_EXTRA_CONF="key=value;key=value" (applied after the
+    # defaults, before the caller's extra_conf)
+    env_conf = os.environ.get("SPARK_GRAFT_EXTRA_CONF", "")
+    for pair in env_conf.split(";"):
+        if "=" in pair:
+            k, v = pair.split("=", 1)
+            b = b.config(k.strip(), v.strip())
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     return b.getOrCreate()
