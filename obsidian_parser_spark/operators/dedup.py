@@ -101,14 +101,24 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
 ) -> DataFrame:
     """(a, b, jaccard) for distinct-shingle Jaccard ≥ threshold, a < b."""
-    sh = distinct_shingles(documents, n=n, id_col=id_col, text_col=text_col)
+    # four consumers (sizes, df-cap, both self-join sides) — materialize
+    # the shingle stream once instead of re-generating it per consumer
+    sh = cut_lineage(
+        distinct_shingles(documents, n=n, id_col=id_col, text_col=text_col)
+    )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     # stop-shingle cap: bound the per-shingle fanout (skew guard)
     df_cap = sh.groupBy("shingle").agg(F.count("*").alias("df")).filter(
         F.col("df") <= max_shingle_df
     )
-    sh = sh.join(df_cap.select("shingle"), "shingle")
-    a = sh.select(F.col("doc_id").alias("a"), "shingle")
+    # cap ONE side only: the inner self-join on shingle already restricts
+    # pairs to shingles that survive on the capped side, so capping both
+    # sides computed the identical pair set for an extra full exchange +
+    # semi-join of the shingle stream (an uncapped b-side row for a
+    # dropped mega-shingle matches nothing)
+    a = sh.join(df_cap.select("shingle"), "shingle").select(
+        F.col("doc_id").alias("a"), "shingle"
+    )
     b = sh.select(F.col("doc_id").alias("b"), "shingle")
     inter = (
         a.join(b, "shingle")
@@ -274,7 +284,12 @@ def lsh_verified_pairs(
         max_bucket_size=max_bucket_size,
         hash_fn=hash_fn,
     )
-    sh = distinct_shingles(documents, n=n, id_col=id_col, text_col=text_col)
+    # four consumers read the shingle table (both join sides + the two
+    # size attaches) — materialize it once instead of re-running the
+    # CPU-heavy shingle generation per consumer
+    sh = cut_lineage(
+        distinct_shingles(documents, n=n, id_col=id_col, text_col=text_col)
+    )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     sa = sh.select(F.col("doc_id").alias("a"), "shingle")
     sb = sh.select(F.col("doc_id").alias("b"), "shingle")
@@ -344,6 +359,10 @@ def embedding_cosine_pairs(
     ).select(
         "vid", "q", "n2", F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket")
     )
+    # both self-join sides read this frame; materialize it once so the
+    # n_planes×dim bucket dot products and the quantize projection are not
+    # evaluated twice
+    tabled = cut_lineage(tabled)
     a = tabled.select(
         F.col("vid").alias("a"), F.col("q").alias("qa"), F.col("n2").alias("na2"), "tbl", "bucket"
     )
@@ -480,6 +499,9 @@ def simhash_near_dups(
             )
         ).alias("bk"),
     ).select("doc_id", "simhash", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    # both self-join sides read the banded signatures; materialize once so
+    # the token explode + 64 weighted-bit sums run a single pass
+    bands = cut_lineage(bands)
     a = bands.select(F.col("doc_id").alias("a"), F.col("simhash").alias("ha"), "band", "key")
     b = bands.select(F.col("doc_id").alias("b"), F.col("simhash").alias("hb"), "band", "key")
     pairs = (
@@ -552,6 +574,10 @@ def phash_near_pairs(
         "media_ref", "b0", "b1", "b2", "b3",
         F.col("bk.band").alias("band"), F.col("bk.key").alias("key"),
     )
+    # three consumers (cap rollup + both self-join sides) and the input is
+    # the DECODE-backed hash table — materialize the banded frame once so
+    # the image pipeline is never re-evaluated per branch
+    bands = cut_lineage(bands)
     small = (
         bands.groupBy("band", "key")
         .agg(F.count("*").alias("n"))
@@ -563,7 +589,10 @@ def phash_near_pairs(
         "band", "key", F.col("media_ref").alias("ref_a"),
         *[F.col(f"b{i}").alias(f"a{i}") for i in range(4)],
     )
-    b = kept.select(
+    # the b side needs no cap semi-join: the inner join on (band, key)
+    # already restricts pairs to buckets surviving on the capped a side
+    # (same one-side-cap argument as ngram_jaccard_pairs)
+    b = bands.select(
         "band", "key", F.col("media_ref").alias("ref_b"),
         *[F.col(f"b{i}").alias(f"x{i}") for i in range(4)],
     )
@@ -599,6 +628,10 @@ def dedup_clusters(pairs: DataFrame) -> DataFrame:
     a driver-side union-find."""
     from .components import connected_components
 
+    # the pair frame usually comes from an expensive detector (banded LSH,
+    # verified Jaccard) and is read ~4× below (member union ×2 + the CC
+    # edge and node scans) — materialize it once
+    pairs = cut_lineage(pairs)
     members = pairs.select(F.col("a").alias("doc_id")).unionAll(
         pairs.select(F.col("b").alias("doc_id"))
     ).distinct()
@@ -745,6 +778,9 @@ def semdedup_prune(
         .select("vid", F.col("_m.cid").alias("cid"), "q")
         .withColumn("n2", F.expr(norm2))
     )
+    # four consumers (size rollup, final join, both pairing sides) of the
+    # broadcast-scored argmin assignment — materialize it once
+    cells = cut_lineage(cells)
     sizes = cells.groupBy("cid").agg(F.count(F.lit(1)).alias("_n"))
     flagged = cells.join(F.broadcast(sizes), "cid").withColumn(
         "oversized", F.col("_n") > max_cluster_size
@@ -814,13 +850,16 @@ def winnow_pairs(
     """
     from .textstats import winnow_fingerprints
 
-    fp = winnow_fingerprints(documents, k=k, w=w, id_col=id_col, text_col=text_col)
+    # materialize-once + one-side cap (same rationale as
+    # ngram_jaccard_pairs; the winnowing window scan is the CPU-heavy step)
+    fp = cut_lineage(
+        winnow_fingerprints(documents, k=k, w=w, id_col=id_col, text_col=text_col)
+    )
     sizes = fp.groupBy("doc_id").agg(F.count("*").alias("sz"))
     keep = fp.groupBy("fp").agg(F.count("*").alias("df")).filter(
         F.col("df") <= max_fp_df
     )
-    fp = fp.join(keep.select("fp"), "fp")
-    a = fp.select(F.col("doc_id").alias("a"), "fp")
+    a = fp.join(keep.select("fp"), "fp").select(F.col("doc_id").alias("a"), "fp")
     b = fp.select(F.col("doc_id").alias("b"), "fp")
     shared = (
         a.join(b, "fp")
@@ -859,13 +898,19 @@ def containment_pairs(
     attaches are key-partitioned joins.  The ordered output is the same
     pair set materialized both ways, a 2× constant, not a new asymptotic
     term."""
-    sh = distinct_shingles(documents, n=n, id_col=id_col, text_col=text_col)
+    # materialize-once + one-side cap, as in ngram_jaccard_pairs (the
+    # inner join restricts pairs to shingles surviving the capped a side,
+    # so the b-side semi-join was computing the identical pair set)
+    sh = cut_lineage(
+        distinct_shingles(documents, n=n, id_col=id_col, text_col=text_col)
+    )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     df_cap = sh.groupBy("shingle").agg(F.count("*").alias("df")).filter(
         F.col("df") <= max_shingle_df
     )
-    sh = sh.join(df_cap.select("shingle"), "shingle")
-    a = sh.select(F.col("doc_id").alias("a"), "shingle")
+    a = sh.join(df_cap.select("shingle"), "shingle").select(
+        F.col("doc_id").alias("a"), "shingle"
+    )
     b = sh.select(F.col("doc_id").alias("b"), "shingle")
     inter = (
         a.join(b, "shingle")
@@ -974,7 +1019,13 @@ def incremental_jaccard_pairs(
         F.col("df") <= max_shingle_df
     ).select("shingle")
     a = shq.join(cap, "shingle").select(F.col("doc_id").alias("batch_id"), "shingle")
-    b = shb.join(cap, "shingle").select(F.col("doc_id").alias("base_id"), "shingle")
+    # The base side needs NO cap semi-join: the inner probe join already
+    # restricts it to shingles surviving on the (capped) batch side, so
+    # capping both sides computed the identical pair set while paying an
+    # extra full exchange + join of the 10^7-row index (a mega-shingle
+    # absent from the capped batch side matches nothing; one present in it
+    # passed the cap by definition).  Guide §2.4: remove shuffles outright.
+    b = shb.select(F.col("doc_id").alias("base_id"), "shingle")
     inter = (
         a.join(b, "shingle")
         .groupBy("batch_id", "base_id")

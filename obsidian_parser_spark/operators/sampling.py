@@ -137,12 +137,13 @@ def domain_mixture(
         F.conv(F.substring(key, 1, 2), 16, 10).cast("int").alias("_bkt"),
     )
     # three consumers read this narrow frame (budget scalars, the in-bucket
-    # window, the offsets rollup): materialize it once so an expensive
-    # upstream ``tokens_col`` projection (typically a full-text tokenize)
-    # runs one pass instead of three (measured at sf0.1: 3.0 s → ~1.5 s)
-    from ..checkpointing import cut_lineage
-
-    d = cut_lineage(d)
+    # window, the offsets rollup): persist so an expensive upstream
+    # ``tokens_col`` projection (typically a full-text tokenize) runs one
+    # pass instead of three.  Lazy persist, not an eager checkpoint — the
+    # frame is consumed within single actions, where the block manager
+    # dedups concurrent partition computation; an eager cut was measured
+    # to cost more in barrier latency than the saved passes at sf0.1.
+    d = d.persist()
 
     scalars = d.agg(
         F.sum("n_tokens").cast("long").alias("_total"),

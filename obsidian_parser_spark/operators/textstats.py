@@ -439,12 +439,17 @@ def retrieval_stats(
         F.col(id_col).alias("doc_id"),
         F.expr(_TOKENS.format(t=text_col)).alias("_t"),
     )
-    dl = toks.select("doc_id", F.size("_t").alias("dl"))
+    # carry the doc length through the explode instead of a second
+    # tokenize pass + join: every exploded row of a doc sees the same
+    # size(_t), so min() re-derives it for free in the tf aggregate
     hits = (
-        toks.select("doc_id", F.explode("_t").alias("token"))
+        toks.select(
+            "doc_id", F.size("_t").cast("long").alias("dl"),
+            F.explode("_t").alias("token"),
+        )
         .filter(F.col("token").isin(*terms))
         .groupBy("doc_id", F.col("token").alias("term"))
-        .agg(F.count(F.lit(1)).alias("tf"))
+        .agg(F.count(F.lit(1)).alias("tf"), F.min("dl").alias("dl"))
     )
     df_ = hits.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = documents.select(
@@ -454,7 +459,6 @@ def retrieval_stats(
     return (
         hits.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .join(dl, "doc_id")
         .join(df_, "term")
         .crossJoin(F.broadcast(n_docs))
         .select(
@@ -491,8 +495,12 @@ def collocation_stats(
     broadcast cross join.  Tokens are whitespace-split, so w1/w2 can
     never contain the pair separator.
     """
-    toks = documents.select(
-        F.expr(_TOKENS.format(t=text_col)).alias("_t")
+    from ..checkpointing import cut_lineage
+
+    # three consumers (bigrams, unigrams, corpus total) — materialize the
+    # token arrays once instead of re-tokenizing the corpus per consumer
+    toks = cut_lineage(
+        documents.select(F.expr(_TOKENS.format(t=text_col)).alias("_t"))
     )
     npairs = "greatest(size(_t) - 1, 0)"
     pairs = toks.select(
@@ -591,9 +599,13 @@ def textrank_keywords(
     vocabulary-sized (≪ corpus), so the 10 rounds cost nothing next to
     the one corpus pass; top-k is TakeOrdered, never a global sort.
     """
+    from ..checkpointing import cut_lineage
     from .pagerank import pagerank
 
-    toks = documents.select(F.expr(_TOKENS.format(t=text_col)).alias("_t"))
+    # two consumers (vocabulary counts + bigram stream) — tokenize once
+    toks = cut_lineage(
+        documents.select(F.expr(_TOKENS.format(t=text_col)).alias("_t"))
+    )
     vocab = (
         toks.select(F.explode("_t").alias("w"))
         .groupBy("w")
@@ -653,6 +665,8 @@ def ngram_lm_counts(
     attach join; the min_count HAVING cuts the long tail before the
     join, so the joined side is the head of the Zipf curve only.
     """
+    from ..checkpointing import cut_lineage
+
     toks = documents.select(F.expr(_TOKENS.format(t=text_col)).alias("_t"))
     tris = (
         "CASE WHEN size(_t) < 3 THEN array() "
@@ -661,12 +675,13 @@ def ngram_lm_counts(
         " element_at(_t, i + 2) AS w3)) END"
     )
     t = toks.select(F.explode(F.expr(tris)).alias("g")).select("g.w1", "g.w2", "g.w3")
-    tri = (
-        t.groupBy("w1", "w2", "w3")
-        .agg(F.count("*").alias("n"))
-        .filter(F.col("n") >= min_count)
-    )
-    ctx = t.groupBy("w1", "w2").agg(F.count("*").alias("ctx_n"))
+    # ONE corpus pass: the context count over all trigram positions is the
+    # per-(w1, w2) SUM of the aggregated trigram counts, so ctx derives
+    # from the (vocabulary-sized, materialized) trigram table instead of a
+    # second explode + groupBy over the corpus — identical ctx_n
+    counts3 = cut_lineage(t.groupBy("w1", "w2", "w3").agg(F.count("*").alias("n")))
+    tri = counts3.filter(F.col("n") >= min_count)
+    ctx = counts3.groupBy("w1", "w2").agg(F.sum("n").alias("ctx_n"))
     return tri.join(ctx, ["w1", "w2"]).select("w1", "w2", "w3", "n", "ctx_n")
 
 
