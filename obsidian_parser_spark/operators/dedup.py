@@ -947,6 +947,13 @@ def _index_cache_key(base: DataFrame, n: int, id_col: str, text_col: str):
     try:
         plan = base._jdf.queryExecution().analyzed().toString()
     except Exception:  # private API moved — fall back to identity (no reuse)
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "incremental_jaccard_pairs: plan-based index-cache key "
+            "unavailable (private API moved); falling back to object "
+            "identity — cross-call index reuse disabled"
+        )
         plan = str(id(base))
     return (plan, n, id_col, text_col)
 
@@ -992,9 +999,15 @@ def incremental_jaccard_pairs(
         key = _index_cache_key(base, n, id_col, text_col)
         with _INDEX_CACHE_LOCK:
             shb = _CACHED_INDEXES.get(key)
-            if shb is not None and not (
-                shb.storageLevel.useMemory or shb.storageLevel.useDisk
-            ):
+        # storageLevel is a py4j round-trip into the CacheManager — read it
+        # OUTSIDE the lock so concurrent pipelines don't serialize on the
+        # JVM call (round-5 advice), then re-check the entry under the lock
+        # before mutating.
+        stale = shb is not None and not (
+            shb.storageLevel.useMemory or shb.storageLevel.useDisk
+        )
+        with _INDEX_CACHE_LOCK:
+            if stale and _CACHED_INDEXES.get(key) is shb:
                 # an external spark.catalog.clearCache() (the bench does
                 # this between passes) unpersists the frame but leaves the
                 # dict entry: a stale hit would silently recompute the
@@ -1002,7 +1015,8 @@ def incremental_jaccard_pairs(
                 # below) — strictly worse than no cache.  Re-validate and
                 # rebuild.
                 del _CACHED_INDEXES[key]
-                shb = None
+            if stale:
+                shb = _CACHED_INDEXES.get(key)
             if shb is None:
                 while len(_CACHED_INDEXES) >= _INDEX_CACHE_CAP:
                     _CACHED_INDEXES.pop(next(iter(_CACHED_INDEXES))).unpersist()

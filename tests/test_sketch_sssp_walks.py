@@ -233,9 +233,12 @@ def test_incremental_index_cache_revalidates_after_clearcache(spark):
     # hermetic: earlier tests in the shared session may have left entries
     # (possibly already unpersisted by their own teardown) whose params
     # match the filter below — drop them so assertions see only this
-    # test's entry.  clear() without unpersist is lineage-safe.
+    # test's entry.  Pop-and-unpersist each entry (round-5 advice) so the
+    # shared session doesn't keep their cached blocks if a later
+    # assertion fails before the test's own clearCache runs.
     with DD._INDEX_CACHE_LOCK:
-        DD._CACHED_INDEXES.clear()
+        while DD._CACHED_INDEXES:
+            DD._CACHED_INDEXES.popitem()[1].unpersist()
 
     t = "one two three four five six"
     base = spark.createDataFrame(
