@@ -106,23 +106,27 @@ def connected_components(
     analyzer builds an UNdirected graph for CC, examples/analyzer.rs:85-88).
 
     The fixpoint iterates over 64-bit SURROGATE ids, not the doc_id strings:
-    every round shuffles the edge frame ~5× (two groupBys, two joins, one
-    distinct), and long keys cut those shuffle payloads and comparisons to 8
-    fixed bytes.  Measured back-to-back at sf0.1 (101k nodes, 1.1M edges,
-    local[32]): 12.1 s vs 38.7 s for the string-keyed variant — 3.2×.  The
-    mapping comes from ``monotonically_increasing_id`` (no global sort, no
-    collisions by construction — unlike a 64-bit hash, which WILL collide at
-    10^12 nodes) and is localCheckpoint-ed so its assignment is stable for
-    the duration of the job; any total order works for the star algorithm,
-    and the string-min representative is restored by one groupBy at the end.
+    every round shuffles the edge frame (one explicit exchange per star
+    step, reused by the step's aggregate and join, plus the dedup
+    distinct), and long keys cut those shuffle payloads and comparisons to
+    8 fixed bytes.  Measured back-to-back at sf0.1 (101k nodes, 1.1M
+    edges, local[32]): 12.1 s vs 38.7 s for the string-keyed variant —
+    3.2×.  The mapping comes from ``monotonically_increasing_id`` (no
+    global sort, no collisions by construction — unlike a 64-bit hash,
+    which WILL collide at 10^12 nodes) and is localCheckpoint-ed so its
+    assignment is stable for the duration of the job; any total order
+    works for the star algorithm, and the string-min representative is
+    restored by one groupBy at the end.
 
-    Input prep measured head-to-head at sf0.1 (1.1M edges): the initial
-    DISTINCT pays for itself (duplicate edges inflate round-0's join
-    fanout), and the initial ``localCheckpoint`` is load-bearing: each star
-    step references its input twice (groupBy side + join side), so an
-    unmaterialized input recomputes its subplan per reference (measured
-    2-4× slower).  The initial checksum job is skipped (sentinel prev) —
-    convergence needs only round-to-round equality.
+    Input prep (r6): the edge multiset is deduped at the STRING level
+    first — the multigraph carries ~10× duplicate pairs, so the relabel
+    joins shrink by that factor and the relabeled pairs need no second
+    distinct (injective map + least/greatest normalization).  The initial
+    ``localCheckpoint`` stays load-bearing: each star step references its
+    input twice (groupBy side + join side), so an unmaterialized input
+    recomputes its subplan per reference (measured 2-4× slower).  The
+    initial checksum job is skipped (sentinel prev) — convergence needs
+    only round-to-round equality.
     """
     # Dedup the (string) edge multiset FIRST: the link multigraph carries
     # ~10× duplicate pairs, so deduping before the surrogate relabel
