@@ -88,8 +88,32 @@ def shingles(
 def distinct_shingles(
     documents: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
-    """(doc_id, shingle) distinct pairs."""
-    return shingles(documents, n=n, id_col=id_col, text_col=text_col).distinct()
+    """(doc_id, shingle) distinct pairs.
+
+    The dedup is PER DOCUMENT by construction — (doc_id, shingle) can
+    only repeat within one doc's own shingle list — so ``array_distinct``
+    on the n-gram array BEFORE the explode yields the identical row set
+    as a global ``.distinct()`` with NO exchange at all (guide §2.4: the
+    old plan shuffled the full ~10-words-per-shingle string stream once
+    just to dedup rows that were never spread across partitions).  Every
+    consumer (dupspans, the incremental index, ngram/containment/
+    contamination/verified) drops one corpus-wide shuffle."""
+    from pyspark.ml.feature import NGram
+
+    toks = documents.select(
+        F.col(id_col).alias("doc_id"),
+        F.expr(_TOKENS.format(text=text_col)).alias("_t"),
+    )
+    ng = NGram(n=n, inputCol="_t", outputCol="_ng")
+    return ng.transform(toks).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"array_distinct(CASE WHEN size(_t) >= {n} THEN _ng "
+                f"ELSE array(array_join(_t, ' ')) END)"
+            )
+        ).alias("shingle"),
+    )
 
 
 def ngram_jaccard_pairs(
